@@ -1,0 +1,93 @@
+"""SparkSession factory.
+
+The reference is a single-process pandas pipeline (SURVEY §4.2) with no
+session concept; this module is the engine's single place where execution
+configuration lives. Defaults are chosen for correctness-at-scale:
+
+- **AQE on** (adaptive joins, shuffle coalescing, skew-join splitting) —
+  replaces every hand optimization in SURVEY §4.1 that Catalyst doesn't
+  already do statically.
+- **Arrow on** — all pandas-UDF / ``mapInPandas`` exchange is Arrow-batched;
+  row-at-a-time Python is never the hot path.
+- **UTC session timezone** — parquet timestamps compare identically across
+  engines (the DuckDB oracle reads the same files tz-naive).
+- **shuffle.partitions** defaults to the local core count for tests; on a
+  real cluster this is expected to be overridden (``spark.sql.shuffle.
+  partitions ≈ 2-3× total cores``, or left to AQE's coalescing with a high
+  initial count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs applied to every session the engine creates.  Each is safe to set
+#: on a real cluster; none are local-mode hacks.
+ENGINE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Files: 128 MiB split targets keep scan partitions executor-sized at
+    # any SF; openCostInBytes biases toward packing small files together.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Broadcast threshold: generous 64 MiB — every dimension table in the
+    # star schema (region/nation/customer/supplier/part at test SFs, the
+    # 51-row state dim in the reference's domain) broadcasts.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet: pushdown + column pruning are on by default; keep dictionary
+    # filtering on for point-lookup-ish predicates.
+    "spark.sql.parquet.filterPushdown": "true",
+    # Timestamps without timezone: read as TIMESTAMP (session tz = UTC) so
+    # date arithmetic matches the DuckDB oracle's naive timestamps.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    """Local test parallelism: ``$SPARK_GRAFT_CPUS`` or machine cores."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "dissertation-data-pipeline-spark",
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration.
+
+    If a session already exists (e.g. the driver passed one in), its
+    mutable confs are aligned instead of building a new one — the engine
+    never fights the host environment over the master URL.
+    """
+    cores = default_parallelism()
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    if extra_conf:
+        conf.update(extra_conf)
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        for k, v in conf.items():
+            try:
+                active.conf.set(k, v)
+            except Exception:
+                pass  # static conf on a running session — keep its value
+        return active
+
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession, **confs: str) -> SparkSession:
+    """Set runtime-mutable confs on an existing session (fluent helper)."""
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return spark

@@ -1,0 +1,113 @@
+"""Unit tests for the scalar expression library (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark import functions as fx
+
+
+def vals(spark, col, rows, schema="v string"):
+    df = spark.createDataFrame([(r,) for r in rows], schema)
+    return [r[0] for r in df.select(col.alias("out")).collect()]
+
+
+def test_normalize_bill_number(spark):
+    out = vals(
+        spark,
+        fx.normalize_bill_number("v"),
+        ["AL HB209", "H.B. 123", "HB 209", "hb1336", " SB18-269 ", "HJR19"],
+    )
+    assert out == ["HB209", "HB123", "HB209", "HB1336", "SB18-269", "HJR19"]
+
+
+def test_bill_number_variants(spark):
+    out = vals(spark, fx.bill_number_variants("v"), ["HB 209"])
+    assert out == [["HB 209", "HB209", "H.B. 209"]]
+    out = vals(spark, fx.bill_number_variants("v"), ["SB70"])
+    assert out == [["SB70", "SB 70", "S.B. 70"]]
+
+
+def test_normalize_status(spark):
+    out = vals(
+        spark,
+        fx.normalize_status("v"),
+        ["SIGNED by governor", "CHAPTER 123", "Public Act 99", "enrolled", "passed", "Vetoed", None],
+    )
+    assert out == ["Enacted", "Enacted", "Enacted", "Passed", "Passed", "Other", "Other"]
+
+
+def test_make_bill_id(spark):
+    df = spark.createDataFrame([(" co ", " hb1336 ")], "s string, b string")
+    assert df.select(fx.make_bill_id("s", "b").alias("o")).collect()[0][0] == "CO_HB1336"
+
+
+def test_is_missing(spark):
+    out = vals(spark, fx.is_missing("v").cast("string"), [None, "", "  ", "not found", "x"])
+    assert out == ["true", "true", "true", "true", "false"]
+
+
+def test_parse_date_multi(spark):
+    cases = {
+        "2020-01-15": datetime.date(2020, 1, 15),
+        "01/15/2020": datetime.date(2020, 1, 15),
+        "01/15/20": datetime.date(2020, 1, 15),
+        "2020/01/15": datetime.date(2020, 1, 15),
+        "01-15-2020": datetime.date(2020, 1, 15),
+        "January 15, 2020": datetime.date(2020, 1, 15),
+        "Jan 15, 2020": datetime.date(2020, 1, 15),
+        "0000-00-00": None,
+        "garbage": None,
+        None: None,
+    }
+    out = vals(spark, fx.parse_date_multi("v"), list(cases))
+    assert out == list(cases.values())
+
+
+def test_word_count(spark):
+    out = vals(spark, fx.word_count("v"), ["a b  c", "", None, " x "])
+    assert out == [3, 0, 0, 1]
+
+
+def test_doc_id_from_url(spark):
+    out = vals(
+        spark,
+        fx.doc_id_from_url("v"),
+        ["https://legiscan.com/CO/text/HB1336/id/383705", "https://x/id/99/", "nope"],
+    )
+    assert out == [383705, 99, None]
+
+
+def test_normalize_text_plain(spark):
+    raw = "A &amp; B\f\n\n\n\n42\nkeep  this"
+    out = vals(spark, fx.normalize_text_plain("v"), [raw])
+    assert out == ["A & B\n\nkeep this"]
+
+
+def test_matched_keywords_and_tags(spark):
+    kws = ["school shooting", "firearm"]
+    out = vals(spark, fx.matched_keywords("v", kws), ["About FIREARM safety", "none here"])
+    assert out == [["firearm"], []]
+    rules = {"guns": ["firearm", "weapon"], "safety": ["safety"]}
+    out = vals(spark, fx.theme_tags("v", rules), ["Firearm safety act"])
+    assert out == [["guns", "safety"]]
+
+
+def test_is_amendment(spark):
+    df = spark.createDataFrame(
+        [
+            ("An act to amend title 22", "whatever"),
+            ("New school act", "Be it enacted ... to amend section 3"),
+            ("New school act", "nothing relevant"),
+        ],
+        "t string, x string",
+    )
+    out = [r[0] for r in df.select(fx.is_amendment("t", "x").alias("o")).collect()]
+    assert out == [True, True, False]
+
+
+def test_state_code(spark):
+    out = vals(spark, fx.state_code("v"), ["co", " CO ", "Colorado", None])
+    assert out == ["CO", "CO", None, None]

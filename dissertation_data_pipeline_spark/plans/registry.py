@@ -543,3 +543,8 @@ def o2_top_k_frequency(spark, sf_dir):
     """O2 top-k frequency (build_corpus.py:122) — TakeOrdered, no global
     sort."""
     return top_k_frequency(load_table(spark, sf_dir, "customer"), "c_mktsegment", 3)
+
+
+# -- sibling query modules register themselves on import (kept at the
+# bottom: they import `register` from this module) ---------------------------
+from dissertation_data_pipeline_spark.plans import queries_scalar  # noqa: E402,F401

@@ -1,0 +1,198 @@
+"""[EXT] dedup queries over the documents table, with DuckDB oracles.
+
+Every hash in these operators is md5-derived (see operators.dedup_ext),
+so the oracle reproduces signatures, bands, candidates, and verified
+pairs *exactly* — not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators import dedup_ext as dx
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+# shared oracle CTEs: tokens + word-3-gram shingle sets
+_SHINGLE_CTE = r"""
+  toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+    FROM documents
+  ),
+  sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS shingles
+    FROM toks
+  )
+"""
+
+
+@register(
+    "ext_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def ext_dedup_exact(spark, sf_dir):
+    """[EXT] exact-content dedup: md5 groupBy, canonical id = min id.
+    Single shuffle on a uniform digest key."""
+    return dx.exact_dedup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ext_dedup_tokenset",
+    r"""
+    SELECT tokenset_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS tokenset_hash
+      FROM documents
+    ) GROUP BY 1
+    """,
+)
+def ext_dedup_tokenset(spark, sf_dir):
+    """[EXT] order-insensitive exact dedup: digest of the sorted distinct
+    token set — catches the generator's shuffled near-copies."""
+    return dx.tokenset_dedup_groups(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ext_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id, shingles,
+             list_transform(range(0, 12), i ->
+               list_min(list_transform(shingles, s -> md5(i || '#' || s)))) AS sig
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             md5(array_to_string(sig[band_idx*3+1 : band_idx*3+3], '|')) AS band_key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+      FROM cand
+      JOIN sh sa ON sa.doc_id = id_a
+      JOIN sh sb ON sb.doc_id = id_b
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def ext_minhash_lsh_pairs(spark, sf_dir):
+    """[EXT] MinHash+LSH near-dup pairs (12 hashes, 4 bands of 3),
+    verified by exact shingle Jaccard >= 0.5. The oracle reproduces the
+    banding *and* the verification bit-for-bit."""
+    return dx.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        num_hashes=12,
+        bands=4,
+        threshold=0.5,
+    )
+
+
+_SIMHASH_CTE = r"""
+  toks AS (
+    SELECT doc_id,
+           list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
+    FROM documents
+  ),
+  dig AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS d FROM toks),
+  simh AS (
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 48), b ->
+             CASE WHEN list_sum(list_transform(d, h ->
+                    (((strpos('0123456789abcdef', h[(b // 4 + 1):(b // 4 + 1)]) - 1)
+                      >> (3 - (b % 4))) & 1) * 2 - 1)) > 0
+                  THEN (1::BIGINT << b) ELSE 0 END)) AS sh
+    FROM dig
+  )
+"""
+
+
+@register(
+    "ext_simhash_values",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, sh AS simhash FROM simh
+    """,
+)
+def ext_simhash_values(spark, sf_dir):
+    """[EXT] 48-bit SimHash signature per document (md5-bit voting over
+    the distinct token set)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", dx.simhash("text").alias("simhash"))
+
+
+@register(
+    "ext_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, sh, band_idx, (sh >> (8 * band_idx)) & 255 AS band_val
+      FROM simh, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def ext_simhash_pairs(spark, sf_dir):
+    """[EXT] SimHash near-dup pairs: 6x8-bit band candidates + Hamming
+    <= 3 verification (pigeonhole-exact for this radius)."""
+    return dx.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+@register(
+    "ext_blocked_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    blocked AS (
+      SELECT d.doc_id, d.lang, d.source, sh.shingles
+      FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+    )
+    SELECT lang, source, id_a, id_b, jaccard FROM (
+      SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+      FROM blocked a JOIN blocked b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.2
+    """,
+)
+def ext_blocked_jaccard_pairs(spark, sf_dir):
+    """[EXT] blocked exact n-gram Jaccard: all-pairs only within
+    (lang, source) blocks — the operator requires blocking keys, the
+    quadratic term is bounded by block size."""
+    return dx.blocked_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["lang", "source"],
+        threshold=0.2,
+    )

@@ -548,3 +548,4 @@ def o2_top_k_frequency(spark, sf_dir):
 # -- sibling query modules register themselves on import (kept at the
 # bottom: they import `register` from this module) ---------------------------
 from dissertation_data_pipeline_spark.plans import queries_scalar  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_dedup  # noqa: E402,F401

@@ -1,0 +1,57 @@
+"""Unit tests for the [EXT] dedup operators on controlled inputs."""
+
+from __future__ import annotations
+
+from dissertation_data_pipeline_spark.operators import dedup_ext as dx
+
+
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (2, "the quick brown fox jumps over the lazy dog", "en", "a"),  # exact dup of 1
+        (3, "lazy dog the over jumps fox brown quick the", "en", "a"),  # shuffled dup of 1
+        (4, "the quick brown fox jumps over the sleepy dog", "en", "a"),  # near dup of 1
+        (5, "completely different text about spark engines", "en", "a"),
+        (6, "short", "en", "a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["canonical_id"]: r["n_copies"] for r in dx.exact_dedup_groups(docs(spark), "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1+2 share content
+    assert sum(out.values()) == 6
+
+
+def test_tokenset_dedup_groups(spark):
+    out = {r["canonical_id"]: r["n_copies"] for r in dx.tokenset_dedup_groups(docs(spark), "doc_id", "text").collect()}
+    assert out[1] == 3  # 1, 2 (exact) and 3 (shuffled) share the token set
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dx.minhash_lsh_pairs(docs(spark), "doc_id", "text", threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.3 <= pairs[(1, 4)] < 1.0
+    assert not any({5, 6} & set(p) for p in pairs)
+
+
+def test_simhash_exact_dup_is_zero_distance(spark):
+    vals = {r["doc_id"]: r["simhash"] for r in docs(spark).select(
+        "doc_id", dx.simhash("text").alias("simhash")).collect()}
+    assert vals[1] == vals[2] == vals[3]  # token-set-identical -> same signature
+    assert vals[1] != vals[5]
+    assert all(0 <= v < (1 << 48) for v in vals.values())
+
+
+def test_blocked_jaccard_requires_blocks(spark):
+    try:
+        dx.blocked_jaccard_pairs(docs(spark), "doc_id", "text", [])
+        assert False, "expected AssertionError"
+    except AssertionError:
+        pass
+    out = dx.blocked_jaccard_pairs(docs(spark), "doc_id", "text", ["lang", "source"], threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in got

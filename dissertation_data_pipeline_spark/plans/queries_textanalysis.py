@@ -1,0 +1,156 @@
+"""[EXT] text-analysis queries over the documents table, with oracles.
+
+The quality score intentionally uses the *rounded* component ratios
+(as ``quality_features`` returns them) so the published score is
+reproducible from the published features; the oracle mirrors that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators import textanalysis as ta
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+def _profile_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in ta.LANG_PROFILES[lang])
+    return (
+        r"len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), "
+        f"[{words}]))"
+    )
+
+
+_LANG_CASE = f"""
+  CASE
+    WHEN {_profile_sql('en')} >= {_profile_sql('de')}
+     AND {_profile_sql('en')} >= {_profile_sql('es')}
+     AND {_profile_sql('en')} >= {_profile_sql('fr')} THEN 'en'
+    WHEN {_profile_sql('de')} >= {_profile_sql('es')}
+     AND {_profile_sql('de')} >= {_profile_sql('fr')} THEN 'de'
+    WHEN {_profile_sql('es')} >= {_profile_sql('fr')} THEN 'es'
+    ELSE 'fr'
+  END
+"""
+
+
+@register(
+    "ext_langid",
+    f"""
+    SELECT doc_id, {_LANG_CASE} AS lang_pred FROM documents
+    """,
+)
+def ext_langid(spark, sf_dir):
+    """[EXT] n-gram/stopword-heuristic language ID: per-language profile
+    scores, argmax with fixed tie order (en, de, es, fr)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ta.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "ext_langid_confusion",
+    f"""
+    SELECT lang, lang_pred, count(*) AS cnt FROM (
+      SELECT lang, {_LANG_CASE} AS lang_pred FROM documents
+    ) GROUP BY 1, 2
+    """,
+)
+def ext_langid_confusion(spark, sf_dir):
+    """[EXT] langid confusion rollup against the table's lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", ta.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_QF_SQL = r"""
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n_chars,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(string_split_regex(lower(trim(text)), '\s+')) END AS n_words,
+         length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) AS n_digit,
+         len(list_filter(string_split_regex(lower(trim(coalesce(text, ''))), '\s+'),
+             t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS n_stop
+  FROM documents
+"""
+
+
+@register(
+    "ext_quality_features",
+    f"""
+    SELECT doc_id, n_chars, n_words,
+           round((n_chars - (n_words - 1)) / greatest(n_words, 1)::DOUBLE, 6) AS avg_word_len,
+           round(n_punct / greatest(n_chars, 1)::DOUBLE, 6) AS punct_ratio,
+           round(n_digit / greatest(n_chars, 1)::DOUBLE, 6) AS digit_ratio,
+           round(n_stop / greatest(n_words, 1)::DOUBLE, 6) AS stopword_ratio
+    FROM ({_QF_SQL})
+    """,
+)
+def ext_quality_features(spark, sf_dir):
+    """[EXT] C4/Gopher-style cheap quality gates: length, punctuation,
+    digit, and stopword ratios — pure expressions at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = ta.quality_features("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+@register(
+    "ext_quality_score",
+    f"""
+    SELECT doc_id,
+           (least(n_words::BIGINT * 10000, 1000000) * 4
+            + least(CAST(round(round(n_stop / greatest(n_words, 1)::DOUBLE, 6) * 1e6, 0) AS BIGINT) * 5, 1000000) * 3
+            + (1000000 - least(CAST(round(round(n_punct / greatest(n_chars, 1)::DOUBLE, 6) * 1e6, 0) AS BIGINT) * 10, 1000000)) * 2
+            + (1000000 - least(CAST(round(round(n_digit / greatest(n_chars, 1)::DOUBLE, 6) * 1e6, 0) AS BIGINT) * 10, 1000000)) * 1
+           )::DOUBLE / 10000000.0 AS quality
+    FROM ({_QF_SQL})
+    """,
+)
+def ext_quality_score(spark, sf_dir):
+    """[EXT] scalar quality score in [0,1] with fixed documented
+    weights, computed from the published (rounded) ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ta.quality_score("text").alias("quality"))
+
+
+@register(
+    "ext_token_counts",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                ELSE len(string_split_regex(lower(trim(text)), '\s+')) END::INTEGER AS ws_tokens,
+           len(regexp_extract_all(coalesce(text, ''),
+               '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::INTEGER AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def ext_token_counts(spark, sf_dir):
+    """[EXT] token counting: whitespace tokens + BPE-ish pre-tokenizer
+    (alnum runs / single symbols) via regexp_count."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = ta.token_counts("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in counts.items()])
+
+
+@register(
+    "ext_doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(
+                 list_filter(string_split(coalesce(text, ''), ''), c -> c <> ''),
+                 c -> ascii(c)::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def ext_doc_fingerprint(spark, sf_dir):
+    """[EXT] rolling polynomial content fingerprint (acc*31+codepoint
+    mod 1e9+7), strict left fold — order-sensitive, engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ta.doc_fingerprint("text").alias("fingerprint"))

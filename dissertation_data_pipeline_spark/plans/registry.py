@@ -549,3 +549,5 @@ def o2_top_k_frequency(spark, sf_dir):
 # bottom: they import `register` from this module) ---------------------------
 from dissertation_data_pipeline_spark.plans import queries_scalar  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_dedup  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_similarity  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_textanalysis  # noqa: E402,F401

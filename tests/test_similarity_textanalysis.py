@@ -1,0 +1,93 @@
+"""Unit tests for [EXT] similarity + text-analysis operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators import similarity as sim
+from dissertation_data_pipeline_spark.operators import textanalysis as ta
+
+
+def test_cosine_identity_and_orthogonal(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    out = [r[0] for r in df.select(F.round(sim.cosine("a", "b"), 6).alias("c")).collect()]
+    assert out == [1.0, 0.0, 1.0]
+
+
+def test_brute_force_topk_ranks_exact(spark):
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0 + i / 10.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.1])], "query_id long, query_vec array<float>"
+    )
+    out = sim.brute_force_topk(queries, corpus, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]  # vec 1 == [1, .1] exactly
+    assert out[0]["sim"] == 1.0 and out[0]["rank"] == 1
+
+
+def test_lsh_bucket_deterministic(spark):
+    planes = sim.hyperplanes(8, 4)
+    df = spark.createDataFrame(
+        # powers of two: no ±1-signed combination sums to exactly 0,
+        # so negation provably flips every projection's sign
+        [(1, [1.0, 2.0, 4.0, 8.0]), (2, [1.0, 2.0, 4.0, 8.0]), (3, [-1.0, -2.0, -4.0, -8.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", sim.lsh_bucket("embedding", planes).alias("b")).collect()}
+    assert out[1] == out[2]            # identical vectors -> same cell
+    assert out[1] + out[3] == 255      # negated vector flips every bit
+    assert 0 <= out[1] < 256
+
+
+def test_lang_id_profiles(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and that is fine",),
+            ("der hund und die katze ist nicht da",),
+            ("el perro y la casa en que vivo",),
+            ("zzz qqq xxx",),  # no profile hits -> tie -> first in order (en)
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(ta.lang_id("text").alias("o")).collect()]
+    assert out == ["en", "de", "es", "en"]
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick brown fox and the lazy dog in a field of wheat that runs",),
+            ("@@@@ #### $$$$ %%%%",),
+            ("",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(ta.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= q <= 1.0 for q in out)
+    assert out[0] > out[1]  # clean prose beats symbol soup
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello, world! it's 42",), ("",)], "text string")
+    rows = df.select(
+        *[c.alias(n) for n, c in ta.token_counts("text").items()]
+    ).collect()
+    assert rows[0]["ws_tokens"] == 4
+    # hello , world ! it ' s 42 -> 8 BPE-ish pieces
+    assert rows[0]["bpe_ish_tokens"] == 8
+    assert rows[1]["ws_tokens"] == 0 and rows[1]["bpe_ish_tokens"] == 0
+
+
+def test_doc_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("ab",), ("ba",), ("ab",)], "text string")
+    out = [r[0] for r in df.select(ta.doc_fingerprint("text").alias("f")).collect()]
+    assert out[0] == out[2] != out[1]
+    assert out[0] == (ord("a") * 31 + ord("b")) % ta.FINGERPRINT_MOD

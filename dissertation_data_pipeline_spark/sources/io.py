@@ -1,0 +1,160 @@
+"""Readers and sinks (SURVEY §2.1 S1-S10, K1-K6).
+
+Production paths never infer schemas (SURVEY §1.3): every reader takes
+a StructType contract and conforms to it. Driver-side shims (Excel,
+ZIP) are explicitly small-data by construction and documented as such.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from dissertation_data_pipeline_spark.schemas import conform
+
+
+# S1 — CSV scan (reference: pd.read_csv at build_master_corpus.py:64 etc.)
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType, *, header: bool = True
+) -> DataFrame:
+    """Header-aware CSV scan with an explicit contract — no inference;
+    Catalyst still prunes columns into the scan."""
+    raw = spark.read.csv(path, header=header, schema=None, inferSchema=False)
+    return conform(raw, schema)
+
+
+# S4 — JSONL scan (normalize_json.py:8; JSONL is Spark's native JSON layout)
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+# S3 — parquet scan
+def read_parquet(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return conform(df, schema) if schema is not None else df
+
+
+# S2 — Excel shim (legiscan_normalizer.py:137). Spark core has no xlsx
+# reader; the reference's Excel inputs are dim-sized curation sheets, so
+# a driver-side pandas read -> createDataFrame is the honest mapping.
+def read_excel(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path)  # needs openpyxl on the driver
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Excel ingestion needs pandas+openpyxl on the driver; "
+            "convert the sheet to CSV for the distributed path"
+        ) from e
+    pdf.columns = [str(c) for c in pdf.columns]
+    return conform(spark.createDataFrame(pdf.astype(object)), schema)
+
+
+# S5 — JSON-in-ZIP scan (legiscan_collector.py:241-251). ZIP is not a
+# splittable format: each archive is one unit of work. binaryFile scan +
+# driver/executor-side unzip keeps the *archives* distributed even
+# though members of one archive are read serially.
+def read_json_zip(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    member_glob: str = ".json",
+) -> DataFrame:
+    bins = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def explode_zip(iterator):
+        import json
+
+        import pandas as pd
+
+        for pdf in iterator:
+            rows = []
+            for _, r in pdf.iterrows():
+                with zipfile.ZipFile(io.BytesIO(r["content"])) as zf:
+                    for name in zf.namelist():
+                        if member_glob in name:
+                            rows.append(
+                                {"member": name, "json": zf.read(name).decode("utf-8", "replace")}
+                            )
+            yield pd.DataFrame(rows, columns=["member", "json"])
+
+    members = bins.mapInPandas(explode_zip, "member string, json string")
+    parsed = members.select(
+        "member", F.from_json("json", schema).alias("rec")
+    ).select("member", "rec.*")
+    return parsed
+
+
+# S10 — keyword/config scan (utils.py:173-181): line-per-term, '#' comments
+def read_keywords(spark: SparkSession, path: str) -> list[str]:
+    rows = (
+        spark.read.text(path)
+        .select(F.trim("value").alias("kw"))
+        .filter((F.col("kw") != "") & ~F.col("kw").startswith("#"))
+        .collect()
+    )
+    return [r["kw"] for r in rows]
+
+
+# S9 — per-document text-file scan (normalize_corpus.py:171-177): the
+# file-per-bill layout becomes (filename, text) rows joined by key.
+def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
+            F.col("content").cast("string").alias("text"),
+        )
+    )
+
+
+# K1/K2/K4 — sinks. Partitioning is the 100 TB story (SURVEY O-m8):
+# layout by the pruning columns so test-scoped reads prune partitions.
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+# K5 — report sink (normalize_corpus.py:308-330): small aggregate
+# DataFrames formatted driver-side. Collect is legal here by
+# construction — inputs are aggregate outputs, rows ≈ groups.
+def write_report(sections: dict[str, DataFrame], path: str | None = None) -> str:
+    lines: list[str] = []
+    for title, df in sections.items():
+        lines.append(f"== {title} ==")
+        for row in df.collect():
+            lines.append("  " + ", ".join(f"{k}={v}" for k, v in row.asDict().items()))
+        lines.append("")
+    text = "\n".join(lines)
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            f.write(text)
+    return text

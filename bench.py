@@ -32,6 +32,13 @@ HEADLINE = [
     "a9_coalesce_fill",
     "p4_filter_project",
     "u3_distinct",
+    "ext_dedup_tokenset",
+    "ext_minhash_lsh_pairs",
+    "ext_simhash_pairs",
+    "ext_ann_brute_topk",
+    "ext_ann_lsh_topk",
+    "ext_quality_score",
+    "s_session_window",
 ]
 
 

@@ -179,6 +179,10 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("_id", "band.band_idx", "band.band_key")
 
+    # repartition by the band bucket: distributes candidate generation
+    # across the cluster (a small single-file scan otherwise probes a
+    # broadcast join on ONE partition) and co-locates the self-join
+    band_entries = band_entries.repartition("band_idx", "band_key")
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -221,23 +225,31 @@ def simhash(col: Column | str, bits: int = 48) -> Column:
     array expressions, md5-portable.
     """
     toks = F.array_distinct(tokens(col))
-    digests = F.transform(toks, lambda t: _md5(t))
 
     def bit(d: Column, b: int) -> Column:
         digit = F.substring(d, b // 4 + 1, 1)
         val = F.conv(digit, 16, 10).cast("int")
         return F.shiftright(val, 3 - (b % 4)).bitwiseAND(F.lit(1))
 
-    def merge_for(b: int):
-        # plain 2-arg lambda: PySpark dispatches on lambda arity, so the
-        # bit position must be captured via closure, not a default arg
-        return lambda acc, d: acc + (bit(d, b) * 2 - 1)
+    # single fold: ONE md5 per token, all bit counters advanced together
+    # (one aggregate per bit would re-evaluate the digest array per bit —
+    # a `bits`-fold blowup in md5 work that dominates at corpus scale)
+    def step(acc: Column, t: Column) -> Column:
+        d = _md5(t)
+        return F.zip_with(
+            acc,
+            F.array(*[bit(d, b) * 2 - 1 for b in range(bits)]),
+            lambda a, v: a + v,
+        )
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        cnt = F.aggregate(digests, F.lit(0), merge_for(b))
-        out = out + F.when(cnt > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    counts = F.aggregate(toks, F.array_repeat(F.lit(0), bits), step)
+    # assemble via one zip_with + fold so `counts` appears once in the
+    # expression tree (48 separate references would re-run the fold 48x)
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    contrib = F.zip_with(
+        counts, weights, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def simhash_pairs(
@@ -270,6 +282,8 @@ def simhash_pairs(
         ).alias("band"),
     ).select("_id", "_sh", "band.band_idx", "band.band_val")
 
+    # same repartition rationale as minhash_lsh_pairs
+    bands = bands.repartition("band_idx", "band_val")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -314,7 +328,7 @@ def blocked_jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         word_shingles(text_col, ngram_words).alias("_sh"),
-    )
+    ).repartition(*block_cols)  # parallelize + co-locate the block join
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a._id") < F.col("b._id")
     for c in block_cols:

@@ -101,6 +101,9 @@ def brute_force_topk(
     """Exact cosine top-k per query. Ranking key is (rounded similarity
     desc, corpus id asc) — fully deterministic under ties. Queries are
     broadcast; the corpus is never re-shuffled for the scoring pass."""
+    # spread the corpus scan: a small single-file read is one partition,
+    # and a broadcast cross join inherits the probe side's parallelism
+    corpus = corpus.repartition(F.col(corpus_id))
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -135,7 +138,9 @@ def hyperplane_lsh_topk(
     cell. Join on bucket id replaces the cross join — at scale this is
     a partition-pruned read, not a scan."""
     planes = hyperplanes(num_planes, dim)
-    cb = corpus.withColumn("_bucket", lsh_bucket(corpus_vec, planes))
+    cb = corpus.withColumn("_bucket", lsh_bucket(corpus_vec, planes)).repartition(
+        "_bucket"
+    )
     qb = queries.withColumn("_bucket", lsh_bucket(query_vec, planes))
     scored = (
         F.broadcast(qb)

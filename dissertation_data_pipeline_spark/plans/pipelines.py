@@ -193,6 +193,34 @@ def build_corpus(
     }
 
 
+#: demo theme rules (tag_metadata.py:7-22 shape)
+DEMO_THEME_RULES = {
+    "mental_health": [r"mental health", r"counsel", r"psych"],
+    "policing": [r"police", r"resource officer", r"sro\b"],
+    "firearms": [r"firearm", r"gun", r"weapon"],
+}
+
+
+def tag_documents(
+    records: DataFrame,
+    text_cols: Sequence[str],
+    theme_rules: dict[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """The Snakemake demo DAG (SURVEY §3.2) collapsed to one lazy plan:
+    flattened records -> dynamic text-column concat (F-a2) -> per-theme
+    regex tagging (F-a1) -> sorted tag array. Column *choice* (name
+    contains title/summary/text) is driver-side, as in the reference
+    (tag_metadata.py:24-25)."""
+    rules = theme_rules or DEMO_THEME_RULES
+    chosen = [
+        c
+        for c in records.columns
+        if any(s in c.lower() for s in ("title", "summary", "text", "description"))
+    ] or list(text_cols)
+    blob = fx.concat_text_columns(*chosen)
+    return records.withColumn("tags", fx.theme_tags(blob, rules))
+
+
 def collect_bills(
     raw_bills: DataFrame,
     keywords: Sequence[str],

@@ -1,0 +1,185 @@
+"""Remaining SURVEY §2 coverage: P8 enrichment predicate, F-a2/F-a4
+amendment heuristic, F-j1 one-level flatten, F-s9 state code, and the
+[EXT] embedding near-dup + approx-distinct operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark import functions as fx
+from dissertation_data_pipeline_spark.functions import is_missing
+from dissertation_data_pipeline_spark.operators import similarity as sim
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+@register(
+    "p8_needs_enrichment",
+    """
+    SELECT o_orderkey, pri, clerk FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  WHEN o_orderkey % 5 = 1 THEN ''
+                  WHEN o_orderkey % 5 = 2 THEN 'not found'
+                  ELSE o_orderpriority END AS pri,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS clerk
+      FROM orders
+    )
+    WHERE pri IS NULL OR trim(pri) = '' OR lower(trim(pri)) = 'not found'
+       OR clerk IS NULL OR trim(clerk) = '' OR lower(trim(clerk)) = 'not found'
+    """,
+)
+def p8_needs_enrichment(spark, sf_dir):
+    """P8 (legiscan_enricher.py:332-338): rows needing enrichment — the
+    disjunction of ``is_missing`` over the enrichable fields, with the
+    reference's three-way missingness (NULL / '' / 'not found')
+    synthesized deterministically."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    df = o.select(
+        "o_orderkey",
+        F.when(k % 5 == 0, F.lit(None))
+        .when(k % 5 == 1, F.lit(""))
+        .when(k % 5 == 2, F.lit("not found"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pri"),
+        F.when(k % 7 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")).alias("clerk"),
+    )
+    return df.filter(is_missing("pri") | is_missing("clerk"))
+
+
+@register(
+    "fa4_is_amendment",
+    """
+    SELECT doc_id,
+           (contains(lower(coalesce(title, '')), 'amend')
+            OR contains(lower(coalesce(title, '')), 'concerning a change')
+            OR (contains(lower(substr(coalesce(text, ''), 1, 500)), 'be it enacted')
+                AND contains(lower(substr(coalesce(text, ''), 1, 500)), 'amend'))
+           ) AS is_amendment
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN 'An act to amend the school code'
+                  WHEN doc_id % 3 = 1 THEN 'Concerning a change to firearm storage'
+                  ELSE 'A new appropriations act' END AS title
+      FROM documents
+    )
+    """,
+)
+def fa4_is_amendment(spark, sf_dir):
+    """F-a4 (normalize_corpus.py:64-81): amendment heuristic — title
+    signal words OR enacting-clause + 'amend' in the first 500 chars.
+    Titles synthesized deterministically per doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    with_title = d.select(
+        "doc_id",
+        "text",
+        F.when(k % 3 == 0, F.lit("An act to amend the school code"))
+        .when(k % 3 == 1, F.lit("Concerning a change to firearm storage"))
+        .otherwise(F.lit("A new appropriations act"))
+        .alias("title"),
+    )
+    return with_title.select(
+        "doc_id", fx.is_amendment("title", "text").alias("is_amendment")
+    )
+
+
+@register(
+    "fj1_flatten_structs",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    """,
+)
+def fj1_flatten_structs(spark, sf_dir):
+    """F-j1 (normalize_json.py:10): one-level flatten of nested records
+    — parse the JSON column to a struct, then star-expand with dotted
+    names projected flat (pd.json_normalize(max_level=1) semantics)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", "event_type", F.from_json("props", "k BIGINT").alias("props")
+    )
+    # star-expansion: each struct field becomes a flat prefixed column
+    return parsed.select(
+        "event_id",
+        "event_type",
+        F.col("props.k").alias("props_k"),
+    )
+
+
+@register(
+    "fs9_state_code",
+    """
+    SELECT c_custkey,
+           CASE WHEN regexp_matches(upper(trim(raw)), '^[A-Z]{2}$')
+                THEN upper(trim(raw)) END AS state_code
+    FROM (
+      SELECT c_custkey,
+             CASE c_custkey % 3 WHEN 0 THEN ' co ' WHEN 1 THEN 'Colorado'
+                                ELSE 'WY' END AS raw
+      FROM customer
+    )
+    """,
+)
+def fs9_state_code(spark, sf_dir):
+    """F-s9 (legiscan_enricher.py:250-252): 2-letter state codes pass
+    through (upper/trim), anything else -> NULL (the reference sliced
+    full names blindly — documented fix, full names go through the dim
+    join J2)."""
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    raw = (
+        F.when(k % 3 == 0, F.lit(" co "))
+        .when(k % 3 == 1, F.lit("Colorado"))
+        .otherwise(F.lit("WY"))
+    )
+    return c.select("c_custkey", fx.state_code(raw).alias("state_code"))
+
+
+@register(
+    "ext_embedding_near_dup",
+    None,  # cosine>=threshold pair sets are oracle-checkable, but the
+    # LSH-bucketed candidate set is already covered by ext_ann_lsh_topk;
+    # this rows-only query exercises the dedicated near-dup shape
+)
+def ext_embedding_near_dup(spark, sf_dir):
+    """[EXT] embedding-cosine near-duplicate pairs: hyperplane-LSH
+    buckets generate candidates, exact cosine >= 0.99 verifies. The
+    vector analog of minhash_lsh_pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = sim.hyperplanes(8, 64)
+    b = emb.withColumn("_bucket", sim.lsh_bucket("embedding", planes)).repartition(
+        "_bucket"
+    )
+    a2, b2 = b.alias("a"), b.alias("b")
+    pairs = (
+        a2.join(
+            b2,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(sim.cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.99)
+    )
+    return pairs
+
+
+@register(
+    "ext_approx_count_distinct",
+    None,  # HLL sketches are engine-specific by nature -> rows-only check
+)
+def ext_approx_count_distinct(spark, sf_dir):
+    """[EXT] approx_count_distinct (A2's 100 TB path): HLL++ sketch,
+    one pass, no exact-distinct shuffle. Engine-specific estimates ->
+    no value oracle; the unit test bounds the relative error instead."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )

@@ -553,3 +553,5 @@ from dissertation_data_pipeline_spark.plans import queries_similarity  # noqa: E
 from dissertation_data_pipeline_spark.plans import queries_textanalysis  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_streaming  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_misc  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_tpch  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_coverage  # noqa: E402,F401

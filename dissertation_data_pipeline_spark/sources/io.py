@@ -142,6 +142,19 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+# O3 — glob-latest artifact resolution (fetch_texts.py:55-59,
+# normalize_corpus.py:234-240, build_corpus.py:35-39): the reference's
+# stage handoff is "newest timestamped file wins". Driver-side by
+# design — path resolution is not a data-plane operation.
+def latest_artifact(pattern: str) -> str:
+    import glob as _glob
+
+    matches = sorted(_glob.glob(pattern), reverse=True)
+    if not matches:
+        raise FileNotFoundError(f"no artifact matches {pattern!r}")
+    return matches[0]
+
+
 # K5 — report sink (normalize_corpus.py:308-330): small aggregate
 # DataFrames formatted driver-side. Collect is legal here by
 # construction — inputs are aggregate outputs, rows ≈ groups.

@@ -110,3 +110,26 @@ def test_collect_bills_nested_filters(spark):
     assert row["legiscan_text_url"] == "t-html"  # W4: HTML preferred over PDF
     assert row["status"] == "Enacted"  # progress event 8 override
     assert row["matched_keywords"] == "school shooting"
+
+
+def test_tag_documents_demo_dag(spark, tmp_path=None):
+    import json
+    recs = spark.createDataFrame(
+        [
+            (1, "School counseling act", "Funds mental health counselors and SRO training"),
+            (2, "Budget", "Appropriations for roads"),
+        ],
+        "bill_id int, title string, description string",
+    )
+    out = {r["bill_id"]: r["tags"] for r in P.tag_documents(recs, ["title"]).collect()}
+    assert out[1] == ["mental_health", "policing"]
+    assert out[2] == []
+
+
+def test_latest_artifact(spark):
+    import os, tempfile
+    from dissertation_data_pipeline_spark.sources.io import latest_artifact
+    d = tempfile.mkdtemp()
+    for name in ["results_20260101_000000.csv", "results_20260401_120000.csv"]:
+        open(os.path.join(d, name), "w").write("x")
+    assert latest_artifact(os.path.join(d, "results_*.csv")).endswith("results_20260401_120000.csv")

@@ -32,6 +32,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # the caller may hand us a foreign session (the driver harness does);
+    # pin the confs query correctness depends on — tz-naive parquet
+    # timestamps must be read in UTC to match the oracle engine
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects;
         # read nanos as long and truncate to microseconds (what every

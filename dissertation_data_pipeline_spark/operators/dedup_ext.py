@@ -15,13 +15,32 @@ scale the dominant cost is the shuffle, not the hash.)
 Scale design:
 - **Exact / token-set dedup**: one groupBy shuffle on a 128-bit digest —
   the minimum possible. Digest keys distribute uniformly (no skew).
-- **MinHash LSH**: banded signatures; candidate generation is an
+- **MinHash LSH**: one md5 per shingle, ``num_hashes`` integer
+  permutations of it (`(a*h+b) mod 2^31-1`); candidate generation is an
   explode (rows × bands) + self-join *within band buckets only* — the
   quadratic term is bounded by bucket size, the classic LSH trade.
-- **SimHash**: 48-bit signature, 6×8-bit bands; pairs sharing a band
-  byte are verified by Hamming distance (bit_count(xor)).
-- **Blocked Jaccard**: all-pairs only within caller-supplied blocking
-  keys — the operator refuses unblocked all-pairs by design.
+- **SimHash**: 48-bit signature; ``max_hamming+1`` bands (pigeonhole ⇒
+  recall-exact); band width sized to fight the bit bias of
+  shared-vocabulary corpora; Hamming verified *before* the pair-dedup
+  shuffle.
+- **Blocked Jaccard**: inverted-index join (postings on
+  (block, shingle)) — quadratic in posting-list length, never in block
+  size; the operator refuses unblocked all-pairs by design.
+
+Expression-reuse trap (measured): an expression subtree referenced N
+times in one projection is evaluated N times — fold with the value as
+a *lambda variable* (``transform`` then ``aggregate``) so md5 runs
+once per element regardless of fan-out.
+
+Generator/HOF trap (measured, 7-30x): higher-order functions
+(``transform``/``aggregate``/``array_distinct``) run on the
+interpreted expression path, and feeding one to ``explode`` (directly
+or via projection collapse) re-evaluates it per *output* row. The
+pair operators therefore never explode an HOF-built array: shingles
+are built by ``posexplode(split(...))`` + window ``lead`` (pure
+codegen), and signatures by plain groupBy aggregation over the
+postings — which is also the right 100 TB shape (map-side partial
+aggregation, no wide rows, skew-free posting keys).
 """
 
 from __future__ import annotations
@@ -68,17 +87,94 @@ def char_ngrams(col: Column | str, n: int = 4) -> Column:
     return F.array_distinct(F.when(F.length(s) >= n, grams).otherwise(F.array(s)))
 
 
+def shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Long-form distinct word-n-gram shingles: one (carry..., id,
+    shingle) row per distinct shingle per document — semantically
+    ``explode(word_shingles(text, n))`` but built entirely on the
+    codegen path (see the generator/HOF trap in the module docstring):
+    ``posexplode(split(...))`` then window ``lead`` assembles each
+    n-gram; documents shorter than n words contribute their whole text
+    as a single shingle, matching ``word_shingles``'s fallback.
+    """
+    from pyspark.sql.window import Window
+
+    carry = [F.col(c) for c in carry_cols]
+    toks = tokens(text_col)
+    tp = df.select(
+        *carry, F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_tok")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    leads = [F.col("_tok")] + [F.lead("_tok", k).over(w) for k in range(1, n)]
+    grams = tp.select(
+        *[F.col(c) for c in carry_cols],
+        "_id",
+        F.concat_ws(" ", *leads).alias("_shingle"),
+        leads[-1].alias("_last"),
+    ).filter(F.col("_last").isNotNull()).drop("_last")
+    short = df.filter(F.size(toks) < n).select(
+        *carry,
+        F.col(id_col).alias("_id"),
+        F.array_join(toks, " ").alias("_shingle"),
+    )
+    return grams.unionByName(short).distinct()
+
+
+# MinHash permutation family: h_i(x) = (a_i * x + b_i) mod P over a 31-bit
+# prime field. One md5 per shingle (vs one per shingle PER permutation with
+# salted-md5 minhash — a num_hashes-fold reduction in hash work, the dominant
+# signature cost). Constants are fixed so the DuckDB oracle reproduces the
+# signature bit-for-bit; a_i < 2^30 and x < 2^32 keep a*x < 2^62 — no int64
+# overflow in either engine (DuckDB *errors* on overflow rather than wrapping).
+MINHASH_PRIME = (1 << 31) - 1
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (387420489, 12190),
+    (268435399, 94907),
+    (536870909, 65537),
+    (715827883, 40503),
+    (999999937, 11213),
+    (805306457, 77041),
+    (402653189, 23981),
+    (910092721, 59359),
+    (645775807, 86243),
+    (339991221, 30269),
+    (173741827, 50021),
+    (258280327, 70607),
+]
+
+
+def shingle_hash(s: Column) -> Column:
+    """32-bit integer hash of a shingle: the first 8 hex digits of its
+    md5 (portable — DuckDB parses the same digits positionally)."""
+    return F.conv(F.substring(_md5(s), 1, 8), 16, 10).cast("long")
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
-    """MinHash signature: element i is the lexicographic min of
-    ``md5(i # shingle)`` over the shingle set — the min of a salted
-    random permutation, one independent permutation per salt."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: _md5(F.concat(F.lit(f"{i}#"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+    """MinHash signature over the shingle set.
+
+    Two-level fold keeps hash work linear: an inner ``transform``
+    computes ONE md5-derived 32-bit value per shingle (the lambda
+    variable is then free to reference), and a single ``aggregate``
+    advances all ``num_hashes`` minima together — never re-evaluating
+    a digest (see the expression-reuse trap in the module docstring).
+    """
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    assert len(coeffs) == num_hashes, "extend MINHASH_COEFFS for more hashes"
+    hvals = F.transform(shingles, shingle_hash)
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long") for _ in coeffs])
+    perms = lambda h: F.array(  # noqa: E731
+        *[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME) for a, b in coeffs]
+    )
+    return F.aggregate(
+        hvals,
+        init,
+        lambda acc, h: F.zip_with(acc, perms(h), lambda a, x: F.least(a, x)),
     )
 
 
@@ -141,25 +237,40 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via banded MinHash LSH, verified with exact
     shingle Jaccard >= ``threshold``.
 
-    Plan shape (scale-critical):
-    1. one narrow pass computes shingles + signature per row;
-    2. explode to (band_idx, band_key) — rows × bands;
-    3. self-join on the band bucket (shuffle on band_key; quadratic
-       only within a bucket);
-    4. distinct candidate pairs, then verify by re-joining the shingle
-       sets and computing exact Jaccard.
+    Plan shape (scale-critical, fully on the codegen path):
+    1. ``shingle_postings`` builds long-form (id, shingle) rows;
+    2. the signature is a plain groupBy: one md5-derived hash per
+       posting (projected once — attribute reads are free, expression
+       subtrees are not), ``num_hashes`` min-aggregates — map-side
+       partial aggregation does most of the work before the shuffle;
+    3. band keys from the signature columns, exploded (a plain-column
+       array — never explode an HOF array), self-joined within band
+       buckets: quadratic only inside a bucket, the classic LSH trade;
+    4. verification is an inverted-index intersection count over the
+       postings restricted to candidate pairs — |A∪B| falls out of
+       per-doc shingle counts, no array materialization anywhere.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    assert threshold > 0, "zero-overlap pairs are not representable"
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    assert len(coeffs) == num_hashes, "extend MINHASH_COEFFS for more hashes"
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, shingle_words).alias("_shingles"),
-    ).withColumn("_sig", minhash_signature(F.col("_shingles"), num_hashes))
+    post = shingle_postings(df, id_col, text_col, n=shingle_words)
+    hp = post.select("_id", shingle_hash(F.col("_shingle")).alias("_h"))
+    sig = hp.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"_s{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
 
-    band_entries = base.select(
+    band_entries = sig.select(
         "_id",
         F.explode(
             F.array(
@@ -167,9 +278,12 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band_idx"),
                         _md5(
-                            F.array_join(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                            F.concat_ws(
                                 "|",
+                                *[
+                                    F.col(f"_s{b * rows_per_band + j}").cast("string")
+                                    for j in range(rows_per_band)
+                                ],
                             )
                         ).alias("band_key"),
                     )
@@ -196,18 +310,24 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = base.select("_id", "_shingles")
-    verified = (
-        candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_shingles", "_sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_shingles", "_sh_b"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard(F.col("_sh_a"), F.col("_sh_b")), 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    pa = post.select(F.col("_id").alias("id_a"), "_shingle")
+    pb = post.select(F.col("_id").alias("id_b"), "_shingle")
+    inter = (
+        candidates.join(pa, "id_a")
+        .join(pb, ["id_b", "_shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    return verified
+    sizes = sig.select("_id", "_n")
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    )
+    union = F.col("_na") + F.col("_nb") - F.col("_inter")
+    jac = F.round(F.col("_inter").cast("double") / union.cast("double"), 6)
+    return out.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -223,26 +343,37 @@ def simhash(col: Column | str, bits: int = 48) -> Column:
     (4 bits per digit). Each bit position accumulates +1/-1 across
     tokens; the signature bit is 1 where the sum is positive. Pure
     array expressions, md5-portable.
+
+    The per-token digest is parsed ONCE into a ``bits``-bit integer by
+    an inner ``transform`` (hex digit k of the md5 lands at bit
+    ``bits-1-4k`` downward, so old-style "bit b of the hex string" is
+    bit ``bits-1-b`` of the integer — signature values are identical
+    to the digit-at-a-time formulation the oracle uses). The fold then
+    advances all bit counters with shift/mask on a lambda-bound long —
+    no string ops in the loop (48 substring+conv per token was ~half
+    the pair-query runtime).
     """
+    assert bits % 4 == 0, "bits must be whole hex digits"
     toks = F.array_distinct(tokens(col))
+    vals = F.transform(
+        toks, lambda t: F.conv(F.substring(_md5(t), 1, bits // 4), 16, 10).cast("long")
+    )
 
-    def bit(d: Column, b: int) -> Column:
-        digit = F.substring(d, b // 4 + 1, 1)
-        val = F.conv(digit, 16, 10).cast("int")
-        return F.shiftright(val, 3 - (b % 4)).bitwiseAND(F.lit(1))
-
-    # single fold: ONE md5 per token, all bit counters advanced together
-    # (one aggregate per bit would re-evaluate the digest array per bit —
-    # a `bits`-fold blowup in md5 work that dominates at corpus scale)
-    def step(acc: Column, t: Column) -> Column:
-        d = _md5(t)
+    # single fold: all bit counters advanced together (one aggregate per
+    # bit would re-evaluate the array per bit — a `bits`-fold blowup)
+    def step(acc: Column, v: Column) -> Column:
         return F.zip_with(
             acc,
-            F.array(*[bit(d, b) * 2 - 1 for b in range(bits)]),
-            lambda a, v: a + v,
+            F.array(
+                *[
+                    F.shiftright(v, bits - 1 - b).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, x: a + x,
         )
 
-    counts = F.aggregate(toks, F.array_repeat(F.lit(0), bits), step)
+    counts = F.aggregate(vals, F.array_repeat(F.lit(0), bits), step)
     # assemble via one zip_with + fold so `counts` appears once in the
     # expression tree (48 separate references would re-run the fold 48x)
     weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
@@ -260,12 +391,62 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 48,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: 8-bit bands generate candidates
-    (pairs agreeing on at least one band byte), verified by Hamming
-    distance <= ``max_hamming``. With bands > max_hamming the banding
-    is exact by pigeonhole (48 bits / 6 bands covers radius <= 5)."""
-    bands_n = bits // 8
-    base = df.select(F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sh"))
+    """Near-dup pairs by SimHash banding, verified by Hamming distance
+    <= ``max_hamming``.
+
+    Banding is **recall-exact by pigeonhole**: ``max_hamming + 1``
+    bands means any pair within the radius agrees on at least one whole
+    band, so the verified output is identical to a brute-force O(n^2)
+    Hamming join — which is exactly what the oracle computes.
+
+    Scale notes (measured on the homogeneous-vocabulary corpus):
+    - SimHash bits are *biased* when documents share a vocabulary, so
+      band buckets skew hard. Wider bands (48/4 = 12 bits here, vs
+      8-bit bytes) cut the largest bucket ~16x; AQE skew-join handles
+      the residue.
+    - The Hamming predicate is applied to the raw join output — one
+      cheap xor+bit_count per candidate — *before* the distinct, so the
+      dedup shuffle only carries true near-dup pairs, not the millions
+      of skew-bucket candidates.
+    """
+    bands_n = max_hamming + 1  # pigeonhole-exact cover of the radius
+    assert bits % bands_n == 0, "band count must divide signature width"
+    assert bits % 4 == 0, "bits must be whole hex digits"
+    width = bits // bands_n
+    mask = (1 << width) - 1
+
+    # signature as a plain aggregation over distinct-token postings
+    # (identical values to simhash(); see the generator/HOF trap — the
+    # fold-based column form must not feed the band explode below).
+    # 48 int sums with map-side partial aggregation; the final long is
+    # assembled from the count columns with plain arithmetic.
+    tp = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+        .distinct()
+    )
+    tv = tp.select(
+        "_id",
+        F.conv(F.substring(_md5(F.col("_tok")), 1, bits // 4), 16, 10)
+        .cast("long")
+        .alias("_v"),
+    )
+    counts = tv.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("_v"), bits - 1 - b).bitwiseAND(F.lit(1)).cast("int")
+                * 2
+                - 1
+            ).alias(f"_c{b}")
+            for b in range(bits)
+        ]
+    )
+    sig_expr = None
+    for b in range(bits):
+        term = F.when(F.col(f"_c{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig_expr = term if sig_expr is None else sig_expr + term
+    base = counts.select("_id", sig_expr.alias("_sh"))
     bands = base.select(
         "_id",
         "_sh",
@@ -274,7 +455,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col("_sh"), 8 * i).bitwiseAND(F.lit(255)).alias("band_val"),
+                        F.shiftright(F.col("_sh"), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
                     )
                     for i in range(bands_n)
                 ]
@@ -285,7 +468,8 @@ def simhash_pairs(
     # same repartition rationale as minhash_lsh_pairs
     bands = bands.repartition("band_idx", "band_val")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -295,15 +479,11 @@ def simhash_pairs(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
+            hamming.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select(
-        "id_a", "id_b", hamming.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -319,27 +499,53 @@ def blocked_jaccard_pairs(
     ngram_words: int = 3,
     threshold: float = 0.2,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for all pairs *within each block*.
-    Blocking keys (language, source, LSH bucket, ...) bound the
-    quadratic term; this operator intentionally requires them —
-    unblocked all-pairs does not exist at 100 TB."""
+    """Exact word-n-gram Jaccard for all pairs *within each block*,
+    computed by **inverted index** rather than a block-quadratic
+    self-join with array intersections.
+
+    Plan shape: explode each doc's distinct shingle set to
+    (block, shingle, id) postings; self-join postings on
+    (block, shingle) — quadratic only in per-shingle posting-list
+    length, not block size; groupBy pair counts the intersection;
+    the union size is |A| + |B| - |A∩B| from per-doc shingle counts.
+    Any pair with jaccard >= threshold > 0 shares at least one
+    shingle, so the output is identical to the all-pairs form (and
+    the oracle keeps the straightforward quadratic formulation).
+
+    Blocking keys (language, source, LSH bucket, ...) still bound the
+    candidate space and are part of the output contract; the operator
+    intentionally requires them — at 100 TB you additionally want a
+    stop-shingle cap on pathological posting lists (df >> N/1000).
+    """
     assert block_cols, "blocked_jaccard_pairs requires blocking columns"
-    base = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("_id"),
-        word_shingles(text_col, ngram_words).alias("_sh"),
-    ).repartition(*block_cols)  # parallelize + co-locate the block join
-    a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
+    assert threshold > 0, "zero-overlap pairs are not representable"
+    post = shingle_postings(
+        df, id_col, text_col, n=ngram_words, carry_cols=block_cols
+    )
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    postings = post.repartition(*block_cols, "_shingle")  # co-locate + spread lists
+    a, b = postings.alias("a"), postings.alias("b")
+    cond = (F.col("a._shingle") == F.col("b._shingle")) & (
+        F.col("a._id") < F.col("b._id")
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    return (
+    inter = (
         a.join(b, cond)
-        .select(
+        .groupBy(
             *[F.col(f"a.{c}").alias(c) for c in block_cols],
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(jaccard(F.col("a._sh"), F.col("b._sh")), 6).alias("jaccard"),
         )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    # ids are globally unique, so the shingle-set sizes attach by id alone
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    out = inter.join(sa, "id_a").join(sb, "id_b")
+    union = F.col("_na") + F.col("_nb") - F.col("_inter")
+    jac = F.round(F.col("_inter").cast("double") / union.cast("double"), 6)
+    return (
+        out.select(*block_cols, "id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

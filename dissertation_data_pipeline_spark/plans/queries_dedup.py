@@ -13,6 +13,22 @@ from dissertation_data_pipeline_spark.operators import dedup_ext as dx
 from dissertation_data_pipeline_spark.plans.registry import register
 from dissertation_data_pipeline_spark.tables import load_table
 
+# DuckDB rendering of operators.dedup_ext.shingle_hash: positional parse of
+# the first 8 hex digits of md5 (DuckDB has no hex→int cast that round-trips
+# through BIGINT portably).  Explicit unrolled arithmetic — a list literal
+# inside a lambda is rebuilt per element in DuckDB (O(n^2)).
+_HEXVAL = " + ".join(
+    f"(strpos('0123456789abcdef', md5(s)[{k}:{k}]) - 1) * {16 ** (8 - k)}"
+    for k in range(1, 9)
+)
+
+# the 12-permutation signature as an explicit SQL list literal, constants
+# inlined from operators.dedup_ext.MINHASH_COEFFS
+_SIG_LIST = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {dx.MINHASH_PRIME}))"
+    for a, b in dx.MINHASH_COEFFS
+)
+
 # shared oracle CTEs: tokens + word-3-gram shingle sets
 _SHINGLE_CTE = r"""
   toks AS (
@@ -67,11 +83,14 @@ def ext_dedup_tokenset(spark, sf_dir):
     "ext_minhash_lsh_pairs",
     f"""
     WITH {_SHINGLE_CTE},
-    sig AS (
+    hv AS (
       SELECT doc_id, shingles,
-             list_transform(range(0, 12), i ->
-               list_min(list_transform(shingles, s -> md5(i || '#' || s)))) AS sig
+             list_transform(shingles, s -> {_HEXVAL}) AS hs
       FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, shingles, [{_SIG_LIST}] AS sig
+      FROM hv
     ),
     bands AS (
       SELECT doc_id, band_idx,
@@ -95,9 +114,10 @@ def ext_dedup_tokenset(spark, sf_dir):
     """,
 )
 def ext_minhash_lsh_pairs(spark, sf_dir):
-    """[EXT] MinHash+LSH near-dup pairs (12 hashes, 4 bands of 3),
-    verified by exact shingle Jaccard >= 0.5. The oracle reproduces the
-    banding *and* the verification bit-for-bit."""
+    """[EXT] MinHash+LSH near-dup pairs (12 integer permutations of one
+    md5-derived shingle hash, 4 bands of 3), verified by exact shingle
+    Jaccard >= 0.5. The oracle reproduces the permutation arithmetic,
+    the banding, *and* the verification bit-for-bit."""
     return dx.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
@@ -144,25 +164,18 @@ def ext_simhash_values(spark, sf_dir):
 @register(
     "ext_simhash_pairs",
     f"""
-    WITH {_SIMHASH_CTE},
-    bands AS (
-      SELECT doc_id, sh, band_idx, (sh >> (8 * band_idx)) & 255 AS band_val
-      FROM simh, (SELECT unnest([0, 1, 2, 3, 4, 5]) AS band_idx)
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.sh AS sh_a, b.sh AS sh_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM simh a JOIN simh b
+      ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
     """,
 )
 def ext_simhash_pairs(spark, sf_dir):
-    """[EXT] SimHash near-dup pairs: 6x8-bit band candidates + Hamming
-    <= 3 verification (pigeonhole-exact for this radius)."""
+    """[EXT] SimHash near-dup pairs: 4x12-bit band candidates + Hamming
+    <= 3 verification. Banding with max_hamming+1 bands is recall-exact
+    by pigeonhole, so the oracle is the brute-force O(n^2) Hamming join
+    — banding must not (and does not) change the result set."""
     return dx.simhash_pairs(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )

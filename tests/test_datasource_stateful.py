@@ -1,0 +1,126 @@
+"""Spark 4 Python DataSource (partition-per-page REST feed) and the
+applyInPandasWithState stateful profile operator."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.sources.datasource import (
+    HAVE_DATASOURCE_API,
+    RestPagesDataSource,
+)
+from dissertation_data_pipeline_spark.streaming import read_events_stream
+from dissertation_data_pipeline_spark.streaming.stateful import (
+    running_user_profile,
+)
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+@pytest.fixture()
+def tmpdirs():
+    d = tempfile.mkdtemp(prefix="ddp-ds-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_pages(root: str, pages: int, per_page: int) -> None:
+    os.makedirs(root, exist_ok=True)
+    n = 0
+    for p in range(1, pages + 1):
+        recs = []
+        for _ in range(per_page):
+            n += 1
+            recs.append(
+                {
+                    "jurisdiction": "Colorado",
+                    "session": "2023A",
+                    "identifier": f"HB{1000 + n}",
+                    "title": f"Bill number {n}",
+                    "extra_field_dropped_at_edge": True,
+                }
+            )
+        with open(os.path.join(root, f"page-{p}.json"), "w") as fh:
+            json.dump(recs, fh)
+
+
+@pytest.mark.skipif(not HAVE_DATASOURCE_API, reason="pyspark<4: no DataSource API")
+def test_rest_pages_datasource_partition_per_page(spark, tmpdirs):
+    _write_pages(f"{tmpdirs}/feed", pages=4, per_page=7)
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("endpoint", f"file://{tmpdirs}/feed")
+        .option("pages", "4")
+        .load()
+    )
+    # one input partition per page: parallel fetch + per-page retry unit
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 28
+    got = df.groupBy("page").count().orderBy("page").collect()
+    assert [(r["page"], r["count"]) for r in got] == [(1, 7), (2, 7), (3, 7), (4, 7)]
+    # the projection is plannable: only two columns cross into the scan
+    ids = df.select("identifier", "page").filter(F.col("page") == 2).collect()
+    assert sorted(r["identifier"] for r in ids) == [f"HB{1000 + n}" for n in range(8, 15)]
+
+
+@pytest.mark.skipif(not HAVE_DATASOURCE_API, reason="pyspark<4: no DataSource API")
+def test_rest_pages_datasource_short_feed(spark, tmpdirs):
+    """Pages beyond the feed's end read as empty (the generator's
+    termination condition), not as task failures."""
+    _write_pages(f"{tmpdirs}/feed", pages=2, per_page=3)
+    spark.dataSource.register(RestPagesDataSource)
+    df = (
+        spark.read.format("rest_pages")
+        .option("endpoint", f"file://{tmpdirs}/feed")
+        .option("pages", "5")
+        .load()
+    )
+    assert df.count() == 6
+
+
+def test_running_user_profile_accumulates_across_batches(spark, sf_dir, tmpdirs):
+    """The stateful operator must carry per-key state across
+    micro-batches: totals after N single-file batches equal the batch
+    aggregate over the whole input."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    src = f"{tmpdirs}/src"
+    events.repartition(3).write.parquet(src)  # 3 files -> up to 3 batches
+
+    stream = read_events_stream(spark, src, events.schema, watermark_delay="10 hours")
+    q = (
+        running_user_profile(stream)
+        .writeStream.format("memory")
+        .queryName("profiles")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdirs}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+
+    # update-mode memory sink: the LAST row per user is the final state
+    final = (
+        spark.sql("select * from profiles")
+        .withColumn("rn", F.monotonically_increasing_id())
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "value_sum", "n_event_types"), "rn").alias("s"))
+        .select("user_id", "s.*")
+    )
+    want = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["n_event_types"]) for r in final.collect()}
+    exp = {r["user_id"]: (r["n_events"], r["n_event_types"]) for r in want.collect()}
+    assert got == exp

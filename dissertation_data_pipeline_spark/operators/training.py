@@ -1,0 +1,249 @@
+"""[EXT] Training-data pipeline operators: repetition metrics, quality
+gating, sequence packing, stratified sampling, and domain re-weighting.
+
+The reference builds a *corpus* (filter -> normalize -> dedup ->
+tag, build_corpus.py / tag_metadata.py); these operators are the same
+corpus-building intent at LLM-training scale, following published
+recipes (Gopher/MassiveText quality heuristics: Rae et al. 2021 §A1.1;
+C4 cleaning: Raffel et al. 2020 §2.2; data-mixture reweighting as in
+The Pile / DoReMi). Everything is built-in-expression / explode +
+groupBy work — no Python UDFs — so the whole module stays inside
+whole-stage codegen.
+
+Scale design (100 TB):
+
+- **Token long-form** uses ``posexplode(split(...))`` + groupBy, never
+  per-row higher-order functions: HOFs are interpreted and O(n^2) for
+  mode-style statistics, while explode + hash-aggregate gets map-side
+  partial aggregation and distributes by ``(doc_id, token)``.
+- **Packing** partitions by a shard column (here ``source``) so the
+  running-sum window never needs a global sort; each shard packs
+  independently, which is exactly how a 1000-executor job shards.
+- **Sampling / reweighting** are stateless per-row expressions (an
+  md5-derived uniform), so they're scan-only: no shuffle, deterministic
+  under any partitioning, and reproducible across engines/cluster
+  sizes — the property pandas `df.sample(random_state=...)` cannot give
+  across machines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_long_form",
+    "bigram_long_form",
+    "repetition_profile",
+    "gopher_quality_gate",
+    "pack_sequences",
+    "uniform_hash_u32",
+    "stratified_sample",
+    "domain_resample",
+    "corpus_top_bigrams",
+    "scrub_text",
+]
+
+#: stopword probe set for the quality gate (Gopher §A1.1 uses a
+#: "contains at least 2 stop words" rule with a similar tiny set)
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+
+def token_long_form(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode a document table to one row per (doc, position, token).
+
+    The scalable long form: codegen split + generate, then any
+    token-level statistic is a hash aggregate with map-side combine.
+    """
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+
+def bigram_long_form(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc, bigram) rows from the token long form via a per-doc window
+    ``lead`` — one shuffle on the doc key, no interpreted array work."""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        tokens.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col(id_col), F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics (Gopher repetition filters):
+    distinct-token ratio, top-token fraction, top-bigram fraction.
+
+    Two aggregation trees over the exploded forms, joined on the doc
+    key. Counts are exact; ratios are single IEEE divisions of exact
+    integers, so they reproduce bit-identically on any engine.
+    """
+    toks = token_long_form(df, id_col, text_col)
+    tok_counts = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_tok = tok_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("c").alias("top_token_count"),
+    )
+    bigs = bigram_long_form(toks, id_col)
+    big_counts = bigs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    per_big = big_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+    )
+    return (
+        per_tok.join(per_big, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            (F.col("n_distinct_tokens") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("top_token_count") / F.col("n_tokens")).alias("top_token_frac"),
+            (F.col("top_bigram_count") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 1000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Expression-only Gopher-style quality gate: token-count bounds,
+    mean-word-length bounds, and a >=N-distinct-stopwords rule.
+
+    Pure scan-side column math (no explode, no UDF, no shuffle): mean
+    word length is ``chars_without_spaces / n_tokens``, and the
+    stopword probe is word-boundary `contains` on a space-padded copy.
+    """
+    text = F.col(text_col)
+    n_tokens = F.size(F.split(text, " "))
+    mean_wl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_tokens
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    stop_hits = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS
+    )
+    return df.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        (
+            n_tokens.between(min_tokens, max_tokens)
+            & (mean_wl >= min_mean_word_len)
+            & (mean_wl <= max_mean_word_len)
+            & (stop_hits >= min_stop_hits)
+        ).alias("keep"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Block-pack documents into token-budget sequences per shard.
+
+    Semantics (deterministic, order-defined): within each shard,
+    documents are laid out in ``order_col`` order and sequence ``k``
+    holds the docs whose *exclusive* running token count falls in
+    ``[k*budget, (k+1)*budget)`` — the streaming concatenate-and-cut
+    layout used when packing LLM training sequences. Returns one row
+    per (shard, seq_id) with doc span and token totals.
+
+    Scale: the window partitions by the shard key, so there is no
+    global sort — each shard packs independently on its executor,
+    and adding shards adds parallelism, not skew.
+    """
+    t = df.select(
+        F.col(shard_col),
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    t = t.withColumn("seq_id", F.floor(F.col("cum_excl") / budget))
+    return t.groupBy(shard_col, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def uniform_hash_u32(col: Column) -> Column:
+    """Deterministic uniform hash in [0, 2^32) from md5 — the portable
+    RNG: identical on every engine, partitioning, and cluster size
+    (md5 is the one hash Spark and DuckDB both expose)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rate_pct: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff its hash-uniform falls under the (per-stratum)
+    percentage. The comparison is pure integer math
+    (``h * 100 < rate_pct * 2^32``), so there is no float boundary to
+    disagree about. Scan-only: no shuffle, reproducible resamples."""
+    h = uniform_hash_u32(F.col(id_col))
+    return df.filter(h * 100 < rate_pct.cast("long") * F.lit(4294967296))
+
+
+def domain_resample(
+    df: DataFrame,
+    n_copies: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer upsampling for data-mixture reweighting: emit
+    ``n_copies`` rows per input row with a ``copy_idx`` column (1-based).
+    Narrow (no shuffle); combine with `stratified_sample` for
+    fractional weights."""
+    return df.withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(1), n_copies.cast("int")))
+    )
+
+
+def corpus_top_bigrams(
+    df: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k bigrams — the global frequency table behind
+    boilerplate detection and contamination checks. Explode + hash
+    aggregate (map-side combine) + TakeOrdered(k): no global sort."""
+    bigs = bigram_long_form(token_long_form(df, id_col, text_col), id_col)
+    return (
+        bigs.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def scrub_text(col: Column) -> Column:
+    """C4-style training-text scrub: lowercase, drop URLs and emails,
+    collapse whitespace, trim. RE2-compatible patterns only, so the
+    same regexes run in Spark (Java regex) and DuckDB (RE2)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"https?://\S+", " ")
+    c = F.regexp_replace(c, r"[\w.+-]+@[\w-]+\.[\w.]+", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -1,0 +1,136 @@
+"""[EXT] Training-data pipeline operators: semantics + plan contracts.
+
+Value-exactness vs DuckDB is covered by test_registry_oracle (the
+ext_* training queries); these tests pin the operator *semantics*
+(packing invariants, sampling determinism, resample multiplicities)
+and the physical-plan contracts (codegen path, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators.training import (
+    domain_resample,
+    gopher_quality_gate,
+    pack_sequences,
+    repetition_profile,
+    scrub_text,
+    stratified_sample,
+    uniform_hash_u32,
+)
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_pack_sequences_partitions_every_doc_once(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, budget=512)
+    rows = packed.collect()
+    # every document lands in exactly one sequence
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # sequence ids are dense from 0 per shard and spans don't overlap:
+    # consecutive seq_ids have non-overlapping [first_doc, last_doc]
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, seqs in by_src.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        assert [s["seq_id"] for s in seqs] == list(range(len(seqs)))
+        for a, b in zip(seqs, seqs[1:]):
+            assert a["last_doc"] < b["first_doc"]
+    # exclusive-cumsum semantics: every sequence except possibly the
+    # shard's last one reaches the budget (a doc straddles the cut)
+    for src, seqs in by_src.items():
+        for s in seqs[:-1]:
+            assert s["seq_tokens"] >= 512 - 200  # docs are < ~120 tokens
+
+
+def test_stratified_sample_is_deterministic_and_rate_shaped(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rate = F.lit(50)  # 50% of every stratum
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, rate).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, rate).collect())
+    assert a == b  # same rows every run — md5, not a session RNG
+    n = docs.count()
+    assert 0.35 * n < len(a) < 0.65 * n
+    # monotone: a higher rate strictly contains the lower-rate sample
+    big = sorted(r["doc_id"] for r in stratified_sample(docs, F.lit(80)).collect())
+    assert set(a) <= set(big)
+
+
+def test_domain_resample_multiplicities(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(30)
+    out = domain_resample(docs, F.lit(3)).groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in out)
+    idx = domain_resample(docs.limit(1), F.lit(4)).select("copy_idx").collect()
+    assert sorted(r["copy_idx"] for r in idx) == [1, 2, 3, 4]
+
+
+def test_gopher_gate_flags_degenerate_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on a mat and looked out of the window to rest"),
+            (2, "word"),  # too short
+            (3, "aa " * 20 + "aa"),  # no stopwords
+            (4, "pneumonoultramicroscopics " * 15),  # mean word length high
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["keep"] for r in gopher_quality_gate(df).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_repetition_profile_detects_repeats(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam eggs"), (2, "all tokens here are unique")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_profile(df).collect()}
+    assert got[1]["top_token_frac"] == 0.8
+    assert got[1]["top_bigram_frac"] == 0.75  # "spam spam" 3 of 4
+    assert got[2]["distinct_ratio"] == 1.0
+    assert got[2]["top_token_frac"] == 0.2
+
+
+def test_scrub_text_removes_urls_and_emails(spark):
+    df = spark.createDataFrame(
+        [(1, "Visit HTTPS://A.example/x?y=1  or  mail Bob.Smith+x@ex.org now")],
+        "doc_id int, text string",
+    )
+    [r] = df.select(scrub_text(F.col("text")).alias("s")).collect()
+    assert r["s"] == "visit or mail now"
+
+
+def test_training_plans_stay_on_codegen_path(spark, sf_dir):
+    """No Python UDF stages (BatchEvalPython / ArrowEvalPython) in any
+    training-operator plan — the whole module is JVM-side."""
+    docs = _docs(spark, sf_dir)
+    plans = [
+        repetition_profile(docs),
+        gopher_quality_gate(docs),
+        pack_sequences(docs, budget=512),
+        stratified_sample(docs, F.lit(30)),
+        domain_resample(docs, F.lit(2)),
+    ]
+    for df in plans:
+        physical = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in physical
+        assert "ArrowEvalPython" not in physical
+
+
+def test_uniform_hash_matches_reference_value(spark):
+    """Pin the md5-uniform definition: first 8 hex digits of
+    md5(cast(id as string)) — the cross-engine contract the oracle
+    relies on."""
+    import hashlib
+
+    [r] = (
+        spark.range(42, 43)
+        .select(uniform_hash_u32(F.col("id")).alias("h"))
+        .collect()
+    )
+    assert r["h"] == int(hashlib.md5(b"42").hexdigest()[:8], 16)

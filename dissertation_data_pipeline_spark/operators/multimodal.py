@@ -73,7 +73,9 @@ def fake_image_decoder(data: bytes) -> tuple[int, int, int, float]:
     h = hashlib.md5(data).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
-    return width, height, 3, round(h[2] / 255.0, 6)
+    # luma = byte/256: an exact binary fraction, so the value is
+    # bit-identical across engines (no decimal-rounding boundary)
+    return width, height, 3, h[2] / 256.0
 
 
 def extract_image_features(
@@ -98,6 +100,16 @@ def extract_image_features(
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
     return imgs.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def fake_frame_decoder(data: bytes, every_n: int):
+    """Deterministic stand-in "video" decoder: treats the payload as a
+    sequence of 64-byte frames and samples every ``every_n``-th one.
+    NOT a real decode — exercises the 1-to-many mapInPandas shape with
+    reproducible output; real deployments inject ffmpeg here."""
+    n_frames = (len(data) + 63) // 64
+    for i in range(0, n_frames, every_n):
+        yield i, data[i * 64 : (i + 1) * 64]
 
 
 def sample_video_frames(

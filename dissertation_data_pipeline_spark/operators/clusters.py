@@ -1,0 +1,114 @@
+"""[EXT] Duplicate-cluster resolution: iterative connected components.
+
+Pair-generating dedup (MinHash/SimHash/Jaccard, operators/dedup_ext.py)
+emits *edges*; an actual dedup needs *clusters* — the transitive
+closure — so each group keeps one canonical document. The reference
+never needs this (its dedup keys are equality-based, SURVEY §2.5 W1/W2);
+it is the genuinely iterative step of a near-dup pipeline and the one
+operator here Spark's relational layer can't express in a single plan.
+
+Algorithm: min-label propagation. Every node starts labeled with its
+own id; each round replaces a node's label with the min over itself and
+its neighbors; at fixpoint every node carries the min id of its
+component. Rounds = graph diameter — near-dup clusters are shallow
+(pairs share content, so clusters are near-cliques), so convergence is
+typically 2-4 rounds.
+
+Scale design (100 TB):
+- Each round is one join + one groupBy on the edge list — shuffles on
+  the node key, map-side combined, AQE-coalesced. No driver-side graph.
+- ``localCheckpoint`` after every round truncates lineage, otherwise
+  the plan doubles per iteration and the job dies on planning time
+  long before data size matters.
+- The convergence probe is a ``limit(1).count()`` on the change set —
+  an early-exit semi-join, not a full materialization.
+- For adversarial graphs (long chains, giant components) swap the loop
+  body for the large-star/small-star rounds of Kiveris et al. 2014,
+  which converge in O(log^2 n) with identical output; the fixpoint
+  contract and oracle stay the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_survivors"]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve an undirected pair list to components.
+
+    Returns (doc_id, component_id) for every node that appears in at
+    least one pair, where component_id is the min doc_id reachable from
+    the node. Deterministic for any input order or partitioning.
+    """
+    # materialize the (possibly expensive) pair plan ONCE, first:
+    # self-unions and distincts below do NOT reuse exchanges, so every
+    # derivation must read this checkpoint, never the upstream LSH
+    # machinery (unchecked, the pair plan evaluates 3x here — measured)
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    ).localCheckpoint()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = sym.select("src").distinct()
+    # self-edges make "min over neighborhood" include the node itself,
+    # so each round is a pure join+groupBy — no left-join/backfill leg
+    edges = sym.union(nodes.withColumn("dst", F.col("src"))).localCheckpoint()
+
+    labels = nodes.select(F.col("src").alias("id"), F.col("src").alias("label"))
+
+    # Convergence probe: labels only ever decrease, so the label-table
+    # sum is strictly monotone until fixpoint — equal sums <=> no
+    # change, with no old-vs-new join. DECIMAL sum: overflow-proof at
+    # any node-id magnitude.
+    prev_sum = None
+    for _ in range(max_iter):
+        # min label over the closed neighborhood (self-edge included)
+        relab = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("label"))
+            .withColumnRenamed("src", "id")
+        )
+        # pointer jump (label <- label(label)): halves the remaining
+        # diameter each round, so rounds = O(log d), not O(d)
+        jmp = relab.select(F.col("id").alias("label"), F.col("label").alias("ll"))
+        step = (
+            relab.join(jmp, "label")
+            .select("id", F.least(F.col("label"), F.col("ll")).alias("label"))
+            # lazy checkpoint: truncates the *logical plan* immediately
+            # (plan size would double per round otherwise) but rides
+            # the probe's job — one action per round
+            .localCheckpoint(eager=False)
+        )
+        s, n = step.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")), F.count(F.lit(1))
+        ).first()
+        labels = step
+        if n == 0 or s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def dedup_survivors(
+    df: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The deduped corpus: drop every document whose component id is
+    not itself (the canonical member survives; untouched docs — not in
+    any pair — survive by the left-anti miss)."""
+    losers = components.filter(F.col("component_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -182,6 +182,43 @@ def ext_simhash_pairs(spark, sf_dir):
 
 
 @register(
+    "ext_near_dup_components",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTE},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM simh a JOIN simh b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id, min(label) AS component_id FROM reach GROUP BY 1
+    """,
+)
+def ext_near_dup_components(spark, sf_dir):
+    """[EXT] pairs -> duplicate clusters: iterative min-label
+    propagation (operators/clusters.py) over the SimHash near-dup edge
+    list. The oracle is a recursive CTE computing min reachable id —
+    the fixpoint both formulations converge to."""
+    from dissertation_data_pipeline_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = dx.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+    return connected_components(pairs)
+
+
+@register(
     "ext_blocked_jaccard_pairs",
     f"""
     WITH {_SHINGLE_CTE},

@@ -9,7 +9,8 @@ reproducible across partitionings and cluster sizes.
 Scale notes: every operator below is a single hash-partition shuffle on
 the dedup key. At 100 TB, skewed keys are the risk — these are
 surrogate-key dedups (key ≈ unique id), so groups are tiny; for
-heavy-hitter keys use the [EXT] salted variants in ``operators.dedup_ext``.
+heavy-hitter keys use the [EXT] skew toolkit in ``operators.skew``
+(salted join / two-phase salted aggregation / skew diagnostics).
 """
 
 from __future__ import annotations

@@ -558,3 +558,4 @@ from dissertation_data_pipeline_spark.plans import queries_coverage  # noqa: E40
 from dissertation_data_pipeline_spark.plans import queries_coverage2  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_training  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_multimodal  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_skew  # noqa: E402,F401

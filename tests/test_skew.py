@@ -1,0 +1,100 @@
+"""[EXT] skew toolkit: result-equivalence + physical-plan contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators.skew import (
+    key_skew_report,
+    salted_agg,
+    salted_join,
+    with_salt,
+)
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, ["o_custkey"])
+    salted = salted_join(o, c, ["o_custkey"], salt=8)
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_left_join_keeps_unmatched_big_rows_once(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k int, v string")
+    small = spark.createDataFrame([(1, "dim1"), (2, "dim2")], "k int, d string")
+    out = salted_join(big, small, ["k"], how="left", salt=4)
+    assert _rows(out) == [(1, "a", "dim1"), (2, "b", "dim2"), (99, "zz", None)]
+
+
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(AssertionError):
+        salted_join(df, df, ["k"], how="right")
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_price", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    plain = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_price").alias("total"),
+        F.min("o_orderdate").alias("lo"),
+        F.max("o_orderdate").alias("hi"),
+    )
+    salted = salted_agg(
+        o,
+        ["o_orderstatus"],
+        {
+            "n": ("count", "o_orderkey"),
+            "total": ("sum", "_price"),
+            "lo": ("min", "o_orderdate"),
+            "hi": ("max", "o_orderdate"),
+        },
+        salt=8,
+    )
+    assert _rows(salted.select("o_orderstatus", "n", "lo", "hi")) == _rows(
+        plain.select("o_orderstatus", "n", "lo", "hi")
+    )
+    # decimal partial sums widen precision; compare values, not dtypes
+    assert _rows(salted.select(F.col("total").cast("double"))) == _rows(
+        plain.select(F.col("total").cast("double"))
+    )
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    with pytest.raises(AssertionError):
+        salted_agg(o, ["o_orderstatus"], {"m": ("avg", "o_totalprice")})
+
+
+def test_salt_column_reaches_the_shuffle(spark, sf_dir):
+    """Physical contract: the partial-phase exchange hash-partitions on
+    (key, _salt) — the hot key actually spreads."""
+    o = load_table(spark, sf_dir, "orders")
+    partial = with_salt(o, 8).groupBy("o_orderstatus", "_salt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" in plan
+    assert "_salt" in plan[plan.index("hashpartitioning"):].split(")")[0]
+
+
+def test_key_skew_report_flags_hot_key(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    hot = o.withColumn(
+        "k", F.when(F.col("o_orderkey") % 10 < 7, F.lit(7)).otherwise(F.col("o_custkey"))
+    )
+    [top] = key_skew_report(hot, "k", top=1).collect()
+    assert top["key"] == 7
+    assert top["share"] > 0.65
+    assert top["x_mean"] > 100

@@ -21,9 +21,21 @@ Operators:
   bucket id -> a probe reads 1/256th of the data; multi-probe (flip
   lowest-margin bits) trades recall for reads.
 
-An IVF (k-means) variant needs iterative centroid training — that
-belongs to a fit/transform pair, not a single declarative plan; the
-LSH variant provides the same read-pruning shape without training.
+- ``ivf_topk`` — the second scale path: IVF-Flat with *sampled* coarse
+  centroids (the ``n_cells`` corpus vectors with smallest md5(id) — a
+  uniform deterministic sample, a standard coarse-quantizer
+  initialization that needs no training loop). Corpus vectors join to
+  their nearest centroid's cell; a query probes its ``n_probe``
+  nearest cells. At 100 TB the corpus is written partitioned by
+  ``cell_id`` and a probe reads n_probe/n_cells of the data.
+- ``quantize_int8_stats`` — storage path: per-vector symmetric int8
+  quantization (scale = max|x|/127, floor(x/scale + .5)) — 4x smaller
+  embedding storage with bounded reconstruction error (<= scale/2).
+
+A *trained* k-means IVF (Lloyd iterations) would refine the sampled
+centroids; recall improves but the plan shape — broadcast centroids,
+argmax-affinity assign, cell-pruned probe — is identical, so the
+sampled variant is what the engine ships and oracle-checks.
 """
 
 from __future__ import annotations
@@ -57,6 +69,14 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
+
+
+def cosine_pre(a: Column | str, b: Column | str, na: Column, nb: Column) -> Column:
+    """Cosine with *precomputed* norms. A vector's norm is constant,
+    but ``cosine()`` inside a pair-join re-folds it per PAIR — an
+    n_pairs/n_vectors-fold blowup of interpreted HOF work. Values are
+    identical (same fold, same order), so oracles are unaffected."""
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb)).otherwise(F.lit(0.0))
 
 
@@ -103,7 +123,10 @@ def brute_force_topk(
     broadcast; the corpus is never re-shuffled for the scoring pass."""
     # spread the corpus scan: a small single-file read is one partition,
     # and a broadcast cross join inherits the probe side's parallelism
-    corpus = corpus.repartition(F.col(corpus_id))
+    corpus = corpus.repartition(F.col(corpus_id)).withColumn(
+        "_cn", l2_norm(corpus_vec)
+    )
+    queries = queries.withColumn("_qn", l2_norm(query_vec))
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -111,7 +134,9 @@ def brute_force_topk(
         .select(
             F.col(query_id),
             F.col(corpus_id),
-            F.round(cosine(query_vec, corpus_vec), 6).alias("sim"),
+            F.round(
+                cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id).asc())
@@ -119,6 +144,142 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    n_cells: int = 8,
+) -> DataFrame:
+    """Deterministic sampled coarse centroids: the ``n_cells`` corpus
+    vectors with smallest (md5(id), id) — a uniform sample with no RNG
+    and no training, reproducible on any engine. Returns
+    (cell_id 0.., centroid)."""
+    w = Window.orderBy("_o", "cell_src")
+    return (
+        corpus.select(
+            F.col(corpus_id).alias("cell_src"),
+            F.col(corpus_vec).alias("centroid"),
+            F.md5(F.col(corpus_id).cast("string")).alias("_o"),
+        )
+        .orderBy("_o", "cell_src")
+        .limit(n_cells)  # TakeOrdered: no global sort materialized
+        .withColumn("cell_id", F.row_number().over(w) - 1)
+        .select("cell_id", "centroid", l2_norm("centroid").alias("_kn"))
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    rank_upto: int = 1,
+) -> DataFrame:
+    """Attach the ``rank_upto`` highest-affinity (cosine) cell ids to
+    each vector: broadcast-cross against the centroid table, per-vector
+    rank. Relational on purpose — the fold math matches the SQL oracle
+    bit-for-bit. (At 100 TB, inline the centroid literals into a
+    map-side argmax expression or a numpy pandas-UDF to skip the rank
+    shuffle; recall/results are unchanged.)"""
+    df = df.withColumn("_vn", l2_norm(vec_col))
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("_vn"),
+        F.col("cell_id"),
+        cosine_pre(vec_col, "centroid", F.col("_vn"), F.col("_kn")).alias("_aff"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_aff"), F.asc("cell_id"))
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= rank_upto)
+        .drop("_aff", "_cr")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: a query scores only the corpus
+    vectors assigned to its ``n_probe`` nearest cells. Cells partition
+    the corpus (each vector lives in exactly one), so no pair is scored
+    twice and the probe set bounds read volume by n_probe/n_cells."""
+    cents = ivf_centroids(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, n_cells=n_cells
+    )
+    cells = ivf_assign(
+        corpus, cents, id_col=corpus_id, vec_col=corpus_vec
+    ).withColumnRenamed("_vn", "_cn")
+    probes = ivf_assign(
+        queries, cents, id_col=query_id, vec_col=query_vec, rank_upto=n_probe
+    ).withColumnRenamed("_vn", "_qn")
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell_id")
+        .filter(F.col(query_id) != F.col(corpus_id))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            F.round(
+                cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def quantize_int8_stats(
+    df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization summary: scale
+    (max|x|/127), the quantized-value sum (an order-free integer
+    checksum), and the max reconstruction error (bounded by scale/2).
+
+    Rounding is ``floor(x/scale + 0.5)`` — a fixed definition both
+    engines evaluate identically (engine round() half-way semantics
+    differ). The scale lands in its own projection first: referencing
+    the array_max fold from inside a per-element lambda would
+    re-evaluate it per element (expression-reuse trap).
+    """
+    v = F.col(vec_col)
+    with_scale = df.select(
+        F.col(id_col),
+        v,
+        (
+            F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / 127.0
+        ).alias("scale"),
+    )
+    s = F.col("scale")
+    q = F.transform(v, lambda x: F.floor(x.cast("double") / s + 0.5))
+    err = F.zip_with(
+        v, q, lambda x, qi: F.abs(x.cast("double") - qi.cast("double") * s)
+    )
+    return with_scale.select(
+        id_col,
+        "scale",
+        F.when(s > 0, F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x))
+        .otherwise(F.lit(0))
+        .alias("q_sum"),
+        F.when(s > 0, F.array_max(err)).otherwise(F.lit(0.0)).alias("max_abs_err"),
     )
 
 
@@ -138,10 +299,14 @@ def hyperplane_lsh_topk(
     cell. Join on bucket id replaces the cross join — at scale this is
     a partition-pruned read, not a scan."""
     planes = hyperplanes(num_planes, dim)
-    cb = corpus.withColumn("_bucket", lsh_bucket(corpus_vec, planes)).repartition(
-        "_bucket"
+    cb = (
+        corpus.withColumn("_bucket", lsh_bucket(corpus_vec, planes))
+        .repartition("_bucket")
+        .withColumn("_cn", l2_norm(corpus_vec))
     )
-    qb = queries.withColumn("_bucket", lsh_bucket(query_vec, planes))
+    qb = queries.withColumn("_bucket", lsh_bucket(query_vec, planes)).withColumn(
+        "_qn", l2_norm(query_vec)
+    )
     scored = (
         F.broadcast(qb)
         .join(cb, "_bucket")
@@ -149,7 +314,9 @@ def hyperplane_lsh_topk(
         .select(
             F.col(query_id),
             F.col(corpus_id),
-            F.round(cosine(query_vec, corpus_vec), 6).alias("sim"),
+            F.round(
+                cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id).asc())

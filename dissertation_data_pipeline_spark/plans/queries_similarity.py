@@ -119,6 +119,89 @@ def ext_ann_lsh_topk(spark, sf_dir):
     return sim.hyperplane_lsh_topk(queries, emb, k=10)
 
 
+#: centroid sample order shared by both IVF CTE legs
+_CENT_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
+
+
+@register(
+    "ext_ann_ivf_topk",
+    f"""
+    WITH cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 8
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, k.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_cos('c.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings c, cents k) WHERE cr = 1
+    ),
+    probes AS (
+      SELECT query_id, query_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS query_vec, k.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings q, cents k WHERE {_QUERY_PRED}) WHERE cr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round({_cos('p.query_vec', 'c.embedding')}, 6) AS sim
+      FROM probes p JOIN cells c USING (cell_id)
+      WHERE p.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ext_ann_ivf_topk(spark, sf_dir):
+    """[EXT] IVF-Flat approximate top-10: 8 md5-sampled coarse
+    centroids, nearest-cell corpus assignment, 2-probe queries. The
+    second scale path beside LSH: cells partition the corpus, a probe
+    reads n_probe/n_cells of it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2)
+
+
+@register(
+    "ext_embedding_quantize",
+    """
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0
+                THEN CAST(list_sum(list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE / scale + 0.5) AS BIGINT)))
+                     AS BIGINT)
+                ELSE 0 END AS q_sum,
+           CASE WHEN scale > 0
+                THEN list_max(list_transform(embedding,
+                       x -> abs(x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)))
+                ELSE 0.0 END AS max_abs_err
+    FROM (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0
+               AS scale
+      FROM embeddings)
+    """,
+)
+def ext_embedding_quantize(spark, sf_dir):
+    """[EXT] symmetric int8 quantization stats per embedding (4x
+    storage cut): scale, integer checksum of the quantized vector, max
+    reconstruction error (bound: scale/2). floor(x/s + .5) rounding —
+    identical in both engines, unlike round()'s half-way semantics."""
+    return sim.quantize_int8_stats(load_table(spark, sf_dir, "embeddings"))
+
+
 @register(
     "ext_vector_stats",
     f"""

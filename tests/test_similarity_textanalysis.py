@@ -91,3 +91,46 @@ def test_doc_fingerprint_order_sensitive(spark):
     out = [r[0] for r in df.select(ta.doc_fingerprint("text").alias("f")).collect()]
     assert out[0] == out[2] != out[1]
     assert out[0] == (ord("a") * 31 + ord("b")) % ta.FINGERPRINT_MOD
+
+
+def test_ivf_centroids_deterministic_and_cell_count(spark, sf_dir):
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sim.ivf_centroids(emb, n_cells=4).select("cell_id").collect()
+    b = sim.ivf_centroids(emb, n_cells=4).select("cell_id").collect()
+    assert sorted(r["cell_id"] for r in a) == [0, 1, 2, 3]
+    assert [r["cell_id"] for r in a] == [r["cell_id"] for r in b]
+
+
+def test_ivf_topk_subset_of_brute_rank_quality(spark, sf_dir):
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    ivf = sim.ivf_topk(queries, emb, k=5, n_cells=4, n_probe=2)
+    rows = ivf.collect()
+    # k bounded, ranks dense from 1, no self-matches
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["query_id"] != r["vec_id"]
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+    # probing half the cells must find a nonempty candidate set
+    assert len(by_q) == queries.count()
+
+
+def test_quantize_int8_error_bound(spark, sf_dir):
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.quantize_int8_stats(emb).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert r["scale"] >= 0
+        # symmetric quantization reconstruction bound
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12

@@ -19,6 +19,7 @@ from dissertation_data_pipeline_spark.streaming.windows import (  # noqa: F401
     sliding_window_agg,
     session_window_agg,
     dedup_first_in_window,
+    dedup_stream_within_watermark,
 )
 from dissertation_data_pipeline_spark.streaming.jobs import (  # noqa: F401
     read_events_stream,

@@ -116,3 +116,16 @@ def dedup_first_in_window(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """True streaming dedup: state-store-backed
+    ``dropDuplicatesWithinWatermark`` — keeps the FIRST arrival per key
+    and suppresses re-arrivals until the watermark passes the first
+    event's time, after which the key's state is evicted (bounded
+    state, the property the batch analog ``dedup_first_in_window``
+    doesn't need). The input must already carry a watermark
+    (``read_events_stream`` applies one)."""
+    return stream.dropDuplicatesWithinWatermark(list(keys))

@@ -76,3 +76,88 @@ def test_streaming_checkpoint_no_reprocess(spark, sf_dir, tmpdirs):
 
     assert run().count() == 1000
     assert run().count() == 1000  # second run: source offsets say done -> no new rows
+
+
+def _write_events(df, src):
+    df.coalesce(1).write.mode("append").parquet(src)
+
+
+def test_stream_dedup_within_watermark_suppresses_rearrivals(spark, tmpdirs):
+    """dropDuplicatesWithinWatermark: a key re-arriving within the
+    watermark is suppressed; distinct keys all pass. Two AvailableNow
+    runs share one checkpoint, so run 2 resumes run 1's watermark and
+    dedup state — the deterministic multi-batch setup."""
+    from dissertation_data_pipeline_spark.streaming import (
+        dedup_stream_within_watermark,
+    )
+
+    schema = "user_id long, ts string, event_type string, value double"
+    f1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "click", 1.0),
+         (2, "2024-01-01 10:05:00", "click", 2.0)],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    f2 = spark.createDataFrame(
+        [(1, "2024-01-01 10:20:00", "click", 9.0),   # dup key, within watermark
+         (3, "2024-01-01 10:30:00", "click", 3.0)],  # new key
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src, ckpt, out = f"{tmpdirs}/dd-src", f"{tmpdirs}/dd-ckpt", f"{tmpdirs}/dd-out"
+    for batch_df in (f1, f2):
+        _write_events(batch_df, src)
+        stream = read_events_stream(spark, src, f1.schema, watermark_delay="2 hours")
+        q = (
+            dedup_stream_within_watermark(stream, ["user_id"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+    rows = {r["user_id"]: r["value"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: 1.0, 2: 2.0, 3: 3.0}  # first arrival of key 1 wins
+
+
+def test_stream_late_data_dropped_from_closed_windows(spark, tmpdirs):
+    """An event arriving beyond the watermark lands in no output window:
+    the aggregate over its (already-closed) hour never re-emits. Run 2
+    resumes run 1's checkpointed watermark (11:00 after the 12:00
+    event with 1h delay), so the 00:30 straggler is dropped."""
+    schema = "user_id long, ts string, event_type string, value double"
+    f1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "click", 1.0),
+         (1, "2024-01-01 00:20:00", "click", 1.0),
+         (1, "2024-01-01 12:00:00", "click", 1.0)],  # advances watermark far
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    f2 = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", "click", 99.0),  # 11.5h late: dropped
+         (1, "2024-01-01 13:00:00", "click", 1.0)],  # closes the 12:00 window
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src, ckpt, out = f"{tmpdirs}/late-src", f"{tmpdirs}/late-ckpt", f"{tmpdirs}/late-out"
+    for batch_df in (f1, f2):
+        _write_events(batch_df, src)
+        stream = read_events_stream(spark, src, f1.schema, watermark_delay="1 hour")
+        q = (
+            tumbling_window_agg(stream, "ts", "1 hour", [], "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+    emitted = {
+        (r["window_start"].isoformat(), r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    zero_hour = sorted(e for e in emitted if e[0].startswith("2024-01-01T00:00"))
+    assert zero_hour == [("2024-01-01T00:00:00", 2, 2.0)]

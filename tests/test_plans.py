@@ -106,13 +106,18 @@ def test_no_cartesian_products_in_registry(spark):
     (the `id_a < id_b` self-joins must ride an equi-join on bucket
     keys).
 
-    Exception: ``ext_ann_brute_topk`` — brute-force scoring broadcasts
-    the (small, filtered) query set against the streamed corpus; a
-    BroadcastNestedLoopJoin with the tiny side broadcast IS the correct
-    distributed plan for that operator, and its scale path is the
-    LSH-bucketed variant (``ext_ann_lsh_topk``), which must not (and
-    does not) appear here."""
-    allowed = {"ext_ann_brute_topk"}
+    Exceptions — plans where a BroadcastNestedLoopJoin with a tiny
+    broadcast side IS the correct distributed shape:
+    - ``ext_ann_brute_topk``: the (small, filtered) query set broadcast
+      against the streamed corpus; the scale path is the bucketed
+      variants (LSH/IVF), which join on equi-keys.
+    - ``ext_ann_ivf_topk``: the n_cells-row centroid table broadcast
+      for the assignment pass (every IVF implementation scores each
+      vector against every coarse centroid — that IS the operator);
+      the probe pass itself joins equi on cell_id.
+    - ``ext_key_skew_report``: a single-row totals frame broadcast to
+      attach corpus-level denominators."""
+    allowed = {"ext_ann_brute_topk", "ext_ann_ivf_topk", "ext_key_skew_report"}
     offenders = {}
     for name, q in QUERIES.items():
         if name in allowed:

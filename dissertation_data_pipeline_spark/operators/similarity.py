@@ -247,6 +247,98 @@ def ivf_topk(
     )
 
 
+def l2_dist2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance, strict left fold."""
+    return _fold_sum(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+    )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    rounds: int = 2,
+) -> DataFrame:
+    """Lloyd refinement of the IVF coarse centroids: assign every vector
+    to its nearest (L2) centroid, recompute each centroid as the cell
+    mean, repeat. Within-cluster SSE is non-increasing per round (the
+    classic Lloyd guarantee — pinned by test).
+
+    Determinism at any partitioning: per-dimension means are computed
+    as exact DECIMAL sums divided once (a double sum would be
+    partition-order-dependent — the same rule as the money aggregates).
+    Each round is: broadcast-assign -> posexplode to (cell, dim, value)
+    -> hash-aggregate -> array rebuild; ``localCheckpoint`` truncates
+    the per-round plan exactly as in the connected-components loop.
+    Returns the refined (cell_id, centroid) table.
+    """
+    for _ in range(rounds):
+        assigned = (
+            corpus.crossJoin(F.broadcast(centroids))
+            .select(
+                F.col(corpus_id),
+                F.col(corpus_vec),
+                F.col("cell_id"),
+                l2_dist2(corpus_vec, "centroid").alias("_d2"),
+            )
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy(corpus_id).orderBy(
+                        F.asc("_d2"), F.asc("cell_id")
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+        )
+        comps = assigned.select(
+            "cell_id", F.posexplode(F.col(corpus_vec)).alias("dim", "val")
+        )
+        means = comps.groupBy("cell_id", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("comp")
+        )
+        centroids = (
+            means.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                    lambda s: s["comp"].cast("float"),
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return centroids.select("cell_id", "centroid", l2_norm("centroid").alias("_kn"))
+
+
+def kmeans_sse(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> float:
+    """Within-cluster SSE under nearest-L2 assignment (the Lloyd
+    objective), as an exact-decimal sum of per-vector distances."""
+    d2 = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(F.col(corpus_id), l2_dist2(corpus_vec, "centroid").alias("_d2"))
+        .groupBy(corpus_id)
+        .agg(F.min("_d2").alias("_d2"))
+    )
+    return d2.agg(F.sum(F.col("_d2").cast("decimal(28,10)"))).first()[0]
+
+
 def quantize_int8_stats(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

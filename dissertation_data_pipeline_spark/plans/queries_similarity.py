@@ -174,6 +174,51 @@ def ext_ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2)
 
 
+@register("ext_ann_ivf_trained_topk", None)  # rows-only: see docstring
+def ext_ann_ivf_trained_topk(spark, sf_dir):
+    """[EXT] IVF with ONE Lloyd refinement round over the sampled
+    centroids, then the same 2-probe top-10 search. Rows-only check:
+    the refined centroid means cast float->DECIMAL, and engines may
+    round differently at the 12th fractional digit of a dyadic float
+    expansion — the operator's exactness contract (SSE monotone,
+    partitioning-deterministic) is pinned in
+    test_similarity_textanalysis instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_refine(emb, sim.ivf_centroids(emb, n_cells=8), rounds=1)
+    cells = sim.ivf_assign(
+        emb, cents, id_col="vec_id", vec_col="embedding"
+    ).withColumnRenamed("_vn", "_cn")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probes = sim.ivf_assign(
+        queries, cents, id_col="query_id", vec_col="query_vec", rank_upto=2
+    ).withColumnRenamed("_vn", "_qn")
+    scored = (
+        F.broadcast(probes)
+        .join(cells, "cell_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                sim.cosine_pre(
+                    "query_vec", "embedding", F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 @register(
     "ext_embedding_quantize",
     """

@@ -117,7 +117,12 @@ def test_no_cartesian_products_in_registry(spark):
       the probe pass itself joins equi on cell_id.
     - ``ext_key_skew_report``: a single-row totals frame broadcast to
       attach corpus-level denominators."""
-    allowed = {"ext_ann_brute_topk", "ext_ann_ivf_topk", "ext_key_skew_report"}
+    allowed = {
+        "ext_ann_brute_topk",
+        "ext_ann_ivf_topk",
+        "ext_ann_ivf_trained_topk",  # same centroid broadcast as ivf_topk
+        "ext_key_skew_report",
+    }
     offenders = {}
     for name, q in QUERIES.items():
         if name in allowed:

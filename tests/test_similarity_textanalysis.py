@@ -134,3 +134,24 @@ def test_quantize_int8_error_bound(spark, sf_dir):
         assert r["scale"] >= 0
         # symmetric quantization reconstruction bound
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+
+
+def test_kmeans_refine_monotone_sse_and_deterministic(spark, sf_dir):
+    """Lloyd rounds never increase the within-cluster SSE, and the
+    decimal-mean recompute is partitioning-independent."""
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c0 = sim.ivf_centroids(emb, n_cells=4)
+    sse0 = sim.kmeans_sse(emb, c0)
+    c1 = sim.kmeans_refine(emb, c0, rounds=1)
+    sse1 = sim.kmeans_sse(emb, c1)
+    c2 = sim.kmeans_refine(emb, c1, rounds=1)
+    sse2 = sim.kmeans_sse(emb, c2)
+    assert sse1 <= sse0
+    assert sse2 <= sse1
+    # determinism under a different input partitioning
+    c1b = sim.kmeans_refine(emb.repartition(13), c0, rounds=1)
+    a = {r["cell_id"]: list(r["centroid"]) for r in c1.collect()}
+    b = {r["cell_id"]: list(r["centroid"]) for r in c1b.collect()}
+    assert a == b

@@ -238,6 +238,44 @@ def corpus_top_bigrams(
     )
 
 
+def decontaminate_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: (train_id, eval_id, n_shared) for
+    every train document sharing >= ``min_overlap`` distinct word
+    n-grams with an eval document — the overlap report behind dropping
+    benchmark-contaminated training docs (the GPT-3/PaLM n-gram-overlap
+    decontamination recipe).
+
+    Inverted-index join on the shingle (same shape as blocked Jaccard):
+    cost is quadratic in per-shingle posting length, never in corpus
+    size; at 100 TB the eval side is tiny, so the join is
+    broadcast-able and the scan side prunes to shingles the eval set
+    actually contains."""
+    from dissertation_data_pipeline_spark.operators.dedup_ext import (
+        shingle_postings,
+    )
+
+    tp = shingle_postings(train, id_col, text_col, n=ngram_words).select(
+        F.col("_id").alias("train_id"), "_shingle"
+    )
+    ep = shingle_postings(eval_df, id_col, text_col, n=ngram_words).select(
+        F.col("_id").alias("eval_id"), "_shingle"
+    )
+    return (
+        tp.join(ep, "_shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
 def scrub_text(col: Column) -> Column:
     """C4-style training-text scrub: lowercase, drop URLs and emails,
     collapse whitespace, trim. RE2-compatible patterns only, so the

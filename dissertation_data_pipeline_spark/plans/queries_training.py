@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from dissertation_data_pipeline_spark.operators.training import (
     corpus_top_bigrams,
+    decontaminate_report,
     domain_resample,
     gopher_quality_gate,
     pack_sequences,
@@ -172,6 +173,49 @@ def ext_domain_resample(spark, sf_dir):
     src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
     n_copies = F.lit(1) + (src_num % 3)
     return domain_resample(docs, n_copies).select("doc_id", "source", "copy_idx")
+
+
+@register(
+    "ext_decontamination",
+    r"""
+    WITH lt AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    ltoks AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS pos
+        FROM lt)
+    ),
+    tris AS (
+      SELECT DISTINCT doc_id,
+             tok || ' ' || n1 || ' ' || n2 AS shingle
+      FROM (
+        SELECT doc_id, tok,
+               lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS n1,
+               lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS n2
+        FROM ltoks)
+      WHERE n2 IS NOT NULL
+      UNION
+      SELECT doc_id, array_to_string(t, ' ') AS shingle
+      FROM lt WHERE len(t) < 3
+    )
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+           count(*) AS n_shared
+    FROM (SELECT * FROM tris WHERE doc_id % 97 <> 0) tr
+    JOIN (SELECT * FROM tris WHERE doc_id % 97 = 0) ev
+      ON tr.shingle = ev.shingle
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def ext_decontamination(spark, sf_dir):
+    """Benchmark decontamination report: train docs (doc_id % 97 != 0)
+    sharing >= 2 distinct word-3-grams with any eval doc (% 97 == 0).
+    Inverted-index shingle join — eval side tiny, broadcast-able."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_report(train, eval_df, min_overlap=2)
 
 
 @register(

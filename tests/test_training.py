@@ -134,3 +134,29 @@ def test_uniform_hash_matches_reference_value(spark):
         .collect()
     )
     assert r["h"] == int(hashlib.md5(b"42").hexdigest()[:8], 16)
+
+
+def test_decontaminate_report_finds_planted_overlap(spark):
+    from dissertation_data_pipeline_spark.operators.training import (
+        decontaminate_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated words about spark shuffles and joins"),
+            (3, "the quick brown fox jumps high"),  # shares 3-grams with eval 100
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over a fence")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in decontaminate_report(train, eval_df, min_overlap=2).collect()
+    }
+    # doc 1 shares: "the quick brown","quick brown fox","brown fox jumps","fox jumps over" = 4
+    # doc 3 shares the first three = 3; doc 2 shares none
+    assert got == {(1, 100): 4, (3, 100): 3}

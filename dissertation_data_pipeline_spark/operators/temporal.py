@@ -1,0 +1,177 @@
+"""Temporal joins and rollups: as-of join, interval join, hierarchical rollup.
+
+The reference is pandas-based, where these shapes appear as
+``pd.merge_asof``-style nearest-key alignment and row-wise interval
+scans (e.g. enrichment lookups keyed by "most recent known state",
+`scripts/legislation/legiscan_enricher.py`, and date-bucketed report
+rollups in `build_corpus.py`). Spark has no built-in as-of join and a
+naive inequality join degenerates to a broadcast-nested-loop, so both
+operators here are re-expressed as *equi-shuffles*:
+
+- :func:`asof_join` — the union-tag trick: tag both sides, union, one
+  window over the key ordered by (ts, side), ``last(payload,
+  ignorenulls)`` carries the most recent right row forward into each
+  left row. **Zero joins, one shuffle on the key** — at 100 TB this is
+  a single exchange co-partitioned by key, no candidate explosion, and
+  skew behaves exactly like any window (AQE-splittable sort).
+- :func:`interval_join` — time-bucketing: intervals explode into the
+  coarse buckets they cover (bounded by interval_len/bucket_len + 1),
+  probes hash to one bucket, equi-join on bucket + residual range
+  filter. The shuffle is on the bucket key, so candidate pairs are
+  bounded per bucket instead of |probe| x |intervals|.
+
+Both come with DuckDB oracles in ``plans/queries_temporal.py`` (DuckDB
+has native ASOF JOIN and an IEJoin for inequality joins, so the oracle
+states the semantics directly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"
+_TS = "_asof_ts"
+_PAYLOAD = "_asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: Sequence[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row gets the latest right row with
+    ``right_ts <= left_ts`` on the same key (inclusive), or NULLs.
+
+    ``right`` must be unique per ``(on, right_ts)`` — pre-aggregate it
+    (e.g. ``max_by``) if it is not; ties would otherwise be
+    partition-order dependent. ``payload`` columns are carried from the
+    matched right row, plus ``{right_ts}`` is surfaced as
+    ``asof_{right_ts}``.
+
+    Implementation: union-tag + running ``last(..., ignorenulls)`` —
+    no join operator at all. The payload travels as ONE struct so all
+    carried fields come atomically from the same right row even when
+    individual fields are NULL.
+
+    ``tolerance_seconds`` (like ``pd.merge_asof(tolerance=...)``):
+    matches older than the tolerance are nulled out.
+    """
+    on = list(on)
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    pay_struct = F.struct(
+        F.col(right_ts).alias("asof_ts"), *[F.col(c) for c in payload]
+    )
+
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(
+            right.select(pay_struct.alias(_PAYLOAD)).schema[_PAYLOAD].dataType
+        ).alias(_PAYLOAD),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        pay_struct.alias(_PAYLOAD),
+    )
+
+    # side=0 sorts before side=1 at equal ts => inclusive (>=) semantics.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(_PAYLOAD, ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        carried = F.when(
+            F.unix_micros(F.col(_TS)) - F.unix_micros(carried["asof_ts"])
+            <= tolerance_seconds * 1_000_000,
+            carried,
+        )
+
+    out = (
+        l_tagged.unionByName(r_tagged)
+        .withColumn(_PAYLOAD, carried)
+        .filter(F.col(_SIDE) == 1)
+        .select(
+            *on,
+            F.col(_TS).alias(left_ts),
+            *lcols,
+            F.col(_PAYLOAD)["asof_ts"].alias(f"asof_{right_ts}"),
+            *[F.col(_PAYLOAD)[c].alias(c) for c in payload],
+        )
+    )
+    return out
+
+
+def interval_join(
+    probe: DataFrame,
+    intervals: DataFrame,
+    *,
+    probe_ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Containment join: probe rows with ``start <= probe_ts < end``.
+
+    Scale path: both sides bucket ``ts div bucket_seconds``; an interval
+    covers ``ceil(len/bucket)+1`` consecutive buckets (``F.sequence`` +
+    ``explode``), the probe hashes to exactly one, and the join becomes
+    an equi-join on ``(on..., bucket)`` with the range predicate as a
+    residual filter. Pick ``bucket_seconds`` near the typical interval
+    length so the duplication factor stays ~2.
+
+    Returns probe columns + interval columns (minus any shared key
+    columns, kept once).
+    """
+    on = list(on)
+    bucket = lambda c: (F.unix_micros(F.col(c)) / F.lit(bucket_seconds * 1_000_000)).cast("bigint")  # noqa: E731
+
+    iv = intervals.withColumn(
+        "_bucket", F.explode(F.sequence(bucket(start), bucket(end)))
+    )
+    pr = probe.withColumn("_bucket", bucket(probe_ts))
+    icols = [c for c in intervals.columns if c not in on]
+    joined = pr.join(iv, on + ["_bucket"]).filter(
+        (F.col(probe_ts) >= F.col(start)) & (F.col(probe_ts) < F.col(end))
+    )
+    return joined.select(*on, *[c for c in probe.columns if c not in on], *icols)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts: str,
+    levels: Sequence[str],
+    extra: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: one pass produces every
+    resolution level — (extra..., level1, level2, ...), coarser
+    prefixes, and the grand total — tagged by ``grouping_id()``
+    (first grouping column = most significant bit, identical to
+    ANSI/DuckDB ``GROUPING(...)``).
+
+    Spark computes ROLLUP via a single Expand + one aggregation, so
+    partial (map-side) aggregation still applies at every level — at
+    100 TB this beats N separate groupBys by ~N× on scan volume.
+    """
+    out = df
+    for lv in levels:
+        out = out.withColumn(f"{ts}_{lv}", F.date_trunc(lv, F.col(ts)))
+    return out.rollup(*extra, *[f"{ts}_{lv}" for lv in levels]).agg(
+        F.grouping_id().alias("gid"), *aggs
+    )

@@ -1,0 +1,186 @@
+"""[EXT] temporal queries: as-of join, interval join, hierarchical
+rollup, exact percentiles — all oracle-checked against DuckDB.
+
+Exactness notes (see registry docstring + BASELINE.md):
+- The as-of right side is pre-aggregated to one row per (user_id, ts)
+  (``max(event_id)``) so the match is a deterministic function of the
+  data, not of partition order. Lag is computed in integer
+  microseconds — exact in both engines.
+- Percentiles run over integer *cents* (value is 2-decimal money, so
+  double→DECIMAL(18,2)→cents is lossless): quartile interpolation of
+  integers ≤ 2^53 at f ∈ {0, .25, .5, .75} is exact in IEEE double
+  under BOTH interpolation formulas (a+(b-a)f and (1-f)a+fb), so
+  Spark ``percentile`` and DuckDB ``quantile_cont`` agree bitwise.
+  The final /100 is one identical double op on identical inputs.
+- ROLLUP ``grouping_id`` bit order (first col = MSB) matches DuckDB
+  ``GROUPING(...)`` — verified empirically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    time_rollup,
+)
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+def _dec(c):
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
+
+
+@register(
+    "ext_asof_join",
+    """
+    WITH p AS (
+      SELECT user_id, ts, max(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT c.user_id, c.ts, c.event_id,
+           p.ts AS asof_ts, p.purchase_id,
+           epoch_us(c.ts) - epoch_us(p.ts) AS lag_us
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def ext_asof_join(spark, sf_dir):
+    """[EXT] backward as-of join (pd.merge_asof parity): each click
+    gets the user's most recent purchase at-or-before it. Union-tag
+    implementation — one shuffle on user_id, zero join operators
+    (the oracle uses DuckDB's native ASOF JOIN)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+    out = asof_join(
+        clicks, purchases, on=["user_id"], payload=["purchase_id"]
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "asof_ts",
+        "purchase_id",
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "ext_interval_join",
+    """
+    WITH win AS (
+      SELECT event_id AS incident_id, ts AS w_start,
+             ts + INTERVAL '30 minutes' AS w_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT w.incident_id, w.w_start,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1, 2
+    """,
+)
+def ext_interval_join(spark, sf_dir):
+    """[EXT] containment join via time-bucketing: traffic inside each
+    30-minute incident window (anchored at error events). The oracle is
+    the plain inequality join (DuckDB IEJoin); the Spark plan is an
+    equi-join on the 30-min bucket key — no nested-loop."""
+    e = load_table(spark, sf_dir, "events")
+    win = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    joined = interval_join(
+        e.select("ts", "user_id", "value"),
+        win,
+        probe_ts="ts",
+        start="w_start",
+        end="w_end",
+        bucket_seconds=1800,
+    )
+    return joined.groupBy("incident_id", "w_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "ext_time_rollup",
+    """
+    WITH src AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts_day,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts_hour,
+             value
+      FROM events
+    )
+    SELECT event_type, ts_day, ts_hour,
+           GROUPING(event_type, ts_day, ts_hour) AS gid,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM src
+    GROUP BY ROLLUP(event_type, ts_day, ts_hour)
+    """,
+)
+def ext_time_rollup(spark, sf_dir):
+    """[EXT] hypertable-style multi-resolution rollup: hour-per-day
+    per-type, day subtotals, type subtotals, grand total — ONE Expand +
+    ONE aggregation (map-side partials at every level), not four
+    groupBys."""
+    e = load_table(spark, sf_dir, "events")
+    return time_rollup(
+        e,
+        ts="ts",
+        levels=["day", "hour"],
+        extra=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        ],
+    ).select("event_type", "ts_day", "ts_hour", "gid", "n_events", "total_value")
+
+
+@register(
+    "ext_event_percentiles",
+    """
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type,
+           quantile_cont(v, 0.25) / 100 AS p25,
+           quantile_cont(v, 0.5)  / 100 AS p50,
+           quantile_cont(v, 0.75) / 100 AS p75
+    FROM cents GROUP BY 1
+    """,
+)
+def ext_event_percentiles(spark, sf_dir):
+    """[EXT] exact linear-interpolation percentiles per event_type,
+    computed over integer cents so both engines' interpolation is
+    IEEE-exact (see module docstring). At 100 TB the same query swaps
+    ``percentile`` for ``percentile_approx`` (t-digest, mergeable,
+    one pass) — the exact form here is the correctness anchor."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", (_dec("value") * 100).cast("bigint").alias("v")
+    )
+    agg = cents.groupBy("event_type").agg(
+        *[
+            (F.percentile("v", F.lit(q)) / 100).alias(f"p{int(q * 100)}")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+    return agg

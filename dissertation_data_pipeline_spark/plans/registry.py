@@ -559,3 +559,4 @@ from dissertation_data_pipeline_spark.plans import queries_coverage2  # noqa: E4
 from dissertation_data_pipeline_spark.plans import queries_training  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_multimodal  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_skew  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_temporal  # noqa: E402,F401

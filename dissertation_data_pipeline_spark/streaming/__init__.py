@@ -25,3 +25,6 @@ from dissertation_data_pipeline_spark.streaming.jobs import (  # noqa: F401
     read_events_stream,
     run_available_now_to_memory,
 )
+from dissertation_data_pipeline_spark.streaming.joins import (  # noqa: F401
+    stream_stream_interval_join,
+)

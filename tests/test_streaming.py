@@ -161,3 +161,52 @@ def test_stream_late_data_dropped_from_closed_windows(spark, tmpdirs):
     }
     zero_hour = sorted(e for e in emitted if e[0].startswith("2024-01-01T00:00"))
     assert zero_hour == [("2024-01-01T00:00:00", 2, 2.0)]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmpdirs):
+    """Clicks stream ⋈ purchases stream (same user, purchase within the
+    preceding 2 hours) must equal the identical batch join."""
+    from dissertation_data_pipeline_spark.streaming import (
+        stream_stream_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_dir, purch_dir = f"{tmpdirs}/clicks", f"{tmpdirs}/purchases"
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purch_b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks_b.write.mode("overwrite").parquet(clicks_dir)
+    purch_b.write.mode("overwrite").parquet(purch_dir)
+
+    cs = read_events_stream(
+        spark, clicks_dir, clicks_b.schema, watermark_delay="10 minutes"
+    )
+    ps = read_events_stream(
+        spark, purch_dir, purch_b.schema, watermark_delay="10 minutes"
+    )
+    got = run_available_now_to_memory(
+        cs,
+        lambda left: stream_stream_interval_join(
+            left, ps, "user_id", within="2 hours"
+        ),
+        "ssj_out",
+        f"{tmpdirs}/ckpt",
+    )
+
+    expect = clicks_b.alias("c").join(
+        purch_b.alias("p"),
+        (F.col("c.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") <= F.col("c.ts"))
+        & (F.col("p.ts") >= F.col("c.ts") - F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        F.col("c.event_id").alias("click"), F.col("p.event_id").alias("purchase")
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    got_pairs = got.select(
+        F.col("event_id").alias("click"), F.col("r_event_id").alias("purchase")
+    )
+    assert key(got_pairs) == key(expect)
+    assert got.count() > 0

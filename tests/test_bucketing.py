@@ -83,3 +83,17 @@ def test_bucketed_groupby_on_bucket_key_plans_no_exchange(spark, bucketed):
     li, _ = bucketed
     agg = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
     assert _exchange_nodes(_plan(agg)) == [], _plan(agg)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """Hive-partitioned layout: an equality filter on the partition
+    column must become a PartitionFilter (directory pruning), never a
+    row-level scan filter — at 100 TB this is the difference between
+    reading one directory and reading everything."""
+    base = str(tmp_path_factory.mktemp("part") / "events_by_type")
+    e = load_table(spark, SF_DIR, "events")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    df = spark.read.parquet(base).filter(F.col("event_type") == "click")
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan

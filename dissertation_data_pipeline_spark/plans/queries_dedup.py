@@ -136,12 +136,14 @@ _SIMHASH_CTE = r"""
   ),
   dig AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS d FROM toks),
   simh AS (
+    -- CAST to BIGINT: list_sum yields HUGEINT (int128), which the
+    -- driver gate's pandas canon mis-hashes; the value fits 48 bits.
     SELECT doc_id,
-           list_sum(list_transform(range(0, 48), b ->
+           CAST(list_sum(list_transform(range(0, 48), b ->
              CASE WHEN list_sum(list_transform(d, h ->
                     (((strpos('0123456789abcdef', h[(b // 4 + 1):(b // 4 + 1)]) - 1)
                       >> (3 - (b % 4))) & 1) * 2 - 1)) > 0
-                  THEN (1::BIGINT << b) ELSE 0 END)) AS sh
+                  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS sh
     FROM dig
   )
 """
@@ -151,14 +153,22 @@ _SIMHASH_CTE = r"""
     "ext_simhash_values",
     f"""
     WITH {_SIMHASH_CTE}
-    SELECT doc_id, sh AS simhash FROM simh
+    SELECT doc_id, lpad(to_hex(sh), 12, '0') AS simhash FROM simh
     """,
 )
 def ext_simhash_values(spark, sf_dir):
     """[EXT] 48-bit SimHash signature per document (md5-bit voting over
-    the distinct token set)."""
+    the distinct token set).
+
+    The signature is emitted as a fixed-width (12-char) uppercase hex
+    string on both sides: the driver gate's pandas canon mis-hashes wide
+    integers (DuckDB list_sum yields HUGEINT), while a hex string is
+    representation-stable. ext_simhash_pairs proves the signatures agree
+    bitwise via the XOR/Hamming join over the same CTE."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", dx.simhash("text").alias("simhash"))
+    return d.select(
+        "doc_id", F.lpad(F.hex(dx.simhash("text")), 12, "0").alias("simhash")
+    )
 
 
 @register(

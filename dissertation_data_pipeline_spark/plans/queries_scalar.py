@@ -94,7 +94,7 @@ def fs1_normalize_bill_number(spark, sf_dir):
       FROM parts
     )
     SELECT p_partkey,
-           list_distinct_preserve AS variants
+           coalesce(array_to_string(list_distinct_preserve, '|'), '') AS variants
     FROM (
       SELECT p_partkey,
              list_filter([orig, compact, spaced, dotted],
@@ -106,9 +106,18 @@ def fs1_normalize_bill_number(spark, sf_dir):
 )
 def fs2_bill_number_variants(spark, sf_dir):
     """F-s2 (legiscan_enricher.py:129-168): ordered lookup-variant array
-    (original, compact, spaced, dotted), order-preserving dedup."""
+    (original, compact, spaced, dotted), order-preserving dedup.
+
+    The variant array is final-projected through ``array_join(..., '|')``
+    (``array_to_string`` in the oracle) because the driver's correctness
+    gate canonicalizes rows via pandas and cannot hash list values —
+    semantics are unchanged, the output is the same ordered variant
+    sequence as one scalar string."""
     df = _messy_bill(load_table(spark, sf_dir, "part"))
-    return df.select("p_partkey", fx.bill_number_variants("raw_bill").alias("variants"))
+    return df.select(
+        "p_partkey",
+        F.array_join(fx.bill_number_variants("raw_bill"), "|").alias("variants"),
+    )
 
 
 # -- F-s3/F-s4: status normalization ----------------------------------------
@@ -394,8 +403,8 @@ THEME_RULES = {
     "fa3_matched_keywords",
     """
     SELECT doc_id,
-           list_filter(['spark', 'window', 'stream', 'shuffle'],
-                       k -> contains(lower(coalesce(text, '')), k)) AS matched,
+           coalesce(array_to_string(list_filter(['spark', 'window', 'stream', 'shuffle'],
+                       k -> contains(lower(coalesce(text, '')), k)), '|'), '') AS matched,
            coalesce(array_to_string(list_filter(['spark', 'window', 'stream', 'shuffle'],
                        k -> contains(lower(coalesce(text, '')), k)), ', '), '') AS matched_joined
     FROM documents
@@ -404,12 +413,16 @@ THEME_RULES = {
 def fa3_matched_keywords(spark, sf_dir):
     """P9/F-a3 (text_processor.py:99-111): case-insensitive substring
     OR-match; matched subset in keyword-list order + the reference's
-    comma-joined parity column (legiscan_collector.py:222)."""
+    comma-joined parity column (legiscan_collector.py:222).
+
+    Arrays are serialized with ``array_join`` in the final projection so
+    the driver's pandas canonicalizer can hash the rows (it cannot sort
+    list-valued cells); the keyword-order semantics are unchanged."""
     d = load_table(spark, sf_dir, "documents")
     matched = fx.matched_keywords("text", KEYWORDS)
     return d.select(
         "doc_id",
-        matched.alias("matched"),
+        F.array_join(matched, "|").alias("matched"),
         F.array_join(matched, ", ").alias("matched_joined"),
     )
 
@@ -432,19 +445,24 @@ def p9_keyword_filter(spark, sf_dir):
     "fa1_theme_tags",
     """
     SELECT doc_id,
-           list_sort(list_filter([
+           coalesce(array_to_string(list_sort(list_filter([
              CASE WHEN regexp_matches(lower(coalesce(text, '')), 'fast|slow') THEN 'perf' END,
              CASE WHEN regexp_matches(lower(coalesce(text, '')), 'join|filter|merge') THEN 'relational' END,
              CASE WHEN regexp_matches(lower(coalesce(text, '')), 'table|row|batch') THEN 'storage' END
-           ], x -> x IS NOT NULL)) AS tags
+           ], x -> x IS NOT NULL)), '|'), '') AS tags
     FROM documents
     """,
 )
 def fa1_theme_tags(spark, sf_dir):
     """F-a1 (tag_metadata.py:7-26): per-theme any-of-regex tagging into a
-    sorted tag array."""
+    sorted tag array, serialized with ``array_join(..., '|')`` so the
+    driver gate can hash the rows (lists are unhashable in its pandas
+    canonicalizer)."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", fx.theme_tags("text", THEME_RULES).alias("tags"))
+    return d.select(
+        "doc_id",
+        F.array_join(fx.theme_tags("text", THEME_RULES), "|").alias("tags"),
+    )
 
 
 @register(
@@ -474,28 +492,40 @@ def fj3_base64_roundtrip(spark, sf_dir):
 @register(
     "w3_fj2_nested_arrays",
     """
+    WITH agg AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_quantity ASC, l_linenumber ASC) AS qty_list
+      FROM lineitem GROUP BY 1
+    )
     SELECT l_orderkey,
-           list(l_quantity ORDER BY l_quantity ASC, l_linenumber ASC) AS qty_list,
-           list(l_quantity ORDER BY l_quantity ASC, l_linenumber ASC)[-1] AS max_qty,
-           len(list_filter(list(l_quantity ORDER BY l_quantity ASC, l_linenumber ASC),
-               q -> q >= 49)) > 0 AS has_big
-    FROM lineitem GROUP BY 1
+           coalesce(array_to_string(
+             list_transform(qty_list, q -> CAST(CAST(q AS BIGINT) AS VARCHAR)), '|'), '')
+             AS qty_list,
+           qty_list[-1] AS max_qty,
+           len(list_filter(qty_list, q -> q >= 49)) > 0 AS has_big
+    FROM agg
     """,
 )
 def w3_fj2_nested_arrays(spark, sf_dir):
     """W3/F-j2/P6 (legiscan_enricher.py:299-301, legiscan_collector.py:
     82-89): nested-list build (deterministic sort), latest/last element
-    extraction, exists-predicate over the array."""
+    extraction, exists-predicate over the array.
+
+    The nested list itself is final-projected as a '|'-joined string of
+    integral quantities (l_quantity is integral in the testdata) so the
+    driver gate can hash it; max/exists still run over the real array."""
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.array_sort(F.collect_list(F.struct("l_quantity", "l_linenumber")))
     return (
         li.groupBy("l_orderkey")
-        .agg(F.transform(qty, lambda s: s["l_quantity"]).alias("qty_list"))
+        .agg(F.transform(qty, lambda s: s["l_quantity"]).alias("qty_arr"))
         .select(
             "l_orderkey",
-            "qty_list",
-            F.element_at("qty_list", -1).alias("max_qty"),
-            F.exists("qty_list", lambda q: q >= 49).alias("has_big"),
+            F.array_join(
+                F.transform("qty_arr", lambda q: q.cast("long").cast("string")), "|"
+            ).alias("qty_list"),
+            F.element_at("qty_arr", -1).alias("max_qty"),
+            F.exists("qty_arr", lambda q: q >= 49).alias("has_big"),
         )
     )
 

@@ -165,15 +165,18 @@ def a2_orders_summary(spark, sf_dir):
     "a4_a6_conditional_counts",
     """
     SELECT count(*) AS total_rows,
-           count_if(o_orderstatus = 'F') AS n_finished,
-           count_if(o_totalprice > 200000) AS n_big,
-           count_if(o_orderpriority = '1-URGENT') AS n_urgent
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
     FROM orders
     """,
 )
 def a4_a6_conditional_counts(spark, sf_dir):
     """A4/A6 sum-of-booleans / count-if (normalize_corpus.py:302-305,
-    build_corpus.py:112-117)."""
+    build_corpus.py:112-117). DuckDB ``count_if`` returns HUGEINT
+    (int128), which the driver gate's pandas canon coerces to
+    object/float and hash-mismatches — the oracle casts every count to
+    BIGINT so both engines emit int64."""
     o = load_table(spark, sf_dir, "orders")
     return o.agg(
         F.count(F.lit(1)).alias("total_rows"),

@@ -138,16 +138,37 @@ def fs9_state_code(spark, sf_dir):
     return c.select("c_custkey", fx.state_code(raw).alias("state_code"))
 
 
-@register(
-    "ext_embedding_near_dup",
-    None,  # cosine>=threshold pair sets are oracle-checkable, but the
-    # LSH-bucketed candidate set is already covered by ext_ann_lsh_topk;
-    # this rows-only query exercises the dedicated near-dup shape
-)
+def _near_dup_sql() -> str:
+    from dissertation_data_pipeline_spark.plans.queries_similarity import (
+        _bucket_sql,
+        _cos,
+    )
+
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos('a.embedding', 'b.embedding')}, 6) AS cos
+      FROM corpus a JOIN corpus b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cos >= 0.3
+    """
+
+
+@register("ext_embedding_near_dup", _near_dup_sql())
 def ext_embedding_near_dup(spark, sf_dir):
     """[EXT] embedding-cosine near-duplicate pairs: hyperplane-LSH
-    buckets generate candidates, exact cosine >= 0.99 verifies. The
-    vector analog of minhash_lsh_pairs."""
+    buckets generate candidates, exact cosine >= threshold verifies.
+    The vector analog of minhash_lsh_pairs. The oracle reproduces the
+    md5-derived hyperplane buckets and the strict-left-fold cosine
+    bit-for-bit (same helpers as ext_ann_lsh_topk). The testdata
+    embeddings are near-orthogonal random vectors (max pair cosine
+    ~0.5), so the registered query uses threshold 0.3 to push real
+    pairs through the candidate->verify path instead of vacuously
+    matching on an empty set; production near-dup would use ~0.99."""
     emb = load_table(spark, sf_dir, "embeddings")
     planes = sim.hyperplanes(8, 64)
     b = emb.withColumn("_bucket", sim.lsh_bucket("embedding", planes)).repartition(
@@ -165,21 +186,35 @@ def ext_embedding_near_dup(spark, sf_dir):
             F.col("b.vec_id").alias("id_b"),
             F.round(sim.cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.99)
+        .filter(F.col("cos") >= 0.3)
     )
     return pairs
 
 
 @register(
     "ext_approx_count_distinct",
-    None,  # HLL sketches are engine-specific by nature -> rows-only check
+    """
+    SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+           TRUE AS approx_within_5pct
+    FROM orders
+    """,
 )
 def ext_approx_count_distinct(spark, sf_dir):
     """[EXT] approx_count_distinct (A2's 100 TB path): HLL++ sketch,
-    one pass, no exact-distinct shuffle. Engine-specific estimates ->
-    no value oracle; the unit test bounds the relative error instead."""
+    one pass, no exact-distinct shuffle. HLL estimates are
+    engine-specific, so the hashable contract is the part both engines
+    agree on: the exact distinct count plus a boolean asserting the
+    sketch landed within 5% of it (rsd=0.02, so 5% is a 2.5-sigma
+    bound; deterministic for a fixed dataset). The unit test bounds the
+    relative error independently."""
     o = load_table(spark, sf_dir, "orders")
     return o.agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
         F.countDistinct("o_custkey").alias("exact_custkeys"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("approx_within_5pct"),
     )

@@ -26,6 +26,12 @@ _NORM = (
     "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
     "i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE)), (acc, x) -> acc + x))"
 )
+# squared L2 distance, same strict left fold as operators.similarity.l2_dist2
+_D2 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), "
+    "(acc, x) -> acc + x)"
+)
 
 
 def _cos(a: str, b: str) -> str:
@@ -174,15 +180,75 @@ def ext_ann_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2)
 
 
-@register("ext_ann_ivf_trained_topk", None)  # rows-only: see docstring
+@register(
+    "ext_ann_ivf_trained_topk",
+    f"""
+    WITH cents0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 8
+    ),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, k.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_D2.format(a='c.embedding', b='k.centroid')} ASC,
+                          k.cell_id ASC) AS rk
+        FROM embeddings c, cents0 k) WHERE rk = 1
+    ),
+    comps AS (
+      SELECT cell_id, i - 1 AS dim, embedding[i] AS val
+      FROM assigned, (SELECT unnest(range(1, 65)) AS i)
+    ),
+    means AS (
+      SELECT cell_id, dim,
+             CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS comp
+      FROM comps GROUP BY 1, 2
+    ),
+    cents AS MATERIALIZED (
+      SELECT cell_id, list(CAST(comp AS FLOAT) ORDER BY dim) AS centroid
+      FROM means GROUP BY 1
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, k.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_cos('c.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings c, cents k) WHERE cr = 1
+    ),
+    probes AS (
+      SELECT query_id, query_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS query_vec, k.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings q, cents k WHERE {_QUERY_PRED}) WHERE cr <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round({_cos('p.query_vec', 'c.embedding')}, 6) AS sim
+      FROM probes p JOIN cells c USING (cell_id)
+      WHERE p.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+    """,
+)
 def ext_ann_ivf_trained_topk(spark, sf_dir):
     """[EXT] IVF with ONE Lloyd refinement round over the sampled
-    centroids, then the same 2-probe top-10 search. Rows-only check:
-    the refined centroid means cast float->DECIMAL, and engines may
-    round differently at the 12th fractional digit of a dyadic float
-    expansion — the operator's exactness contract (SSE monotone,
-    partitioning-deterministic) is pinned in
-    test_similarity_textanalysis instead."""
+    centroids, then the same 2-probe top-10 search. The oracle
+    reproduces the full pipeline: md5-sampled seeds, nearest-L2
+    assignment (strict-left-fold distance), per-dimension means as
+    exact DECIMAL(28,12) sums divided once and cast to float, then the
+    cosine assignment/probe/rank tail shared with ext_ann_ivf_topk.
+    The SSE-monotone Lloyd contract is additionally pinned in
+    test_similarity_textanalysis."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = sim.kmeans_refine(emb, sim.ivf_centroids(emb, n_cells=8), rounds=1)
     cells = sim.ivf_assign(

@@ -67,7 +67,7 @@ BILL_FEED_SCHEMA = (
 _FIELDS: Sequence[str] = ("jurisdiction", "session", "identifier", "title")
 
 
-def fetch_page(endpoint: str, page: int) -> list[dict]:
+def fetch_page(endpoint: str, page: int, transport=None) -> list[dict]:
     """Transport: return the records of one page.
 
     ``file://<dir>`` endpoints read ``<dir>/page-<n>.json`` (a JSON
@@ -76,6 +76,16 @@ def fetch_page(endpoint: str, page: int) -> list[dict]:
     under a deterministic key enables hash-based change detection).
     A missing page file is an empty page — the paginated-feed
     termination condition.
+
+    ``http(s)://`` endpoints go through a ``PolicyTransport``
+    (sources/transport.py): pacing, 429/5xx exponential backoff with
+    Retry-After support, bounded retry budget — the reference's client
+    politeness (legiscan_enricher.py:50-52,284-287) as an injectable
+    layer. Pass ``transport`` to inject a fake in tests; omitted, a
+    real paced urllib transport is constructed per call site (executor
+    task == one sequential polite client, matching the reference).
+    An HTTP 404 is an empty page — same termination condition as a
+    missing page file.
     """
     if endpoint.startswith("file://"):
         path = os.path.join(endpoint[len("file://"):], f"page-{page}.json")
@@ -83,9 +93,23 @@ def fetch_page(endpoint: str, page: int) -> list[dict]:
             return []
         with open(path, encoding="utf-8") as fh:
             return json.load(fh)
+    if endpoint.startswith(("http://", "https://")):
+        from dissertation_data_pipeline_spark.sources.transport import (
+            TransportError,
+            http_transport,
+        )
+
+        t = transport if transport is not None else http_transport()
+        sep = "&" if "?" in endpoint else "?"
+        try:
+            return t.get_json(f"{endpoint}{sep}page={page}")
+        except TransportError as e:
+            if getattr(e, "last_status", None) == 404 or "HTTP 404" in str(e):
+                return []
+            raise
     raise NotImplementedError(
-        "only file:// transports ship in this container; an HTTP "
-        "transport implements the same fetch_page contract"
+        "unsupported endpoint scheme; file:// and http(s):// transports "
+        "implement the fetch_page contract"
     )
 
 

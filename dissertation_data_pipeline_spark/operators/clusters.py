@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_survivors"]
+__all__ = [
+    "connected_components",
+    "connected_components_star",
+    "dedup_survivors",
+]
 
 
 def connected_components(
@@ -99,6 +103,91 @@ def connected_components(
         prev_sum = s
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014): every strictly
+    larger neighbor of u is re-attached to the minimum of u's closed
+    neighborhood. Shrinks tall structures toward local minima."""
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """One small-star round: u and all its strictly smaller neighbors
+    attach to the minimum of that set. Flattens local structures into
+    stars rooted at minima."""
+    small = sym.filter(F.col("v") < F.col("u"))
+    m = small.groupBy("u").agg(F.min("v").alias("m"))
+    reattach = (
+        small.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edge = m.select("u", F.col("m").alias("v"))
+    return reattach.union(self_edge).distinct()
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the adversarial-graph fallback for
+    ``connected_components``.
+
+    Same contract and identical output: (doc_id, component_id) for
+    every node appearing in a pair, component_id = min reachable id.
+    Min-label propagation with pointer jumping is O(log d) rounds on
+    the component *diameter*; large-star/small-star converges in
+    O(log^2 n) rounds regardless of diameter, so a 100 TB run with a
+    pathological chain component (crawl-chain near-dups, linked
+    revisions) terminates without the diameter dependence.
+
+    Each round is two join+groupBy stages over the edge list — the
+    same shuffle class as one propagation round — with
+    ``localCheckpoint`` truncating lineage per round. Convergence is a
+    set-equality probe (count match + one-sided anti diff), checked on
+    the star edge set which only ever contracts toward (node, root).
+    """
+    e = pairs.select(
+        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    edges = e.distinct().localCheckpoint()
+    prev_cnt = None
+    for _ in range(max_iter):
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        ls = _large_star(sym)
+        ls_sym = ls.union(ls.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        new_edges = _small_star(ls_sym).localCheckpoint(eager=False)
+        cnt = new_edges.count()
+        if prev_cnt is not None and cnt == prev_cnt:
+            # counts stable -> confirm set equality (distinct sets of
+            # equal size are equal iff the one-sided diff is empty)
+            if new_edges.exceptAll(edges).limit(1).count() == 0:
+                edges = new_edges
+                break
+        edges = new_edges
+        prev_cnt = cnt
+    # fixpoint: stars rooted at component minima — non-roots appear as
+    # u exactly once, roots only as v (self-labeled)
+    roots = edges.select(F.col("v").alias("id")).distinct()
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("label")).union(
+        roots.select("id", F.col("id").alias("label"))
+    )
+    return (
+        labels.groupBy("id")
+        .agg(F.min("label").alias("component_id"))
+        .select(F.col("id").alias("doc_id"), "component_id")
     )
 
 

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from dissertation_data_pipeline_spark.operators.clusters import (
     connected_components,
+    connected_components_star,
     dedup_survivors,
 )
 
@@ -51,3 +52,58 @@ def test_dedup_survivors_keep_canonical_and_untouched(spark):
 def test_empty_pairs_yield_empty_components(spark):
     cc = connected_components(_pairs(spark, []))
     assert cc.count() == 0
+
+
+# -- large-star/small-star fallback (Kiveris et al. 2014) -------------------
+
+def _union_find_oracle(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_long_chain_converges_with_bounded_rounds(spark):
+    """Adversarial diameter: a 120-node path. Large-star/small-star is
+    O(log^2 n) rounds independent of diameter — max_iter=12 would starve
+    pure per-hop propagation (diameter 119) but is ample here."""
+    edges = [(i, i + 1) for i in range(120)]
+    cc = connected_components_star(_pairs(spark, edges), max_iter=12)
+    got = {r["doc_id"]: r["component_id"] for r in cc.collect()}
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_star_matches_propagation_and_oracle_on_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(40 + 20 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = _pairs(spark, edges)
+        star = {r["doc_id"]: r["component_id"] for r in connected_components_star(df).collect()}
+        prop = {r["doc_id"]: r["component_id"] for r in connected_components(df).collect()}
+        oracle = _union_find_oracle(edges)
+        assert star == prop == oracle
+
+
+def test_star_multiple_components_direction_insensitive(spark):
+    cc = connected_components_star(
+        _pairs(spark, [(5, 1), (5, 9), (9, 7), (20, 21), (30, 31)])
+    )
+    got = {r["doc_id"]: r["component_id"] for r in cc.collect()}
+    assert got == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}

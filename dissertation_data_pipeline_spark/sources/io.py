@@ -142,6 +142,44 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+# K3 — styled Excel sink (legiscan_normalizer.py:386-399): one curated
+# sheet with auto-sized columns. Driver-side by construction — the
+# reference writes report-sized curation sheets, not data-plane output;
+# callers hand in an aggregate/report DataFrame (rows ≈ groups).
+def write_excel(
+    df: DataFrame,
+    path: str,
+    *,
+    sheet_name: str = "Bills",
+    autosize: bool = True,
+    width_cap: int = 50,
+) -> None:
+    """Write a small DataFrame to xlsx with the reference's column
+    sizing: width = min(max(cell length, header length), cap) + 2.
+    Needs pandas+openpyxl on the driver (same gate as ``read_excel``)."""
+    try:
+        import openpyxl.utils
+        import pandas as pd
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "Excel export needs pandas+openpyxl on the driver; "
+            "use write_table(fmt='csv') for the distributed path"
+        ) from e
+    pdf = df.toPandas()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with pd.ExcelWriter(path, engine="openpyxl") as writer:
+        pdf.to_excel(writer, index=False, sheet_name=sheet_name)
+        if autosize:
+            ws = writer.sheets[sheet_name]
+            for idx, col in enumerate(pdf.columns, 1):
+                longest = max(
+                    int(pdf[col].astype(str).map(len).max()) if len(pdf) else 0,
+                    len(str(col)),
+                )
+                letter = openpyxl.utils.get_column_letter(idx)
+                ws.column_dimensions[letter].width = min(longest, width_cap) + 2
+
+
 # O3 — glob-latest artifact resolution (fetch_texts.py:55-59,
 # normalize_corpus.py:234-240, build_corpus.py:35-39): the reference's
 # stage handoff is "newest timestamped file wins". Driver-side by

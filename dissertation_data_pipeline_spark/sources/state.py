@@ -37,14 +37,25 @@ class StateTable:
         return self.spark.read.schema(self.schema).parquet(self.path)
 
     def upsert(self, updates: DataFrame) -> None:
-        """Keep the newest row per key (updates win over current)."""
+        """Keep the newest row per key (updates win over current).
+
+        ``updates`` is expected to carry one row per key; if a batch
+        does contain duplicate keys, the survivor is chosen by a
+        deterministic total order over the non-key columns (stringified,
+        descending, NULLs last) rather than partition order — the same
+        batch always produces the same table."""
         current = self.read().withColumn("_gen", F.lit(0))
         incoming = updates.select(*[f.name for f in self.schema.fields]).withColumn(
             "_gen", F.lit(1)
         )
         from pyspark.sql import Window
 
-        w = Window.partitionBy(self.key).orderBy(F.desc("_gen"))
+        tiebreak = [
+            F.desc_nulls_last(F.col(f.name).cast("string"))
+            for f in self.schema.fields
+            if f.name != self.key
+        ]
+        w = Window.partitionBy(self.key).orderBy(F.desc("_gen"), *tiebreak)
         merged = (
             current.unionByName(incoming)
             .withColumn("_rn", F.row_number().over(w))

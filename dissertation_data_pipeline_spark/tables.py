@@ -40,11 +40,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects;
         # read nanos as long and truncate to microseconds (what every
         # micro-precision engine, incl. the DuckDB oracle, observes).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
+        # The legacy conf is scoped to this read: it's captured when the
+        # relation is planned, so restoring the prior value immediately
+        # after leaves later TIMESTAMP(NANOS) reads in a foreign session
+        # unaffected (verified: the returned DF still executes).
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            from pyspark.sql import functions as F
 
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -289,3 +289,53 @@ def test_pil_decoder_matches_png_decoder():
     png = _encode_png(6, 3, bytes((i * 5 + 1) % 256 for i in range(54)))
     assert mm.pil_image_decoder(png)[:3] == mm.png_image_decoder(png)[:3]
     assert mm.pil_image_decoder(png)[3] == pytest.approx(mm.png_image_decoder(png)[3])
+
+
+def test_state_table_upsert_duplicate_keys_deterministic(spark, tmpd):
+    """A batch with duplicate keys picks the same survivor on every run
+    (total order over stringified non-key columns, not partition order)."""
+    schema = StructType(
+        [StructField("key", StringType()), StructField("content_hash", StringType())]
+    )
+    for trial in range(2):
+        st = sstate.StateTable(spark, f"{tmpd}/dupstate{trial}", schema, "key")
+        dup = spark.createDataFrame(
+            [("k", "h-alpha"), ("k", "h-zulu"), ("k", "h-mike")], schema
+        ).repartition(3 + trial)  # different partitionings, same winner
+        st.upsert(dup)
+        got = st.read().collect()
+        assert len(got) == 1
+        assert got[0]["content_hash"] == "h-zulu"  # max stringified value
+
+
+def test_load_table_events_restores_nanos_conf(spark, sf_dir):
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.set(key, "false")
+    df = load_table(spark, sf_dir, "events")
+    assert spark.conf.get(key) == "false"  # restored, not left session-wide
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert df.count() > 0  # conf captured at plan time; execution unaffected
+    spark.conf.unset(key)
+
+
+def test_write_excel_gated_or_styled(spark, tmpd):
+    df = spark.createDataFrame(
+        [("CO_HB1", "x" * 80), ("CO_HB22", "short")], "bill_id string, title string"
+    )
+    path = f"{tmpd}/out.xlsx"
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            sio.write_excel(df, path)
+        return
+    sio.write_excel(df, path)
+    import openpyxl
+
+    ws = openpyxl.load_workbook(path)["Bills"]
+    assert ws.max_row == 3  # header + 2 rows
+    # reference sizing: min(max_len, 50) + 2
+    assert ws.column_dimensions["A"].width == len("CO_HB22") + 2
+    assert ws.column_dimensions["B"].width == 50 + 2

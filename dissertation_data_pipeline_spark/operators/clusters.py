@@ -40,17 +40,65 @@ __all__ = [
 ]
 
 
+def _single_task_components(e: DataFrame) -> DataFrame:
+    """Union-find over an edge list small enough for one task: the
+    second level of the two-level strategy (see connected_components).
+    One narrow shuffle to a single partition, one pass, no per-round
+    global barriers. Deterministic min-id roots."""
+
+    def solve(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                rs, rd = find(int(s)), find(int(d))
+                if rs != rd:
+                    # min root wins -> component ids are min reachable ids
+                    parent[max(rs, rd)] = min(rs, rd)
+        yield pd.DataFrame(
+            {
+                "doc_id": list(parent.keys()),
+                "component_id": [find(x) for x in parent.keys()],
+            }
+        )
+
+    return e.coalesce(1).mapInPandas(solve, "doc_id long, component_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 25,
+    small_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Resolve an undirected pair list to components.
 
     Returns (doc_id, component_id) for every node that appears in at
     least one pair, where component_id is the min doc_id reachable from
     the node. Deterministic for any input order or partitioning.
+
+    Two-level strategy: the edge list is materialized once
+    (localCheckpoint) and counted. At or below
+    ``small_edge_threshold`` edges the graph is solved by union-find
+    in a single task (~16 bytes/edge — the default 2M edges is tens of
+    MB, far under task memory), because an iterative loop's cost at
+    that size is pure per-round job latency, not data. Above it, the
+    distributed min-label propagation below takes over. This is the
+    100 TB shape: upstream contraction (e.g.
+    dedup_ext.simhash_component_edges) shrinks a corpus-sized problem
+    to a near-dup graph that usually fits one task; when it doesn't,
+    the loop — or connected_components_star for adversarial diameters
+    — handles it without any driver-side collect.
     """
     # materialize the (possibly expensive) pair plan ONCE, first:
     # self-unions and distincts below do NOT reuse exchanges, so every
@@ -59,6 +107,8 @@ def connected_components(
     e = pairs.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     ).localCheckpoint()
+    if e.count() <= small_edge_threshold:
+        return _single_task_components(e)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     nodes = sym.select("src").distinct()
     # self-edges make "min over neighborhood" include the node itself,

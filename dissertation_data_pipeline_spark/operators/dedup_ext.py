@@ -397,45 +397,23 @@ def simhash(col: Column | str, bits: int = 48) -> Column:
     return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    max_hamming: int = 3,
-    bits: int = 48,
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 48
 ) -> DataFrame:
-    """Near-dup pairs by SimHash banding, verified by Hamming distance
-    <= ``max_hamming``.
-
-    Banding is **recall-exact by pigeonhole**: ``max_hamming + 1``
-    bands means any pair within the radius agrees on at least one whole
-    band, so the verified output is identical to a brute-force O(n^2)
-    Hamming join — which is exactly what the oracle computes.
-
-    Scale notes (measured on the homogeneous-vocabulary corpus):
-    - SimHash bits are *biased* when documents share a vocabulary, so
-      band buckets skew hard. Wider bands (48/4 = 12 bits here, vs
-      8-bit bytes) cut the largest bucket ~16x; AQE skew-join handles
-      the residue.
-    - The Hamming predicate is applied to the raw join output — one
-      cheap xor+bit_count per candidate — *before* the distinct, so the
-      dedup shuffle only carries true near-dup pairs, not the millions
-      of skew-bucket candidates.
-    """
-    bands_n = max_hamming + 1  # pigeonhole-exact cover of the radius
-    assert bits % bands_n == 0, "band count must divide signature width"
+    """Per-document SimHash as a plain aggregation over distinct-token
+    postings — identical values to ``simhash()``, but safe to feed
+    generators/joins (the fold-based column form must not reach an
+    explode; see the generator/HOF trap in the module docstring).
+    ``bits`` int sums with map-side partial aggregation; the final long
+    is assembled from the count columns with plain arithmetic.
+    Returns (_id, _sh)."""
     assert bits % 4 == 0, "bits must be whole hex digits"
-    width = bits // bands_n
-    mask = (1 << width) - 1
-
-    # signature as a plain aggregation over distinct-token postings
-    # (identical values to simhash(); see the generator/HOF trap — the
-    # fold-based column form must not feed the band explode below).
-    # 48 int sums with map-side partial aggregation; the final long is
-    # assembled from the count columns with plain arithmetic.
+    # the tokenize+explode projection is per-row-heavy and runs BEFORE
+    # the first shuffle — spread a narrow scan across cores first
+    # (measured 9 s -> 3.7 s at sf0.1 on the single-row-group file)
     tp = (
-        df.select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
+        _spread(df)
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
         .distinct()
     )
     tv = tp.select(
@@ -460,9 +438,16 @@ def simhash_pairs(
             F.lit(0).cast("long")
         )
         sig_expr = term if sig_expr is None else sig_expr + term
-    base = counts.select("_id", sig_expr.alias("_sh"))
+    return counts.select("_id", sig_expr.alias("_sh"))
+
+
+def _band_explode(
+    base: DataFrame, keep_col: str, bands_n: int, width: int, mask: int
+) -> DataFrame:
+    """Explode (keep_col, _sh) to one row per signature band,
+    repartitioned on the band key (the pair-join layout)."""
     bands = base.select(
-        "_id",
+        keep_col,
         "_sh",
         F.explode(
             F.array(
@@ -477,27 +462,187 @@ def simhash_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("_id", "_sh", "band.band_idx", "band.band_val")
+    ).select(keep_col, "_sh", "band.band_idx", "band.band_val")
+    return bands.repartition("band_idx", "band_val")
 
-    # same repartition rationale as minhash_lsh_pairs
-    bands = bands.repartition("band_idx", "band_val")
-    a, b = bands.alias("a"), bands.alias("b")
-    hamming = F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh")))
+
+def _signature_pairs(base, max_hamming: int, bits: int) -> DataFrame:
+    """Distinct near-dup SIGNATURE pairs (sh_a < sh_b) by pigeonhole
+    banding over the distinct signatures of ``base`` (_id, _sh).
+    Recall-exact: max_hamming+1 bands means any signature pair within
+    the radius agrees on at least one whole band."""
+    bands_n = max_hamming + 1
+    assert bits % bands_n == 0, "band count must divide signature width"
+    width = bits // bands_n
+    mask = (1 << width) - 1
+    sigs = base.select("_sh").distinct()
+    sbands = sigs.select(
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("_sh"), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(bands_n)
+                ]
+            )
+        ).alias("band"),
+    ).select("_sh", "band.band_idx", "band.band_val").repartition(
+        "band_idx", "band_val"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a._id") < F.col("b._id")),
+        sbands.selectExpr("band_idx", "band_val", "_sh as sh_a")
+        .join(
+            sbands.selectExpr("band_idx", "band_val", "_sh as sh_b"),
+            ["band_idx", "band_val"],
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            hamming.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
+        .filter(F.col("sh_a") < F.col("sh_b"))
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= max_hamming)
+        .select("sh_a", "sh_b")
         .distinct()
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bits: int = 48,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding, verified by Hamming distance
+    <= ``max_hamming``.
+
+    Banding is **recall-exact by pigeonhole**: ``max_hamming + 1``
+    bands means any pair within the radius agrees on at least one whole
+    band, so the verified output is identical to a brute-force O(n^2)
+    Hamming join — which is exactly what the oracle computes.
+
+    Scale notes (measured on the homogeneous-vocabulary corpus):
+    - SimHash bits are *biased* when documents share a vocabulary, so
+      band buckets skew hard. Wider bands (48/4 = 12 bits here, vs
+      8-bit bytes) cut the largest bucket ~16x; AQE skew-join handles
+      the residue.
+    - **Signature contraction**: Hamming distance depends only on
+      signatures, so the band join runs over the *distinct signatures*
+      and member pairs are expanded afterwards. A k-document duplicate
+      family contributes 1 band row instead of k, so skew-bucket
+      candidate counts shrink with the square of the duplication
+      factor, and the expansion join is output-bound — every row it
+      produces is a true pair. This also eliminates the final
+      ``distinct`` entirely: distinct signature pairs are emitted once
+      (not once per agreeing band), and same-signature pairs are
+      disjoint from cross-signature ones by construction.
+    """
+    # checkpoint: feeds the band join and both expansion legs (Spark
+    # re-evaluates the token-posting aggregation per consumer otherwise)
+    base = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint()
+    sig_pairs = _signature_pairs(base, max_hamming, bits)
+    ma = base.select(F.col("_id").alias("_ida"), F.col("_sh").alias("sh_a"))
+    mb = base.select(F.col("_id").alias("_idb"), F.col("_sh").alias("sh_b"))
+    cross = (
+        sig_pairs.join(ma, "sh_a")
+        .join(mb, "sh_b")
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    x, y = base.alias("x"), base.alias("y")
+    same = (
+        x.join(
+            y,
+            (F.col("x._sh") == F.col("y._sh")) & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.union(same)
+
+
+def simhash_component_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    bits: int = 48,
+) -> DataFrame:
+    """A *reduced* edge list whose connected components are provably
+    identical to ``connected_components(simhash_pairs(df))`` — built
+    for cluster resolution, where materializing every near-dup pair is
+    quadratic waste.
+
+    Hamming distance depends only on signatures, so signature-equal
+    documents are interchangeable: contract each signature group to its
+    min-id representative, band-join only the **distinct signatures**
+    (a k-document duplicate family collapses from k band rows to 1),
+    then attach members to their representative by a star edge.
+
+    Exactness: every emitted edge is a true near-dup pair (member~rep
+    has Hamming 0; rep~rep pairs are Hamming-verified), so reduced
+    components refine the true ones; conversely any true pair (x, y)
+    is connected through rep(x)~rep(y) (same group, or a verified
+    distinct-signature pair), so the components are equal. Groups that
+    would contribute no pair at all (size 1, no partner signature) are
+    excluded, preserving the "nodes appearing in >= 1 pair" contract.
+
+    Edge count is linear (n_members + n_signature_pairs) versus the
+    pair list's sum of quadratic clique terms — at sf0.1 this is ~9k
+    edges instead of ~425k, and at 100 TB it is the difference between
+    an edge list proportional to the corpus and one proportional to
+    the square of the duplication factor.
+    """
+    # The signature aggregation is the expensive stage and feeds every
+    # consumer below; Spark does not reliably reuse exchanges across
+    # self-references, so checkpoint the two tiny contracted tables
+    # (two longs per doc / per signature) — one pass over the corpus,
+    # then all graph construction runs on contracted data.
+    base = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint()
+    groups = (
+        base.groupBy("_sh")
+        .agg(F.min("_id").alias("_gid"), F.count(F.lit(1)).alias("_gsize"))
+        .localCheckpoint()
+    )
+    ga = groups.select(F.col("_sh").alias("sh_a"), F.col("_gid").alias("_gida"))
+    gb = groups.select(F.col("_sh").alias("sh_b"), F.col("_gid").alias("_gidb"))
+    rep_pairs = (
+        _signature_pairs(base, max_hamming, bits)
+        .join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .select(
+            F.least("_gida", "_gidb").alias("id_a"),
+            F.greatest("_gida", "_gidb").alias("id_b"),
+        )
+    )
+    paired_gids = (
+        rep_pairs.select(F.col("id_a").alias("_gid"))
+        .union(rep_pairs.select(F.col("id_b").alias("_gid")))
+        .distinct()
+    )
+    qualifying = (
+        groups.filter(F.col("_gsize") > 1)
+        .select("_sh", "_gid")
+        .union(groups.join(paired_gids, "_gid", "left_semi").select("_sh", "_gid"))
+        .distinct()
+    )
+    member_edges = (
+        base.join(qualifying, "_sh")
+        .filter(F.col("_id") != F.col("_gid"))
+        .select(F.col("_id").alias("id_a"), F.col("_gid").alias("id_b"))
+    )
+    return rep_pairs.union(member_edges)
 
 
 # ---------------------------------------------------------------------------

@@ -215,17 +215,21 @@ def ext_simhash_pairs(spark, sf_dir):
 )
 def ext_near_dup_components(spark, sf_dir):
     """[EXT] pairs -> duplicate clusters: iterative min-label
-    propagation (operators/clusters.py) over the SimHash near-dup edge
-    list. The oracle is a recursive CTE computing min reachable id —
-    the fixpoint both formulations converge to."""
+    propagation (operators/clusters.py) over the signature-contracted
+    SimHash edge list (simhash_component_edges: duplicate families
+    collapse to star edges, distinct signatures band-join — provably
+    the same components as the full pair list at a linear edge count).
+    The oracle is a recursive CTE computing min reachable id over the
+    *full* pair list — the fixpoint both formulations converge to,
+    which is itself the proof the contraction loses nothing."""
     from dissertation_data_pipeline_spark.operators.clusters import (
         connected_components,
     )
 
-    pairs = dx.simhash_pairs(
+    edges = dx.simhash_component_edges(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
-    return connected_components(pairs)
+    return connected_components(edges)
 
 
 @register(

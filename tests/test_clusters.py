@@ -15,16 +15,25 @@ def _pairs(spark, edges):
     return spark.createDataFrame(edges, "id_a long, id_b long")
 
 
-def test_chain_converges_to_min_label(spark):
+import pytest
+
+
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["union-find", "loop"])
+def test_chain_converges_to_min_label(spark, threshold):
     # a 6-node path: needs multiple propagation rounds, not one hop
-    cc = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]))
+    cc = connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]),
+        small_edge_threshold=threshold,
+    )
     got = {r["doc_id"]: r["component_id"] for r in cc.collect()}
     assert got == {i: 1 for i in range(1, 7)}
 
 
-def test_multiple_components_and_isolated_pairs(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["union-find", "loop"])
+def test_multiple_components_and_isolated_pairs(spark, threshold):
     cc = connected_components(
-        _pairs(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)])
+        _pairs(spark, [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)]),
+        small_edge_threshold=threshold,
     )
     got = {r["doc_id"]: r["component_id"] for r in cc.collect()}
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
@@ -96,9 +105,13 @@ def test_star_matches_propagation_and_oracle_on_random_graphs(spark):
         edges = [(a, b) for a, b in edges if a != b]
         df = _pairs(spark, edges)
         star = {r["doc_id"]: r["component_id"] for r in connected_components_star(df).collect()}
-        prop = {r["doc_id"]: r["component_id"] for r in connected_components(df).collect()}
+        prop = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(df, small_edge_threshold=0).collect()
+        }
+        auto = {r["doc_id"]: r["component_id"] for r in connected_components(df).collect()}
         oracle = _union_find_oracle(edges)
-        assert star == prop == oracle
+        assert star == prop == auto == oracle
 
 
 def test_star_multiple_components_direction_insensitive(spark):

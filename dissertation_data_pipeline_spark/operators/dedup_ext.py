@@ -272,7 +272,12 @@ def minhash_lsh_pairs(
     coeffs = MINHASH_COEFFS[:num_hashes]
     assert len(coeffs) == num_hashes, "extend MINHASH_COEFFS for more hashes"
 
-    post = shingle_postings(df, id_col, text_col, n=shingle_words)
+    # postings feed the signature AND both verification legs, and the
+    # signature feeds banding AND the union-size lookup — Spark does
+    # not reliably reuse exchanges across self-references, so without
+    # checkpoints the posexplode+lead+distinct pipeline runs three
+    # times (measured; same trap as simhash_signatures)
+    post = shingle_postings(df, id_col, text_col, n=shingle_words).localCheckpoint()
     hp = post.select("_id", shingle_hash(F.col("_shingle")).alias("_h"))
     sig = hp.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -282,7 +287,7 @@ def minhash_lsh_pairs(
             )
             for i, (a, b) in enumerate(coeffs)
         ],
-    )
+    ).localCheckpoint()
 
     band_entries = sig.select(
         "_id",
@@ -678,9 +683,12 @@ def blocked_jaccard_pairs(
     """
     assert block_cols, "blocked_jaccard_pairs requires blocking columns"
     assert threshold > 0, "zero-overlap pairs are not representable"
+    # checkpoint: the posting pipeline feeds the size lookup and BOTH
+    # sides of the inverted-index self-join (self-joins do not reuse
+    # exchanges — it would otherwise run three times)
     post = shingle_postings(
         df, id_col, text_col, n=ngram_words, carry_cols=block_cols
-    )
+    ).localCheckpoint()
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     postings = post.repartition(*block_cols, "_shingle")  # co-locate + spread lists
     a, b = postings.alias("a"), postings.alias("b")

@@ -587,6 +587,7 @@ from dissertation_data_pipeline_spark.plans import queries_training  # noqa: E40
 from dissertation_data_pipeline_spark.plans import queries_multimodal  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_skew  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_temporal  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_tpch2  # noqa: E402,F401
 
 # Gate-coverage policy for this round (see DRIVER_PRIORITY docstring):
 # 1. queries fixed since the last gate run (array serialization, BIGINT
@@ -666,5 +667,17 @@ set_driver_priority(
         "fs5_title_case",
         "fs10_safe_filename",
         "o1_o5_sorted_frequency",
+        # -- 3: second TPC-H wave (added round 2, never checked) ----------
+        "tpch_q4_order_priority",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q12_late_lines_by_status",
+        "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_part_supplier_variety",
+        "tpch_q17_small_qty_revenue",
+        "tpch_q19_disc_revenue_or",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_idle_customers",
     ]
 )

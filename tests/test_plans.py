@@ -81,6 +81,31 @@ def test_tpch_q5_broadcasts_small_dims(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_tpch_q8_snowflake_broadcasts_every_dim(spark):
+    """Q8 joins 8 relations; all six dimension sides (part, customer,
+    nation x2, region-pruned nations, supplier) must broadcast so the
+    only shuffle join is lineitem-orders — at 100 TB that plan touches
+    the two fact tables exactly once each."""
+    df = QUERIES["tpch_q8_market_share"].fn(spark, SF_DIR)
+    plan = plan_str(df)
+    n_bhj = plan.count("BroadcastHashJoin")
+    assert n_bhj >= 5, f"expected >=5 broadcast joins in Q8, got {n_bhj}"
+    n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_smj <= 1, (
+        f"Q8 should shuffle-join at most once (lineitem-orders), got {n_smj}"
+    )
+
+
+def test_tpch_q16_excludes_suppliers_without_shuffle(spark):
+    """The NOT-IN supplier exclusion must plan as a broadcast anti-join,
+    not a shuffled one — the exclusion list is dim-sized."""
+    df = QUERIES["tpch_q16_part_supplier_variety"].fn(spark, SF_DIR)
+    plan = plan_str(df)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), (
+        "broadcast anti-join missing:\n" + plan[:2000]
+    )
+
+
 def test_pair_join_repartitions_by_bucket(spark):
     """LSH candidate generation must shuffle by band bucket — the skew
     and parallelism strategy — rather than broadcast-probe one side."""
@@ -116,12 +141,16 @@ def test_no_cartesian_products_in_registry(spark):
       vector against every coarse centroid — that IS the operator);
       the probe pass itself joins equi on cell_id.
     - ``ext_key_skew_report``: a single-row totals frame broadcast to
-      attach corpus-level denominators."""
+      attach corpus-level denominators.
+    - ``tpch_q22_idle_customers``: the global (cnt, sum) 1-row
+      aggregate broadcast to every customer partition — the exact
+      above-average predicate needs the corpus denominator rowside."""
     allowed = {
         "ext_ann_brute_topk",
         "ext_ann_ivf_topk",
         "ext_ann_ivf_trained_topk",  # same centroid broadcast as ivf_topk
         "ext_key_skew_report",
+        "tpch_q22_idle_customers",
     }
     offenders = {}
     for name, q in QUERIES.items():

@@ -417,3 +417,83 @@ def hyperplane_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.35,
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the coarse quantizer,
+    then *within each cluster* mark a vector as a semantic duplicate
+    when some cluster-mate with a smaller id is cosine-similar above
+    ``tau``. Keep-first-by-id is the deterministic stand-in for the
+    paper's keep-lowest-centroid-similarity rule — the removal *set
+    size* per duplicate family is identical (all but one survive).
+
+    The clustering bounds the pairwise work to sum(|cell|^2) instead
+    of |corpus|^2 — the property that makes SemDeDup run at dataset
+    scale. At 100 TB: corpus written partitioned by ``cell_id`` makes
+    the self-join co-partitioned (no shuffle beyond the assignment),
+    and cells are sized ~sqrt(N) via ``n_cells``.
+
+    Returns one row per corpus vector:
+    (id, cell_id, max_prior_sim, keep) where ``max_prior_sim`` is the
+    highest cosine to any smaller-id cluster-mate (-1.0 when the
+    vector is the smallest id in its cell) and ``keep`` = 0/1.
+
+    Reference analog: the reference dedups rows by exact key
+    (/root/reference/build_master_corpus.py:238-258); this extends the
+    same keep-one-survivor contract to embedding space.
+    """
+    cents = ivf_centroids(
+        corpus, corpus_id=id_col, corpus_vec=vec_col, n_cells=n_cells
+    )
+    # assignment is referenced three times (both self-join sides + the
+    # final survivor list); checkpoint so the crossJoin+rank runs once
+    cells = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("_vn"), F.col("cell_id")
+    ).repartition("cell_id").localCheckpoint(eager=False)
+    a = cells.select(
+        "cell_id",
+        F.col(id_col).alias("_a_id"),
+        F.col(vec_col).alias("_a_vec"),
+        F.col("_vn").alias("_a_n"),
+    )
+    b = cells.select(
+        "cell_id",
+        F.col(id_col).alias("_b_id"),
+        F.col(vec_col).alias("_b_vec"),
+        F.col("_vn").alias("_b_n"),
+    )
+    prior_max = (
+        a.join(b, "cell_id")
+        .filter(F.col("_b_id") < F.col("_a_id"))
+        .groupBy(F.col("_a_id").alias(id_col))
+        .agg(
+            F.max(
+                cosine_pre("_a_vec", "_b_vec", F.col("_a_n"), F.col("_b_n"))
+            ).alias("_mps")
+        )
+    )
+    return (
+        cells.select(id_col, "cell_id")
+        .join(prior_max, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.round(F.coalesce(F.col("_mps"), F.lit(-1.0)), 6).alias(
+                "max_prior_sim"
+            ),
+            F.when(
+                F.coalesce(F.col("_mps"), F.lit(-1.0)) >= F.lit(float(tau)),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("keep"),
+        )
+    )

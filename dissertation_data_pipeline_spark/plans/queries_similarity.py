@@ -334,3 +334,42 @@ def ext_vector_stats(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("avg_norm"),
     )
+
+
+@register(
+    "ext_semantic_dedup",
+    f"""
+    WITH cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 16
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, k.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_cos('c.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings c, cents k) WHERE cr = 1
+    ),
+    prior AS (
+      SELECT a.vec_id, max({_cos('a.embedding', 'b.embedding')}) AS mps
+      FROM cells a JOIN cells b
+        ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT c.vec_id, c.cell_id,
+           round(coalesce(p.mps, -1.0), 6) AS max_prior_sim,
+           CASE WHEN coalesce(p.mps, -1.0) >= 0.35 THEN 0 ELSE 1 END AS keep
+    FROM cells c LEFT JOIN prior p USING (vec_id)
+    """,
+)
+def ext_semantic_dedup(spark, sf_dir):
+    """[EXT] SemDeDup semantic deduplication: coarse-quantizer
+    clustering bounds pairwise cosine work to within-cell; a vector is
+    dropped when a smaller-id cluster-mate is more similar than tau.
+    One decision row per vector (keep in {{0,1}})."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding", tau=0.35, n_cells=16
+    )

@@ -154,3 +154,45 @@ def ext_doc_fingerprint(spark, sf_dir):
     mod 1e9+7), strict left fold — order-sensitive, engine-exact."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", ta.doc_fingerprint("text").alias("fingerprint"))
+
+
+_PII_SQL = dict(ta.PII_PATTERNS)  # DuckDB quotes pass backslashes through verbatim
+_TERM_SQL = r"\b(customer|vector)\b"
+_REDACTED = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{_PII_SQL['email']}', '[PII:email]', 'g'), "
+    f"'{_PII_SQL['url']}', '[PII:url]', 'g'), "
+    f"'{_PII_SQL['phone']}', '[PII:phone]', 'g'), "
+    f"'{_TERM_SQL}', '[TERM]', 'g')"
+)
+
+
+@register(
+    "ext_pii_redaction",
+    f"""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '{_PII_SQL["email"]}')) AS BIGINT) AS n_email,
+           CAST(length(regexp_extract_all(text, '{_PII_SQL["url"]}')) AS BIGINT) AS n_url,
+           CAST(length(regexp_extract_all(text, '{_PII_SQL["phone"]}')) AS BIGINT) AS n_phone,
+           CAST(length(regexp_extract_all(text, '{_TERM_SQL}')) AS BIGINT) AS n_terms,
+           md5({_REDACTED}) AS redacted_md5,
+           CAST(length({_REDACTED}) AS BIGINT) AS redacted_len
+    FROM documents
+    """,
+)
+def ext_pii_redaction(spark, sf_dir):
+    """[EXT] PII + dictionary redaction over the corpus: per-kind match
+    counts and the md5/length of the redacted text (the text itself
+    stays out of the result on purpose — at scale the rewritten corpus
+    is a sink, not a query result)."""
+    d = load_table(spark, sf_dir, "documents")
+    r = ta.redact("text")
+    return d.select(
+        "doc_id",
+        r["n_email"].alias("n_email"),
+        r["n_url"].alias("n_url"),
+        r["n_phone"].alias("n_phone"),
+        r["n_terms"].alias("n_terms"),
+        F.md5(r["redacted"]).alias("redacted_md5"),
+        F.length(r["redacted"]).cast("long").alias("redacted_len"),
+    )

@@ -155,3 +155,66 @@ def test_kmeans_refine_monotone_sse_and_deterministic(spark, sf_dir):
     a = {r["cell_id"]: list(r["centroid"]) for r in c1.collect()}
     b = {r["cell_id"]: list(r["centroid"]) for r in c1b.collect()}
     assert a == b
+
+
+def test_semantic_dedup_keeps_one_per_family(spark):
+    # three exact duplicates + one far-away vector: the smallest id of
+    # the family survives, the rest are marked semantic duplicates
+    dup = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, dup), (9, [0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in sim.semantic_dedup(
+            df, tau=0.9, n_cells=1
+        ).collect()
+    }
+    assert out[1]["keep"] == 1 and out[1]["max_prior_sim"] == -1.0
+    assert out[2]["keep"] == 0 and out[2]["max_prior_sim"] == 1.0
+    assert out[3]["keep"] == 0
+    assert out[9]["keep"] == 1  # orthogonal to everything
+
+
+def test_semantic_dedup_cluster_scoped(spark):
+    # duplicates split across cells are NOT compared (the SemDeDup
+    # trade: pairwise work is bounded by the clustering) — with one
+    # cell they are. n_cells=1 here pins the within-cell contract.
+    dup = [1.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, dup), (2, dup)], "vec_id long, embedding array<float>"
+    )
+    out = sim.semantic_dedup(df, tau=0.5, n_cells=1).collect()
+    assert sum(r["keep"] for r in out) == 1
+
+
+def test_redact_counts_and_rewrite(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@x.co or https://x.co/y now"),
+            (2, "call 555-123-4567 about the customer vector"),
+            (3, "customers are not redacted, customer is"),
+        ],
+        "doc_id long, text string",
+    )
+    r = ta.redact("text")
+    rows = {
+        row["doc_id"]: row
+        for row in df.select(
+            "doc_id",
+            r["n_email"].alias("e"),
+            r["n_url"].alias("u"),
+            r["n_phone"].alias("p"),
+            r["n_terms"].alias("t"),
+            r["redacted"].alias("red"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["u"]) == (1, 1)
+    assert "[PII:email]" in rows[1]["red"] and "[PII:url]" in rows[1]["red"]
+    assert rows[2]["p"] == 1 and rows[2]["t"] == 2
+    assert "[PII:phone]" in rows[2]["red"]
+    assert rows[2]["red"].count("[TERM]") == 2
+    # whole-word: "customers" survives, bare "customer" does not
+    assert rows[3]["t"] == 1
+    assert "customers" in rows[3]["red"] and " customer " not in rows[3]["red"]

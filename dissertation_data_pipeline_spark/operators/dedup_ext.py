@@ -716,3 +716,46 @@ def blocked_jaccard_pairs(
         out.select(*block_cols, "id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicated_shingle_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document duplicated-n-gram diagnostic (the corpus-level
+    twin of Gopher's within-doc repetition filters; RefinedWeb prunes
+    on exactly this signal): for each document, the fraction of its
+    *distinct* word-n-gram shingles that also occur in at least one
+    other document. High ``dup_frac`` marks boilerplate/template docs
+    that survive exact dedup.
+
+    Plan: the shingle long form (codegen, no HOF explode) feeds a
+    document-frequency hash aggregate (map-side combine on the shingle
+    key), joined back to the postings and re-aggregated per doc — two
+    shuffles total, both on high-cardinality keys, no pairwise work at
+    all. At 100 TB this is strictly cheaper than any pair join and is
+    the right first-pass filter before LSH.
+    """
+    post = shingle_postings(df, id_col, text_col, n=n).localCheckpoint(
+        eager=False
+    )
+    dfreq = post.groupBy("_shingle").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        post.join(dfreq, "_shingle")
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_shingles"), 6
+            ).alias("dup_frac"),
+        )
+    )

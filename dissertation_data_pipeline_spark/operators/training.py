@@ -285,3 +285,55 @@ def scrub_text(col: Column) -> Column:
     c = F.regexp_replace(c, r"[\w.+-]+@[\w-]+\.[\w.]+", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Fixed-token-window chunking with overlap (retrieval/RAG prep):
+    each document yields chunks of up to ``window`` tokens starting
+    every ``stride`` tokens; a trailing chunk wholly contained in its
+    predecessor is dropped (kept iff start == 0 or
+    start + window - stride < n_tokens).
+
+    The chunk *starts* come from a plain ``sequence`` + ``posexplode``
+    with the containment rule as a post-explode WHERE — never a lambda
+    HOF under a generator (interpreted + re-evaluated per output row).
+    ``slice``/``array_join`` assemble the chunk text on the codegen
+    path. Scan-shaped: no shuffle at all, chunks inherit the document
+    partitioning — at 100 TB this runs at read speed and the output is
+    written partitioned the same way.
+    """
+    toks = F.split(F.col(text_col), " ")
+    df = df.select(
+        F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n")
+    )
+    out = (
+        df.select(
+            id_col,
+            "_t",
+            "_n",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            ).alias("chunk_idx", "start_pos"),
+        )
+        .filter(
+            (F.col("start_pos") == 0)
+            | (F.col("start_pos") + F.lit(window - stride) < F.col("_n"))
+        )
+    )
+    chunk = F.slice("_t", F.col("start_pos") + 1, F.lit(window))
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.least(F.lit(window), F.col("_n") - F.col("start_pos"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

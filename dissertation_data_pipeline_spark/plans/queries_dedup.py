@@ -260,3 +260,27 @@ def ext_blocked_jaccard_pairs(spark, sf_dir):
         ["lang", "source"],
         threshold=0.2,
     )
+
+
+@register(
+    "ext_dup_ngram_fraction",
+    f"""
+    WITH {_SHINGLE_CTE},
+    post AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    dfreq AS (SELECT s, count(*) AS df FROM post GROUP BY s)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           round(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_frac
+    FROM post p JOIN dfreq d ON p.s = d.s
+    GROUP BY p.doc_id
+    """,
+)
+def ext_dup_ngram_fraction(spark, sf_dir):
+    """[EXT] per-document duplicated-3-gram fraction: share of a doc's
+    distinct shingles that occur in other docs (the corpus-level
+    boilerplate signal RefinedWeb prunes on). Postings -> document
+    frequency -> per-doc re-aggregate; no pairwise work."""
+    d = load_table(spark, sf_dir, "documents")
+    return dx.duplicated_shingle_fraction(d, "doc_id", "text", n=3)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dissertation_data_pipeline_spark.operators.training import (
+    chunk_documents,
     corpus_top_bigrams,
     decontaminate_report,
     domain_resample,
@@ -255,3 +256,31 @@ def ext_scrub_text(spark, sf_dir):
         F.lit(" See HTTPS://Ex.com/a?b=1 or mail Bob.Smith+x@ex-ample.org end"),
     )
     return docs.select("doc_id", scrub_text(dirty).alias("scrubbed"))
+
+
+@register(
+    "ext_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t, len(t) AS n,
+             unnest(range(0, len(t), 24)) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start / 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_pos,
+           CAST(least(32, n - start) AS BIGINT) AS chunk_tokens,
+           md5(array_to_string(t[start + 1 : start + 32], ' ')) AS chunk_md5
+    FROM st
+    WHERE start = 0 OR start + 8 < n
+    """,
+)
+def ext_chunk_documents(spark, sf_dir):
+    """[EXT] fixed-window token chunking with overlap (32-token
+    windows every 24 tokens; trailing fully-contained windows
+    dropped). Scan-shaped retrieval/RAG prep — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", window=32, stride=24)

@@ -55,3 +55,26 @@ def test_blocked_jaccard_requires_blocks(spark):
     out = dx.blocked_jaccard_pairs(docs(spark), "doc_id", "text", ["lang", "source"], threshold=0.9)
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1, 2) in got
+
+
+def test_duplicated_shingle_fraction(spark):
+    from dissertation_data_pipeline_spark.operators.dedup_ext import (
+        duplicated_shingle_fraction,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: "a b c", "b c d"
+            (2, "a b c x"),          # shares "a b c" with doc 1
+            (3, "p q r s"),          # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_shingle_fraction(df, "doc_id", "text").collect()
+    }
+    assert out[1]["n_shingles"] == 2 and out[1]["n_dup"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[2]["n_dup"] == 1
+    assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0

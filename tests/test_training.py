@@ -160,3 +160,29 @@ def test_decontaminate_report_finds_planted_overlap(spark):
     # doc 1 shares: "the quick brown","quick brown fox","brown fox jumps","fox jumps over" = 4
     # doc 3 shares the first three = 3; doc 2 shares none
     assert got == {(1, 100): 4, (3, 100): 3}
+
+
+def test_chunk_documents_windows_and_containment(spark):
+    from dissertation_data_pipeline_spark.operators.training import chunk_documents
+
+    mk = lambda n: " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        [(1, mk(40)), (2, mk(30)), (3, mk(10)), (4, mk(100))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, window=32, stride=24)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["start_pos"], r["chunk_tokens"]))
+        for r in out.collect()
+    )
+    by_doc = {}
+    for d, i, s, n in rows:
+        by_doc.setdefault(d, []).append((i, s, n))
+    # 40 tokens -> [0:32] and [24:40]
+    assert by_doc[1] == [(0, 0, 32), (1, 24, 16)]
+    # 30 tokens -> single chunk covers all; start=24 chunk is contained -> dropped
+    assert by_doc[2] == [(0, 0, 30)]
+    assert by_doc[3] == [(0, 0, 10)]
+    # 100 tokens -> starts 0,24,48,72,96; 96+8 >= 100 -> last dropped
+    assert [s for _, s, _ in by_doc[4]] == [0, 24, 48, 72]
+    assert by_doc[4][-1][2] == 28  # 100 - 72

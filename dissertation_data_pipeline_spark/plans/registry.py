@@ -679,5 +679,8 @@ set_driver_priority(
         "tpch_q19_disc_revenue_or",
         "tpch_q21_waiting_suppliers",
         "tpch_q22_idle_customers",
+        # -- 3: round-2 additions (never checked): ext_semantic_dedup,
+        #       ext_pii_redaction, ext_dup_ngram_fraction,
+        #       ext_chunk_documents follow in registration order.
     ]
 )

@@ -161,3 +161,22 @@ def test_no_cartesian_products_in_registry(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders[name] = True
     assert not offenders, f"cartesian/nested-loop joins in: {sorted(offenders)}"
+
+
+def test_chunking_is_scan_shaped(spark):
+    # chunk extraction must stay shuffle-free: generate + filter +
+    # project over the scan, no Exchange anywhere
+    df = QUERIES["ext_chunk_documents"].fn(spark, SF_DIR)
+    plan = plan_str(df)
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan
+
+
+def test_dup_ngram_fraction_has_no_pair_join(spark):
+    # the dup-signal query is aggregate-shaped: document frequency +
+    # re-aggregate. Any cartesian/nested-loop node means a pairwise
+    # plan snuck in.
+    df = QUERIES["ext_dup_ngram_fraction"].fn(spark, SF_DIR)
+    plan = plan_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

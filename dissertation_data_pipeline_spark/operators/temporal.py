@@ -175,3 +175,84 @@ def time_rollup(
     return out.rollup(*extra, *[f"{ts}_{lv}" for lv in levels]).agg(
         F.grouping_id().alias("gid"), *aggs
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    *,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse a per-key
+    event stream into validity intervals of the tracked attribute.
+    A row opens a new interval when the attribute differs from the
+    previous event's value (or is the key's first event); the interval
+    closes when the next interval opens (open intervals get
+    ``is_current = 1`` and a far-future ``effective_to``).
+
+    The reference's master-corpus merge keeps only the *latest* row per
+    key (build_master_corpus.py:238-258 keep-best); SCD2 is the
+    history-preserving generalization warehouses use for the same feed.
+
+    Plan: two windows over one (key, ts) sort — a single shuffle on the
+    key, no joins. At 100 TB this partitions by key like any window;
+    AQE splits skewed keys at the sort.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = df.withColumn("_prev", F.lag(attr_col).over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        changed.withColumn("_next_ts", F.lead(ts_col).over(w2))
+        .select(
+            F.col(key_col),
+            F.col(attr_col),
+            F.col(ts_col).alias("effective_from"),
+            F.coalesce(
+                F.col("_next_ts"), F.lit("9999-12-31 00:00:00").cast("timestamp")
+            ).alias("effective_to"),
+            F.when(F.col("_next_ts").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_current"),
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    *,
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Batch sessionization: per key, a new session starts when the gap
+    to the previous event exceeds ``gap_seconds``; ``session_idx`` is
+    the running count of session starts (0-based). Gaps compare exact
+    epoch microseconds so any engine agrees on boundary events.
+
+    The streaming twin is ``streaming/windows.py``'s session window;
+    this is the backfill/batch form. One shuffle on the key (both
+    windows share the same sort), cumulative-sum framing pinned to
+    ROWS so timestamp ties cannot change the frame.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col(ts_col))
+    gap_new = F.when(
+        F.lag(F.col(ts_col)).over(w).isNull()
+        | ((us - F.unix_micros(F.lag(F.col(ts_col)).over(w))) > gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn("_new_session", gap_new).withColumn(
+        "session_idx", (F.sum("_new_session").over(wsum) - 1).cast("long")
+    ).drop("_new_session")

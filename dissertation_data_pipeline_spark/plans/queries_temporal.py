@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from dissertation_data_pipeline_spark.operators.temporal import (
     asof_join,
     interval_join,
+    scd2_history,
+    sessionize,
     time_rollup,
 )
 from dissertation_data_pipeline_spark.plans.registry import register
@@ -184,3 +186,89 @@ def ext_event_percentiles(spark, sf_dir):
         ]
     )
     return agg
+
+
+@register(
+    "ext_scd2_history",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+    iv AS (
+      SELECT user_id, event_type, ts AS effective_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM ch
+    )
+    SELECT user_id, event_type, effective_from,
+           coalesce(next_ts, TIMESTAMP '9999-12-31') AS effective_to,
+           CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM iv
+    """,
+)
+def ext_scd2_history(spark, sf_dir):
+    """[EXT] SCD2 validity intervals: the user's event_type stream
+    collapsed to change rows with effective_from/effective_to and an
+    is_current flag. One shuffle on the key, window-only plan."""
+    e = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        "user_id",
+        "event_type",
+        "ts",
+        tiebreak="event_id",
+    )
+
+
+@register(
+    "ext_sessionize_batch",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    f AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+      FROM f
+    )
+    SELECT user_id, session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def ext_sessionize_batch(spark, sf_dir):
+    """[EXT] batch sessionization: 30-minute-gap sessions per user
+    (exact-microsecond gap test), then per-session rollup with a
+    decimal-exact value sum. The batch twin of the streaming session
+    window; one shuffle on the key feeds both windows and the final
+    aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(
+        e.select("user_id", "ts", "event_id", "value"),
+        "user_id",
+        "ts",
+        gap_seconds=1800,
+        tiebreak="event_id",
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )

@@ -125,3 +125,58 @@ def test_rollup_levels_and_grand_total(spark):
         assert sum(r.n for r in rows if r.gid == gid) == total
     [grand] = [r for r in rows if r.gid == 7]
     assert grand.event_type is None and grand.ts_day is None
+
+
+def test_scd2_history_intervals(spark):
+    from dissertation_data_pipeline_spark.operators.temporal import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 1),
+            (1, "a", "2024-01-01 01:00:00", 2),   # no change -> absorbed
+            (1, "b", "2024-01-01 02:00:00", 3),   # change
+            (1, "a", "2024-01-01 03:00:00", 4),   # change back
+            (2, "x", "2024-01-01 00:00:00", 5),
+        ],
+        "user_id long, event_type string, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        (
+            (r["user_id"], str(r["effective_from"]), r["event_type"],
+             str(r["effective_to"]), r["is_current"])
+            for r in scd2_history(
+                df, "user_id", "event_type", "ts", tiebreak="event_id"
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert len(out) == 4  # 3 intervals for user 1, 1 for user 2
+    u1 = [o for o in out if o[0] == 1]
+    assert [o[2] for o in u1] == ["a", "b", "a"]
+    # each interval closes where the next opens
+    assert u1[0][3] == u1[1][1] and u1[1][3] == u1[2][1]
+    assert [o[4] for o in u1] == [0, 0, 1]
+    assert out[-1][4] == 1 and "9999" in out[-1][3]
+
+
+def test_sessionize_gap_boundary(spark):
+    from dissertation_data_pipeline_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1),
+            (1, "2024-01-01 00:30:00", 2),   # gap == 1800s exactly -> SAME session
+            (1, "2024-01-01 01:00:01", 3),   # gap 1801s -> new session
+            (2, "2024-01-01 05:00:00", 4),
+        ],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["event_id"]: r["session_idx"]
+        for r in sessionize(
+            df, "user_id", "ts", gap_seconds=1800, tiebreak="event_id"
+        ).collect()
+    }
+    assert out[1] == 0 and out[2] == 0  # boundary gap is inclusive
+    assert out[3] == 1
+    assert out[4] == 0  # each key starts at session 0

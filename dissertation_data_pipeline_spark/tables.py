@@ -37,26 +37,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamps must be read in UTC to match the oracle engine
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects;
-        # read nanos as long and truncate to microseconds (what every
-        # micro-precision engine, incl. the DuckDB oracle, observes).
-        # The legacy conf is scoped to this read: it's captured when the
-        # relation is planned, so restoring the prior value immediately
-        # after leaves later TIMESTAMP(NANOS) reads in a foreign session
-        # unaffected (verified: the returned DF still executes).
-        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-        prior = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "true")
-        try:
-            from pyspark.sql import functions as F
+        # events.ts has shipped as TIMESTAMP(NANOS), nanos-as-INT64, and
+        # plain TIMESTAMP(MICROS) across testdata generations. Normalize
+        # from the observed schema (no session-conf mutation) so every
+        # downstream query sees a micro-precision session-tz TIMESTAMP —
+        # the same thing the DuckDB oracle observes.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampType
 
-            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        t = df.schema["ts"].dataType
+        if isinstance(t, LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        finally:
-            if prior is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prior)
+        if not isinstance(t, TimestampType):  # TIMESTAMP_NTZ → session-tz (UTC)
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

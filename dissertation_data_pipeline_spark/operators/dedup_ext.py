@@ -107,23 +107,44 @@ def shingle_postings(
 
     carry = [F.col(c) for c in carry_cols]
     toks = tokens(text_col)
-    tp = df.select(
-        *carry, F.col(id_col).alias("_id"), F.posexplode(toks).alias("_pos", "_tok")
+    # explicit-count repartition BY THE DOC ID before exploding: it
+    # already satisfies the lead-window's clustering (so the window
+    # plans no exchange of the much larger posting rows), and —
+    # unlike the ENSURE_REQUIREMENTS exchange the window would insert
+    # — REPARTITION_BY_NUM is exempt from AQE coalescing, which on a
+    # byte-small doc table would serialize the tokenize/shingle work
+    # onto one core
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    tp = df.repartition(nparts, F.col(id_col)).select(
+        *carry,
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_ntok"),
+        F.posexplode(toks).alias("_pos", "_tok"),
     )
     w = Window.partitionBy("_id").orderBy("_pos")
     leads = [F.col("_tok")] + [F.lead("_tok", k).over(w) for k in range(1, n)]
     grams = tp.select(
         *[F.col(c) for c in carry_cols],
         "_id",
+        "_ntok",
+        "_pos",
         F.concat_ws(" ", *leads).alias("_shingle"),
         leads[-1].alias("_last"),
-    ).filter(F.col("_last").isNotNull()).drop("_last")
-    short = df.filter(F.size(toks) < n).select(
-        *carry,
-        F.col(id_col).alias("_id"),
-        F.array_join(toks, " ").alias("_shingle"),
-    )
-    return grams.unionByName(short).distinct()
+    ).filter(
+        # full n-grams, plus — for documents shorter than n words — the
+        # whole text as a single shingle, emitted from position 0
+        # (concat_ws skips the null leads, so the pos-0 row already IS
+        # the whole-text fallback; no separate union leg, whose
+        # differently-partitioned child would force the dedup below
+        # back into a full exchange)
+        F.col("_last").isNotNull()
+        | ((F.col("_pos") == 0) & (F.col("_ntok") < n))
+    ).select(*[F.col(c) for c in carry_cols], "_id", "_shingle")
+    # the lead window leaves the rows hash-partitioned on _id, which
+    # satisfies the (carry, _id, _shingle) clustering — this per-doc
+    # dedup therefore plans as a partial+final aggregate with NO
+    # exchange between them
+    return grams.dropDuplicates([*carry_cols, "_id", "_shingle"])
 
 
 # MinHash permutation family: h_i(x) = (a_i * x + b_i) mod P over a 31-bit
@@ -413,13 +434,22 @@ def simhash_signatures(
     is assembled from the count columns with plain arithmetic.
     Returns (_id, _sh)."""
     assert bits % 4 == 0, "bits must be whole hex digits"
-    # the tokenize+explode projection is per-row-heavy and runs BEFORE
-    # the first shuffle — spread a narrow scan across cores first
-    # (measured 9 s -> 3.7 s at sf0.1 on the single-row-group file)
+    # ONE exchange total: hash-partition the raw documents by id (this
+    # both spreads a narrow single-row-group scan across cores and
+    # moves whole docs, not postings), then tokenize/dedup/aggregate
+    # pipeline within partitions — HashPartitioning(_id) satisfies the
+    # clustering required by both the (_id, _tok) dedup and the
+    # groupBy(_id), so neither plans an exchange
+    # explicit partition count: REPARTITION_BY_NUM is exempt from AQE
+    # coalescing, which would otherwise fold this byte-small but
+    # compute-heavy shuffle onto one core (measured: 1-partition post-
+    # shuffle tokenization serialized the whole query)
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     tp = (
-        _spread(df)
-        .select(F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_tok"))
-        .distinct()
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(nparts, F.col("_id"))
+        .select("_id", F.explode(tokens("_text")).alias("_tok"))
+        .dropDuplicates(["_id", "_tok"])
     )
     tv = tp.select(
         "_id",

@@ -1,0 +1,227 @@
+"""[EXT] Wide-form analytics: pivot/unpivot, CUBE, window suites,
+funnels, and blocked fuzzy matching.
+
+The reference reports cross-tabulations only as driver-side pandas
+``value_counts`` prints (build_master_corpus.py:149-151,
+scripts/legislation/build_corpus.py:119-122); this module provides the
+distributed equivalents a reporting layer actually needs — wide pivot
+tables, long-form melts, multi-level CUBE totals, per-entity window
+analytics, ordered-stage funnels, and edit-distance fuzzy pair
+matching — all as single declarative plans.
+
+Scale notes:
+- ``pivot`` with an **explicit value list** compiles to one aggregate
+  with N conditional columns — one shuffle, no value-discovery job,
+  deterministic column order (pivot without values runs a distinct
+  scan first and column order follows data order: never at 100 TB).
+- ``unpivot`` is an Expand (rows × metrics) — map-side only, no
+  shuffle at all.
+- CUBE is one Expand + one aggregation: every grouping level gets
+  map-side partial aggregation in the same pass; four separate
+  groupBys would scan four times.
+- The window suite shares ONE window spec across every ranking
+  column, so all of them ride a single sort within one shuffle.
+- The funnel is per-stage conditional min-aggregation joined on the
+  entity key — each stage is one shuffle on user_id; no event-level
+  self-join ever happens (events × events would be quadratic).
+- Fuzzy matching is block-bounded (brand × type here): the quadratic
+  term is per-block, the classic blocking trade; an unblocked variant
+  is refused by design, matching blocked_jaccard_pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,2)")
+
+
+def pivot_year_status(
+    orders: DataFrame, statuses: Sequence[str] = ("F", "O", "P")
+) -> DataFrame:
+    """Order-year × order-status pivot: per year, one count column and
+    one revenue column per status. Explicit status list -> single-pass
+    plan and a fixed schema (see module docstring). Counts coalesce to
+    0 for absent combinations; revenue stays NULL (SUM-over-empty), the
+    same convention a conditional-aggregation SQL form produces."""
+    wide = (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderstatus", list(statuses))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("rev"),
+        )
+    )
+    cols = [F.col("order_year")]
+    for s in statuses:
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("long").alias(f"n_{s.lower()}"))
+        cols.append(F.col(f"{s}_rev").alias(f"rev_{s.lower()}"))
+    return wide.select(*cols)
+
+
+def unpivot_returnflag_metrics(lineitem: DataFrame) -> DataFrame:
+    """Melt a wide per-returnflag aggregate into long (flag, metric,
+    value) form — the inverse of the pivot above. The unpivot is an
+    Expand over the 3 metric columns: zero additional shuffles beyond
+    the one aggregation."""
+    wide = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_lines"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["n_lines", "sum_qty", "sum_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def cube_status_year(orders: DataFrame) -> DataFrame:
+    """CUBE over (status, year): cell counts, both one-dimensional
+    subtotal planes, and the grand total in ONE Expand + aggregation.
+    ``grouping_id`` (first cube column = MSB, the convention DuckDB's
+    GROUPING() shares) disambiguates genuine NULL keys from subtotal
+    rows."""
+    return (
+        orders.cube(F.col("o_orderstatus"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "order_year", "gid", "n_orders", "total_price")
+    )
+
+
+def window_suite(orders: DataFrame) -> DataFrame:
+    """Per-customer order-sequence analytics: sequence number, quartile
+    (ntile), percent_rank, cume_dist, day gap to the previous order,
+    3-order moving average, and running total — all ranking columns on
+    ONE window spec (one shuffle on custkey + one sort), the frame
+    aggregates on frames over the same spec (no extra exchange).
+
+    Determinism: the order key is (o_orderdate, o_orderkey) — a total
+    order, so every rank/frame is partition-count invariant. The moving
+    average divides an exact DECIMAL frame sum by the frame row count
+    (cross-engine bit-exact; a double AVG would sum in engine-chosen
+    order)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, 0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    day_gap = F.datediff(
+        F.col("o_orderdate").cast("date"),
+        F.lag(F.col("o_orderdate").cast("date")).over(w),
+    )
+    mov = F.round(
+        F.sum(_dec("o_totalprice")).over(w3).cast("double")
+        / F.count(F.lit(1)).over(w3),
+        6,
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        day_gap.alias("days_since_prev"),
+        mov.alias("moving_avg_3"),
+        F.sum(_dec("o_totalprice")).over(wrun).cast("double").alias("running_total"),
+    )
+
+
+#: ordered funnel stages over the events table
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: Sequence[str] = FUNNEL_STAGES,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-stage funnel: a user reaches stage k when their earliest
+    qualifying stage-k event is strictly after their stage-(k-1) entry
+    time. Per stage: filter -> groupBy(user).min(ts) -> join on the
+    previous stage — shuffles on user_id only, never an event-level
+    self-join.
+
+    Output: (stage_idx, stage, n_users), one row per stage."""
+    assert stages, "funnel needs at least one stage"
+    spark = events.sparkSession
+    reached = None
+    counts = []
+    for i, stage in enumerate(stages):
+        ev = events.filter(F.col(type_col) == stage).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            reached = ev.groupBy("_u").agg(F.min("_ts").alias("_entered"))
+        else:
+            reached = (
+                ev.join(reached.select("_u", F.col("_entered").alias("_prev")), "_u")
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_entered"))
+            )
+        # each stage feeds both its count branch and the next stage;
+        # the lazy checkpoint materializes it once on the first action
+        # (stage k would otherwise recompute stages 1..k-1 — O(k^2)
+        # event scans across the union)
+        reached = reached.localCheckpoint(eager=False)
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    *,
+    max_distance: int = 4,
+) -> DataFrame:
+    """Blocked fuzzy matching: all pairs within a block whose edit
+    distance is <= ``max_distance``. The self-join is equi on the block
+    key (co-located, quadratic only per block); levenshtein runs
+    JVM-side inside the join filter, so non-matching pairs never leave
+    the join stage. Requires blocking columns — an unblocked corpus
+    crossJoin is refused by design."""
+    assert block_cols, "fuzzy_pairs_levenshtein requires blocking columns"
+    side = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_txt"),
+    ).repartition(*block_cols)
+    a, b = side.alias("a"), side.alias("b")
+    cond = F.col("a._id") < F.col("b._id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    dist = F.levenshtein(F.col("a._txt"), F.col("b._txt"))
+    return (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            dist.alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -1,0 +1,278 @@
+"""[EXT] analytics-wave queries: pivot/unpivot, CUBE, window suite,
+funnel, fuzzy matching, TF-IDF / BM25 ranking, set intersection.
+
+Cross-engine conventions (registry module docstring applies):
+- counts CAST to BIGINT in DuckDB (its integer SUM widens to HUGEINT,
+  which the gate canon mis-hashes);
+- money sums in DECIMAL(18,2), final cast to DOUBLE;
+- every float division rounded to 6dp on both sides;
+- BM25 contributions integer-canonicalized (micro-units) before the
+  per-document sum so float addition order can't matter;
+- ``ln`` is the one libm call (TF-IDF idf, BM25 idf): both engines
+  evaluate the same double expression and the result is rounded before
+  ranking/publication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators import analytics as an
+from dissertation_data_pipeline_spark.operators import textrank as tr
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+@register(
+    "ext_pivot_wide",
+    """
+    SELECT year(o_orderdate) AS order_year,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_p
+    FROM orders GROUP BY 1
+    """,
+)
+def ext_pivot_wide(spark, sf_dir):
+    """[EXT] year × status pivot with an explicit value list — one
+    aggregation pass, fixed schema, no value-discovery job (the
+    distributed form of the reference's driver-side value_counts
+    crosstabs, build_master_corpus.py:149-151)."""
+    return an.pivot_year_status(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "ext_unpivot_melt",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n_lines,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, 'n_lines' AS metric, n_lines AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    """,
+)
+def ext_unpivot_melt(spark, sf_dir):
+    """[EXT] melt (unpivot) a wide per-flag aggregate into long form —
+    an Expand over the metric columns, zero shuffles beyond the
+    aggregation itself."""
+    return an.unpivot_returnflag_metrics(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "ext_cube_totals",
+    """
+    SELECT o_orderstatus,
+           year(o_orderdate) AS order_year,
+           CAST(GROUPING(o_orderstatus, year(o_orderdate)) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, year(o_orderdate))
+    """,
+)
+def ext_cube_totals(spark, sf_dir):
+    """[EXT] CUBE(status, year): cells, both subtotal planes, grand
+    total — ONE Expand + one aggregation with map-side partials, not
+    four scans. grouping_id bit order (first col = MSB) matches
+    DuckDB's GROUPING()."""
+    return an.cube_status_year(load_table(spark, sf_dir, "orders")).withColumn(
+        "gid", F.col("gid").cast("long")
+    )
+
+
+@register(
+    "ext_window_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS seq,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist,
+           date_diff('day',
+                     lag(CAST(o_orderdate AS DATE)) OVER w,
+                     CAST(o_orderdate AS DATE)) AS days_since_prev,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w3 AS DOUBLE)
+                 / (COUNT(*) OVER w3), 6) AS moving_avg_3,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER wrun AS DOUBLE) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w3 AS (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+           wrun AS (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ext_window_suite(spark, sf_dir):
+    """[EXT] per-customer order-sequence window suite: all seven
+    analytics share one window spec -> one shuffle + one sort.
+    Deterministic total order (date, orderkey); moving average is an
+    exact DECIMAL frame-sum over the frame count."""
+    return an.window_suite(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "ext_funnel_stages",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.u
+      WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.u
+      WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1
+    ), s4 AS (
+      SELECT e.user_id AS u, min(e.ts) AS t FROM events e JOIN s3 ON e.user_id = s3.u
+      WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1
+    )
+    SELECT CAST(1 AS INTEGER) AS stage_idx, 'signup' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+    UNION ALL SELECT 3, 'click', (SELECT COUNT(*) FROM s3)
+    UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4)
+    """,
+)
+def ext_funnel_stages(spark, sf_dir):
+    """[EXT] ordered-stage funnel (signup -> view -> click ->
+    purchase): per stage one groupBy(user).min(ts) + equi-join on the
+    previous stage — shuffles on user_id only, never an event-level
+    self-join."""
+    return an.funnel_conversion(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ext_fuzzy_levenshtein_pairs",
+    """
+    SELECT a.p_brand, a.p_type,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS distance
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def ext_fuzzy_levenshtein_pairs(spark, sf_dir):
+    """[EXT] blocked edit-distance matching over part names within
+    (brand, type) blocks — co-located equi-join, quadratic only per
+    block, levenshtein evaluated inside the join stage."""
+    return an.fuzzy_pairs_levenshtein(
+        load_table(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        ["p_brand", "p_type"],
+        max_distance=4,
+    )
+
+
+_TF_SQL = r"""
+  SELECT doc_id AS _id, tok AS _tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+"""
+
+
+@register(
+    "ext_tfidf_top_terms",
+    f"""
+    WITH tf AS ({_TF_SQL}),
+    dfreq AS (SELECT _tok, CAST(COUNT(*) AS BIGINT) AS _df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS _n FROM documents),
+    scored AS (
+      SELECT tf._id, tf._tok,
+             round(tf.tf * (ln((n._n + 1) / (dfreq._df + 1)) + 1.0), 6) AS score
+      FROM tf JOIN dfreq ON tf._tok = dfreq._tok CROSS JOIN n
+    )
+    SELECT _id AS doc_id, _tok AS term, term_rank, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY _id ORDER BY score DESC, _tok ASC) AS term_rank
+      FROM scored
+    ) WHERE term_rank <= 3
+    """,
+)
+def ext_tfidf_top_terms(spark, sf_dir):
+    """[EXT] top-3 characteristic terms per document by smoothed
+    TF-IDF — single-exchange tf build, map-side-combined df, broadcast
+    corpus size, one per-doc ranking window."""
+    return tr.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+#: fixed query for the BM25 demo: mixed-df terms from the corpus vocab
+BM25_QUERY = ("spark", "query", "vector")
+
+
+@register(
+    "ext_bm25_rank",
+    f"""
+    WITH tf AS ({_TF_SQL}),
+    dl AS (SELECT _id, CAST(SUM(tf) AS BIGINT) AS _dl FROM tf GROUP BY 1),
+    qtf AS (SELECT * FROM tf WHERE _tok IN ('spark', 'query', 'vector')),
+    dfreq AS (SELECT _tok, CAST(COUNT(*) AS BIGINT) AS _df FROM qtf GROUP BY 1),
+    corpus AS (
+      SELECT COUNT(*) AS _n,
+             CAST(CAST(SUM(_dl) AS DECIMAL(38,10)) / COUNT(*) AS DOUBLE) AS _avgdl
+      FROM dl
+    ),
+    scored AS (
+      SELECT qtf._id,
+             SUM(CAST(round(
+               ln(1.0 + (corpus._n - dfreq._df + 0.5) / (dfreq._df + 0.5))
+               * (qtf.tf * (1.2 + 1)) / (qtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl._dl / corpus._avgdl))
+               * 1e6, 0) AS BIGINT)) / 1e6 AS score
+      FROM qtf
+      JOIN dfreq ON qtf._tok = dfreq._tok
+      JOIN dl ON qtf._id = dl._id
+      CROSS JOIN corpus
+      GROUP BY 1
+    )
+    SELECT rank, doc_id, score FROM (
+      SELECT row_number() OVER (ORDER BY score DESC, _id ASC) AS rank,
+             _id AS doc_id, score
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def ext_bm25_rank(spark, sf_dir):
+    """[EXT] Okapi BM25 (k1=1.2, b=0.75) top-20 over the corpus for a
+    fixed term set — integer-canonicalized contributions, TakeOrdered
+    top-n (never a global single-partition sort of the corpus)."""
+    return tr.bm25_rank(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        BM25_QUERY,
+        k1=1.2,
+        b=0.75,
+        top_n=20,
+    )
+
+
+@register(
+    "ext_intersect_segments",
+    """
+    SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 0
+    INTERSECT
+    SELECT DISTINCT c_mktsegment FROM customer WHERE c_nationkey = 1
+    """,
+)
+def ext_intersect_segments(spark, sf_dir):
+    """[EXT] INTERSECT set operation (the U-family sibling of
+    u2_except): market segments present in both nation 0 and
+    nation 1."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_nationkey") == 0)
+        .select("c_mktsegment")
+        .intersect(c.filter(F.col("c_nationkey") == 1).select("c_mktsegment"))
+    )

@@ -588,6 +588,7 @@ from dissertation_data_pipeline_spark.plans import queries_multimodal  # noqa: E
 from dissertation_data_pipeline_spark.plans import queries_skew  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_temporal  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_tpch2  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_analytics  # noqa: E402,F401
 
 # Gate-coverage policy for this round (see DRIVER_PRIORITY docstring):
 # 1. queries fixed since the last gate run (array serialization, BIGINT
@@ -657,6 +658,16 @@ set_driver_priority(
         "tpch_q7_nation_volume",
         "tpch_q18_large_volume_customers",
         # ---- budget line: round-1 gate stopped after 50 entries ---------
+        # -- 3: analytics wave (added round 2, never checked) -------------
+        "ext_pivot_wide",
+        "ext_unpivot_melt",
+        "ext_cube_totals",
+        "ext_window_suite",
+        "ext_funnel_stages",
+        "ext_fuzzy_levenshtein_pairs",
+        "ext_tfidf_top_terms",
+        "ext_bm25_rank",
+        "ext_intersect_segments",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

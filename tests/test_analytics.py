@@ -1,0 +1,191 @@
+"""Analytics wave: pivot/unpivot, CUBE, window suite, funnel, fuzzy
+matching, TF-IDF/BM25 — semantics + the plan shapes that matter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators import analytics as an
+from dissertation_data_pipeline_spark.operators import textrank as tr
+from dissertation_data_pipeline_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from dissertation_data_pipeline_spark.session import get_spark
+
+    return get_spark()
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return load_table(spark, SF_DIR, "orders")
+
+
+def _plan(df) -> str:
+    # executedPlan().toString() prints each node once (the formatted
+    # mode lists every node twice: tree line + detail block)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pivot_round_trips_the_groupby(spark, orders):
+    """Pivot cell (year, status) must equal the plain groupBy count."""
+    wide = an.pivot_year_status(orders).collect()
+    plain = {
+        (r["order_year"], r["o_orderstatus"]): r["n"]
+        for r in orders.groupBy(
+            F.year("o_orderdate").alias("order_year"), "o_orderstatus"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for row in wide:
+        for s in ("f", "o", "p"):
+            assert row[f"n_{s}"] == plain.get((row["order_year"], s.upper()), 0)
+
+
+def test_pivot_is_single_pass(spark, orders):
+    """Explicit value list -> ONE scan and the standard two-phase
+    pivot aggregation (partial on (year, status), final on year) —
+    no distinct-discovery job, no per-status scan."""
+    plan = _plan(an.pivot_year_status(orders))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_unpivot_is_expand_only(spark, orders):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = an.unpivot_returnflag_metrics(li)
+    plan = _plan(df)
+    # one Exchange for the groupBy; the melt itself adds none
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = df.collect()
+    flags = {r["l_returnflag"] for r in rows}
+    assert {r["metric"] for r in rows} == {"n_lines", "sum_qty", "sum_price"}
+    assert len(rows) == 3 * len(flags)
+
+
+def test_cube_levels_are_consistent(spark, orders):
+    rows = an.cube_status_year(orders).collect()
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    cells = [r for r in rows if r["gid"] == 0]
+    # subtotal planes sum to the grand total
+    by_status = [r for r in rows if r["gid"] == 2]  # year rolled up
+    by_year = [r for r in rows if r["gid"] == 1]  # status rolled up
+    assert sum(r["n_orders"] for r in by_status) == total[0]["n_orders"]
+    assert sum(r["n_orders"] for r in by_year) == total[0]["n_orders"]
+    assert sum(r["n_orders"] for r in cells) == total[0]["n_orders"]
+
+
+def test_window_suite_single_sort(spark, orders):
+    """All seven analytics share one window spec: one exchange on
+    custkey, one Sort node."""
+    plan = _plan(an.window_suite(orders))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_window_suite_semantics(spark, orders):
+    rows = (
+        an.window_suite(orders)
+        .filter(F.col("o_custkey") == 1)
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r["seq"] for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[0]["days_since_prev"] is None
+    assert rows[0]["moving_avg_3"] == pytest.approx(rows[0]["running_total"])
+    run = 0.0
+    for r in rows:
+        run += float(r["running_total"]) - run  # running_total is cumulative
+    assert rows[-1]["running_total"] >= rows[0]["running_total"]
+
+
+def test_funnel_is_monotone(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    rows = an.funnel_conversion(ev).orderBy("stage_idx").collect()
+    assert [r["stage"] for r in rows] == list(an.FUNNEL_STAGES)
+    counts = [r["n_users"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+
+
+def test_funnel_respects_order(spark):
+    """A user whose purchase precedes their click must not reach the
+    purchase stage."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: full ordered chain
+        (1, base, "signup"),
+        (1, base + dt.timedelta(minutes=1), "view"),
+        (1, base + dt.timedelta(minutes=2), "click"),
+        (1, base + dt.timedelta(minutes=3), "purchase"),
+        # user 2: purchase BEFORE click
+        (2, base, "signup"),
+        (2, base + dt.timedelta(minutes=1), "view"),
+        (2, base + dt.timedelta(minutes=3), "click"),
+        (2, base + dt.timedelta(minutes=2), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["stage"]: r["n_users"] for r in an.funnel_conversion(ev).collect()
+    }
+    assert got == {"signup": 2, "view": 2, "click": 2, "purchase": 1}
+
+
+def test_fuzzy_requires_blocks(spark):
+    part = load_table(spark, SF_DIR, "part")
+    with pytest.raises(AssertionError):
+        an.fuzzy_pairs_levenshtein(part, "p_partkey", "p_name", [])
+
+
+def test_fuzzy_pairs_are_within_blocks(spark):
+    part = load_table(spark, SF_DIR, "part")
+    out = an.fuzzy_pairs_levenshtein(
+        part, "p_partkey", "p_name", ["p_brand", "p_type"], max_distance=4
+    )
+    rows = out.collect()
+    assert rows, "expected at least one fuzzy pair on the testdata"
+    assert all(r["distance"] <= 4 and r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_tfidf_ranks_rare_terms_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare"),
+            (2, "common filler words here"),
+            (3, "common other text rows"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {
+        r["term_rank"]: r["term"]
+        for r in tr.tfidf_top_terms(docs, "doc_id", "text", k=2)
+        .filter(F.col("doc_id") == 1)
+        .collect()
+    }
+    # equal tf, but 'rare' (df=1) carries higher idf than 'common' (df=3)
+    assert top[1] == "rare" and top[2] == "common"
+
+
+def test_bm25_is_deterministic_and_bounded(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = tr.bm25_rank(docs, "doc_id", "text", ["spark", "query"], top_n=10).collect()
+    b = tr.bm25_rank(docs, "doc_id", "text", ["spark", "query"], top_n=10).collect()
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in a] == [
+        (r["rank"], r["doc_id"], r["score"]) for r in b
+    ]
+    assert len(a) <= 10
+    scores = [r["score"] for r in a]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_top_n_is_take_ordered(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(tr.bm25_rank(docs, "doc_id", "text", ["spark"], top_n=5))
+    assert "TakeOrderedAndProject" in plan, plan

@@ -276,3 +276,75 @@ def ext_intersect_segments(spark, sf_dir):
         .select("c_mktsegment")
         .intersect(c.filter(F.col("c_nationkey") == 1).select("c_mktsegment"))
     )
+
+
+@register(
+    "ext_dq_checks",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+    report AS (
+      SELECT 'foreign_key(o_custkey)' AS "check",
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey IS NOT NULL
+                     AND NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS violations,
+             (SELECT n_rows FROM n) AS n_rows
+      UNION ALL
+      SELECT 'in_range(o_totalprice)',
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_totalprice IS NULL OR o_totalprice < 0
+                      OR o_totalprice > 1000000) AS BIGINT),
+             (SELECT n_rows FROM n)
+      UNION ALL
+      SELECT 'in_set(o_orderstatus)',
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderstatus IS NULL
+                      OR o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT),
+             (SELECT n_rows FROM n)
+      UNION ALL
+      SELECT 'matches(o_orderpriority)',
+             CAST((SELECT COUNT(*) FROM orders
+                   WHERE o_orderpriority IS NULL
+                      OR NOT regexp_full_match(o_orderpriority, '[1-5]-[A-Z ]+')) AS BIGINT),
+             (SELECT n_rows FROM n)
+      UNION ALL
+      SELECT 'not_null(o_orderdate)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT),
+             (SELECT n_rows FROM n)
+      UNION ALL
+      SELECT 'not_null(o_orderkey)',
+             CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS BIGINT),
+             (SELECT n_rows FROM n)
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST((SELECT COALESCE(SUM(cnt), 0) FROM (
+                     SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey
+                   ) WHERE cnt > 1) AS BIGINT),
+             (SELECT n_rows FROM n)
+    )
+    SELECT "check", violations, n_rows, violations = 0 AS passed
+    FROM report ORDER BY 1
+    """,
+)
+def ext_dq_checks(spark, sf_dir):
+    """[EXT] declarative expectations over orders: six constraint kinds
+    in one report — all row-local checks share ONE aggregation pass;
+    unique adds one key-only groupBy; the FK check is a broadcast
+    left-anti count (quality_checks.py; the reference's ad-hoc
+    analogues: legiscan_enricher.py:333-341, build_corpus.py:103)."""
+    from dissertation_data_pipeline_spark.operators import quality_checks as qc
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return qc.run_checks(
+        o,
+        [
+            qc.not_null("o_orderkey"),
+            qc.not_null("o_orderdate"),
+            qc.in_set("o_orderstatus", ["F", "O", "P"]),
+            qc.in_range("o_totalprice", 0, 1_000_000),
+            qc.matches("o_orderpriority", "[1-5]-[A-Z ]+"),
+            qc.unique("o_orderkey"),
+            qc.foreign_key("o_custkey", c, "c_custkey"),
+        ],
+    )

@@ -668,6 +668,7 @@ set_driver_priority(
         "ext_tfidf_top_terms",
         "ext_bm25_rank",
         "ext_intersect_segments",
+        "ext_dq_checks",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

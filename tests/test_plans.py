@@ -144,13 +144,20 @@ def test_no_cartesian_products_in_registry(spark):
       attach corpus-level denominators.
     - ``tpch_q22_idle_customers``: the global (cnt, sum) 1-row
       aggregate broadcast to every customer partition — the exact
-      above-average predicate needs the corpus denominator rowside."""
+      above-average predicate needs the corpus denominator rowside.
+    - ``ext_tfidf_top_terms`` / ``ext_bm25_rank``: the 1-row corpus
+      scalars (N, avgdl) broadcast onto the scored postings.
+    - ``ext_dq_checks``: the 1-row total-rows aggregate broadcast onto
+      the (1-row) FK violation count."""
     allowed = {
         "ext_ann_brute_topk",
         "ext_ann_ivf_topk",
         "ext_ann_ivf_trained_topk",  # same centroid broadcast as ivf_topk
         "ext_key_skew_report",
         "tpch_q22_idle_customers",
+        "ext_tfidf_top_terms",
+        "ext_bm25_rank",
+        "ext_dq_checks",
     }
     offenders = {}
     for name, q in QUERIES.items():

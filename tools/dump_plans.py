@@ -96,6 +96,39 @@ HEADLINERS = {
         "chunks in the projection — zero Exchange nodes, chunks "
         "inherit the document partitioning."
     ),
+    "ext_simhash_pairs": (
+        "ONE exchange builds every signature (explicit-count "
+        "repartition by doc id; token dedup and the 48-bit aggregation "
+        "ride that partitioning with no further shuffle); banding then "
+        "joins only the distinct signatures and expands members after "
+        "Hamming verification."
+    ),
+    "ext_pivot_wide": (
+        "Explicit pivot value list -> one parquet scan and the "
+        "two-phase pivot aggregate (partial on (year,status), final "
+        "on year) — no distinct-discovery job, fixed output schema."
+    ),
+    "ext_window_suite": (
+        "Seven analytics on one window spec: a single Exchange on "
+        "custkey and a single Sort serve row_number, ntile, "
+        "percent_rank, cume_dist, lag, and both frame aggregates."
+    ),
+    "ext_funnel_stages": (
+        "Each funnel stage is a groupBy(user).min(ts) joined to the "
+        "previous stage — shuffles carry (user, ts) pairs only; no "
+        "event-level self-join appears anywhere in the plan."
+    ),
+    "ext_bm25_rank": (
+        "tf build is the single-exchange posting shape; corpus "
+        "scalars attach by broadcast; the top-n is "
+        "TakeOrderedAndProject (per-partition top-n, merge), never a "
+        "global sort."
+    ),
+    "ext_dq_checks": (
+        "All row-local constraints compile into ONE aggregate over "
+        "one scan (conditional counts); unique shuffles only the key; "
+        "the FK check is a broadcast left-anti count."
+    ),
 }
 
 MARKERS = [

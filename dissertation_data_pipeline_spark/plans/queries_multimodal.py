@@ -104,3 +104,74 @@ def ext_multimodal_frame_sample(spark, sf_dir):
     frames = mm.sample_video_frames(media, every_n=2, decoder=mm.fake_frame_decoder)
     # binary -> hex for the comparator (bytearray vs bytes canon)
     return frames.select("media_id", "frame_idx", F.hex("frame_png").alias("frame_hex"))
+
+
+@register(
+    "ext_multimodal_audio",
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id, 120 + doc_id % 37 AS n FROM documents
+    ), samples AS (
+      SELECT media_id, n, unnest(range(0, n)) AS i FROM params
+    ), agg AS (
+      SELECT media_id, n,
+             CAST(SUM(((media_id * 31 + i * 7) % 256 - 128)
+                      * ((media_id * 31 + i * 7) % 256 - 128)) AS BIGINT) AS ss
+      FROM samples GROUP BY 1, 2
+    )
+    SELECT media_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           round(n / 8000.0, 6) AS duration_s,
+           round(sqrt(ss / (16384.0 * n)), 6) AS rms
+    FROM agg
+    """,
+)
+def ext_multimodal_audio(spark, sf_dir):
+    """REAL audio decode end-to-end, stdlib-only: per document a
+    genuine mono PCM-8 WAV file is synthesized (RIFF container via the
+    ``wave`` writer) from deterministic samples
+    ``v(i) = (media_id*31 + i*7) % 256``, then parsed BACK by the
+    ``wave``-module decoder, which emits rate/channels/length/RMS.
+    The oracle recomputes the same features arithmetically — the WAV
+    bytes round-trip is the part under test. RMS accumulates integer
+    sums of squares; sqrt is IEEE-exact, so the value hash matches
+    bit-for-bit."""
+    from collections.abc import Iterator
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), (120 + F.col("doc_id") % 37).alias("n")
+    )
+
+    def synth(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                mid, n = int(r["media_id"]), int(r["n"])
+                pcm = bytes((mid * 31 + i * 7) % 256 for i in range(n))
+                rows.append(
+                    dict(
+                        media_id=mid,
+                        kind="audio",
+                        mime="audio/wav",
+                        payload=mm.make_pcm8_wav(pcm),
+                        n_bytes=None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "n_bytes"]
+            )
+
+    media = docs.mapInPandas(synth, mm.MEDIA_SCHEMA)
+    feats = mm.extract_audio_features(media)  # real wave-module decode
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )

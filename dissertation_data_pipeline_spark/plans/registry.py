@@ -669,6 +669,7 @@ set_driver_priority(
         "ext_bm25_rank",
         "ext_intersect_segments",
         "ext_dq_checks",
+        "ext_multimodal_audio",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

@@ -339,3 +339,52 @@ def test_write_excel_gated_or_styled(spark, tmpd):
     # reference sizing: min(max_len, 50) + 2
     assert ws.column_dimensions["A"].width == len("CO_HB22") + 2
     assert ws.column_dimensions["B"].width == 50 + 2
+
+
+def test_wav_decoder_roundtrip():
+    """REAL WAV decode: a synthesized PCM-8 file parses back to its
+    exact parameters, and a full-scale square wave has RMS 1.0."""
+    import math
+
+    # full-scale square wave in unsigned 8-bit: 0 and 256 are out of
+    # range, so use 0/255 -> offsets -128/+127
+    pcm = bytes([0, 255] * 100)
+    wav = mm.make_pcm8_wav(pcm, sample_rate=16000)
+    rate, ch, n, rms = mm.wav_audio_decoder(wav)
+    assert (rate, ch, n) == (16000, 1, 200)
+    expected = math.sqrt((100 * 128**2 + 100 * 127**2) / (128**2 * 200))
+    assert rms == expected  # exact: integer sum of squares + IEEE sqrt
+
+    # silence (midpoint samples) has RMS 0
+    assert mm.wav_audio_decoder(mm.make_pcm8_wav(bytes([128] * 50)))[3] == 0.0
+
+
+def test_wav_decoder_16bit():
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack("<6h", 0, 16384, -16384, 32767, -32768, 0))
+    rate, ch, n, rms = mm.wav_audio_decoder(buf.getvalue())
+    assert (rate, ch, n) == (44100, 2, 3)  # 3 frames x 2 channels
+    assert 0.5 < rms < 0.8
+
+
+def test_extract_audio_features_real_decode(spark):
+    rows = [(1, bytes((i * 7) % 256 for i in range(80))), (2, bytes([128] * 40))]
+    media = spark.createDataFrame(
+        [
+            (mid, "audio", "audio/wav", mm.make_pcm8_wav(pcm), None)
+            for mid, pcm in rows
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in mm.extract_audio_features(media).collect()}
+    assert got[1]["n_samples"] == 80 and got[1]["sample_rate"] == 8000
+    assert got[1]["duration_s"] == 80 / 8000
+    assert got[2]["rms"] == 0.0

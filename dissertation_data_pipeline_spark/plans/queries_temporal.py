@@ -272,3 +272,84 @@ def ext_sessionize_batch(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_dec("value")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "ext_range_window_hour",
+    """
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT event_id, user_id, ts_sec,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(v) OVER w AS DOUBLE) AS sum_last_hour
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def ext_range_window_hour(spark, sf_dir):
+    """[EXT] event-time RANGE frame: per user, count and exact-decimal
+    sum of events in the trailing hour of *event time* (value-based
+    frame, not row-based — peers at the same second share a frame, so
+    the result is partition- and order-arrival-independent). The batch
+    twin of the streaming sliding window; one shuffle on user_id."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        _dec("value").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum("v").over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+@register(
+    "ext_approx_percentile_bounded",
+    """
+    WITH cents AS (
+      SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type,
+           quantile_cont(v, 0.5) / 100 AS exact_p50,
+           abs(approx_quantile(v, 0.5) / 100.0 - quantile_cont(v, 0.5) / 100)
+             <= greatest(0.05 * abs(quantile_cont(v, 0.5) / 100), 1.0) AS approx_within_5pct
+    FROM cents GROUP BY 1
+    """,
+)
+def ext_approx_percentile_bounded(spark, sf_dir):
+    """[EXT] the 100 TB percentile path, gate-checkable: each engine
+    computes its own sketch-based median (t-digest / approx_quantile —
+    engine-specific values, never hashable) and publishes only the
+    exact median plus a boolean asserting the sketch landed within 5%
+    (or 1 unit) of it. The hashed columns are deterministic; the
+    sketch machinery is what's under test."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", (_dec("value") * 100).cast("bigint").alias("v")
+    )
+    exact = F.percentile("v", F.lit(0.5)) / 100
+    approx = F.percentile_approx("v", F.lit(0.5), F.lit(10000)).cast("double") / 100
+    return cents.groupBy("event_type").agg(
+        exact.alias("exact_p50"),
+        (
+            F.abs(approx - exact)
+            <= F.greatest(0.05 * F.abs(exact), F.lit(1.0))
+        ).alias("approx_within_5pct"),
+    )

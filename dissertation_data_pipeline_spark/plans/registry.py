@@ -670,6 +670,8 @@ set_driver_priority(
         "ext_intersect_segments",
         "ext_dq_checks",
         "ext_multimodal_audio",
+        "ext_range_window_hour",
+        "ext_approx_percentile_bounded",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

@@ -209,12 +209,19 @@ def fuzzy_pairs_levenshtein(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_txt"),
+        F.length(text_col).alias("_len"),
     ).repartition(*block_cols)
     a, b = side.alias("a"), side.alias("b")
-    cond = F.col("a._id") < F.col("b._id")
+    # length gap is a lower bound on edit distance: prune candidate
+    # pairs with integer compares before any DP matrix is touched
+    cond = (F.col("a._id") < F.col("b._id")) & (
+        F.abs(F.col("a._len") - F.col("b._len")) <= max_distance
+    )
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    dist = F.levenshtein(F.col("a._txt"), F.col("b._txt"))
+    # thresholded levenshtein: the DP early-exits (returns -1) once the
+    # running minimum exceeds the bound — O(d*n) per pair, not O(n^2)
+    dist = F.levenshtein(F.col("a._txt"), F.col("b._txt"), max_distance)
     return (
         a.join(b, cond)
         .select(
@@ -223,5 +230,5 @@ def fuzzy_pairs_levenshtein(
             F.col("b._id").alias("id_b"),
             dist.alias("distance"),
         )
-        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") >= 0)
     )

@@ -157,7 +157,8 @@ def ext_funnel_stages(spark, sf_dir):
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_type = b.p_type
      AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+       AND levenshtein(a.p_name, b.p_name) <= 2
     """,
 )
 def ext_fuzzy_levenshtein_pairs(spark, sf_dir):
@@ -169,7 +170,7 @@ def ext_fuzzy_levenshtein_pairs(spark, sf_dir):
         "p_partkey",
         "p_name",
         ["p_brand", "p_type"],
-        max_distance=4,
+        max_distance=2,
     )
 
 

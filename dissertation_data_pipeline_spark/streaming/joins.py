@@ -49,3 +49,28 @@ def stream_stream_interval_join(
         & (F.col(rts) >= left[left_ts] - F.expr(f"INTERVAL {within}"))
     )
     return left.join(r, cond, "inner").drop(r[on])
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension.
+
+    The static side is re-read per micro-batch (so dimension updates
+    between batches are picked up) and carries NO streaming state at
+    all — unlike a stream-stream join there is nothing to watermark,
+    which is why this is the right shape for slowly-changing lookups
+    (the reference's keyword/state-code tables). ``broadcast_dim``
+    pins the physical strategy: a shuffled join would repartition
+    every micro-batch.
+
+    Left join keeps stream rows with no dimension match (nulls), the
+    same contract as the batch `j1_left_join`.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

@@ -210,3 +210,38 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmpdirs):
     )
     assert key(got_pairs) == key(expect)
     assert got.count() > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, sf_dir, tmpdirs):
+    """Stream-static broadcast join over available-now micro-batches
+    produces exactly the batch left-join result, with no state store."""
+    from dissertation_data_pipeline_spark.streaming.joins import stream_static_enrich
+
+    events = load_table(spark, sf_dir, "events")
+    src = f"{tmpdirs}/src"
+    events.repartition(2).write.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", 3), ("purchase", 10), ("signup", 5)],
+        "event_type string, weight int",
+    )
+    stream = read_events_stream(spark, src, events.schema)
+    got_df = run_available_now_to_memory(
+        stream,
+        lambda df: stream_static_enrich(df, dim, "event_type")
+        .groupBy("event_type", "weight")
+        .agg(F.count(F.lit(1)).alias("n")),
+        query_name="t_ss_enrich",
+        checkpoint_dir=f"{tmpdirs}/ckpt",
+        output_mode="complete",
+    )
+    got = {(r["event_type"], r["weight"]): r["n"] for r in got_df.collect()}
+    want = {
+        (r["event_type"], r["weight"]): r["n"]
+        for r in events.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("event_type", "weight")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    # rows with no dim match survive with NULL weight (left contract)
+    assert any(k[1] is None for k in got), got

@@ -184,3 +184,53 @@ def test_shuffled_token_copies_collapse(spark, docs):
     by_doc = {r["doc_id"]: r["s"] for r in sh}
     for i in range(len(docs)):
         assert by_doc[2 * i] == by_doc[2 * i + 1]
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abcde", max_size=8), st.text(alphabet="abcde", max_size=8)),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_thresholded_levenshtein_equals_plain(spark, pairs):
+    """The early-exit 3-arg levenshtein must agree with the plain form
+    on every pair: d<=k -> same distance, d>k -> -1."""
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        F.levenshtein("a", "b").alias("d"),
+        F.levenshtein("a", "b", 2).alias("dt"),
+    ).collect()
+    for r in rows:
+        assert r["dt"] == (r["d"] if r["d"] <= 2 else -1)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_connected_components_agree_across_algorithms(spark, edges):
+    """Min-label propagation (+ its single-task small-graph path) and
+    large-star/small-star must produce identical components for any
+    random edge list — including chains, cliques, and self-loop-free
+    multigraphs."""
+    from dissertation_data_pipeline_spark.operators.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(df).collect()
+    }
+    b = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components_star(df).collect()
+    }
+    assert a == b

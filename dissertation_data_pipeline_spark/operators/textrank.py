@@ -144,3 +144,50 @@ def bm25_rank(
         top.withColumn("rank", F.row_number().over(w))
         .select("rank", F.col("_id").alias("doc_id"), "score")
     )
+
+
+#: rule-based topic dictionaries over the corpus vocabulary — the shape
+#: of the reference's inferred classifier (output/co_pilot_summary.csv:1
+#: carries 7 binary strategy columns + a plain-language summary; the
+#: producing classify_co_pilot.py is absent from the repo, so the rule
+#: form is reconstructed per SURVEY §2.10's [EXT] note)
+TOPIC_RULES: dict[str, tuple[str, ...]] = {
+    "scans": ("scan", "filter"),
+    "joins": ("join", "merge", "hash"),
+    "aggregation": ("agg", "group"),
+    "streaming": ("stream", "window", "batch"),
+    "storage": ("table", "row", "column"),
+    "performance": ("fast", "slow", "big", "small"),
+    "vectors": ("vector", "embedding"),
+}
+
+
+def rule_classify(
+    col, rules: dict[str, tuple[str, ...]] = TOPIC_RULES
+) -> dict[str, "F.Column"]:
+    """Rule-based multi-label document classification: one boolean per
+    topic (distinct-token overlap with the topic dictionary), a topic
+    count, and an assembled plain-language summary — all scan-speed
+    Column expressions, no UDFs.
+
+    Returns {has_<topic>: bool, ..., n_topics: int, summary: str}."""
+    toks = F.array_distinct(tokens(col))
+    out: dict[str, F.Column] = {}
+    flags = []
+    for topic, words in rules.items():
+        flag = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in words]))
+        out[f"has_{topic}"] = flag
+        flags.append((topic, flag))
+    n = None
+    for _, flag in flags:
+        term = flag.cast("int")
+        n = term if n is None else n + term
+    out["n_topics"] = n
+    matched = F.concat_ws(
+        ", ",
+        *[F.when(flag, F.lit(topic)) for topic, flag in flags],  # nulls drop
+    )
+    out["summary"] = F.when(matched == "", F.lit("covers: none")).otherwise(
+        F.concat(F.lit("covers: "), matched)
+    )
+    return out

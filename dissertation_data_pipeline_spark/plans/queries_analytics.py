@@ -349,3 +349,57 @@ def ext_dq_checks(spark, sf_dir):
             qc.foreign_key("o_custkey", c, "c_custkey"),
         ],
     )
+
+
+def _topic_sql(words) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        r"len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')), "
+        f"[{lst}])) > 0"
+    )
+
+
+@register(
+    "ext_rule_classifier",
+    f"""
+    WITH flags AS (
+      SELECT doc_id,
+             {_topic_sql(tr.TOPIC_RULES["scans"])} AS has_scans,
+             {_topic_sql(tr.TOPIC_RULES["joins"])} AS has_joins,
+             {_topic_sql(tr.TOPIC_RULES["aggregation"])} AS has_aggregation,
+             {_topic_sql(tr.TOPIC_RULES["streaming"])} AS has_streaming,
+             {_topic_sql(tr.TOPIC_RULES["storage"])} AS has_storage,
+             {_topic_sql(tr.TOPIC_RULES["performance"])} AS has_performance,
+             {_topic_sql(tr.TOPIC_RULES["vectors"])} AS has_vectors
+      FROM documents
+    )
+    SELECT doc_id, has_scans, has_joins, has_aggregation, has_streaming,
+           has_storage, has_performance, has_vectors,
+           (has_scans::INT + has_joins::INT + has_aggregation::INT
+            + has_streaming::INT + has_storage::INT + has_performance::INT
+            + has_vectors::INT) AS n_topics,
+           CASE WHEN NOT (has_scans OR has_joins OR has_aggregation OR has_streaming
+                          OR has_storage OR has_performance OR has_vectors)
+                THEN 'covers: none'
+                ELSE 'covers: ' || concat_ws(', ',
+                  CASE WHEN has_scans THEN 'scans' END,
+                  CASE WHEN has_joins THEN 'joins' END,
+                  CASE WHEN has_aggregation THEN 'aggregation' END,
+                  CASE WHEN has_streaming THEN 'streaming' END,
+                  CASE WHEN has_storage THEN 'storage' END,
+                  CASE WHEN has_performance THEN 'performance' END,
+                  CASE WHEN has_vectors THEN 'vectors' END)
+           END AS summary
+    FROM flags
+    """,
+)
+def ext_rule_classifier(spark, sf_dir):
+    """[EXT-parity] rule-based multi-label classifier: the shape of the
+    reference's co_pilot_summary.csv (7 binary strategy columns +
+    plain_language_summary; the producing classify_co_pilot.py is
+    absent upstream — SURVEY §2.10). Topic dictionaries over distinct
+    tokens, topic count, and an assembled summary — pure scan-speed
+    expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    cls = tr.rule_classify("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in cls.items()])

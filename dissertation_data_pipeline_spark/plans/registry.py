@@ -672,6 +672,7 @@ set_driver_priority(
         "ext_multimodal_audio",
         "ext_range_window_hour",
         "ext_approx_percentile_bounded",
+        "ext_rule_classifier",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

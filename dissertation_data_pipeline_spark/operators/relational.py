@@ -112,3 +112,58 @@ def summary_stats(
     if mean_col:
         aggs.append(F.round(F.avg(mean_col), 2).alias(f"avg_{mean_col}"))
     return df.agg(*aggs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Full-outer snapshot reconciliation: classify every key as
+    ``added`` (new only), ``removed`` (old only), ``changed`` (present
+    in both, any compare column differs under null-safe equality), or
+    ``unchanged`` — plus the comma-joined list of changed columns.
+
+    The batch twin of SCD2 change capture (temporal.py): where SCD2
+    *accumulates* history, this diffs two materialized snapshots — the
+    incremental-pipeline primitive for "what did this run change".
+
+    Scale: one full-outer shuffle join on the key columns (both sides
+    hash-partitioned — no broadcast, snapshots are fact-sized); the
+    per-column comparison is a codegen projection. Skewless for
+    unique-key snapshots by construction.
+    """
+    key_cols = list(key_cols)
+    compare_cols = list(compare_cols)
+    assert key_cols, "snapshot_diff requires key columns"
+    o = old.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    diffs = [
+        (c, ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))) for c in compare_cols
+    ]
+    any_diff = None
+    for _, d in diffs:
+        any_diff = d if any_diff is None else (any_diff | d)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(any_diff if any_diff is not None else F.lit(False), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    changed = F.when(
+        status == "changed",
+        F.concat_ws(",", *[F.when(d, F.lit(c)) for c, d in diffs]),
+    ).otherwise(F.lit(""))
+    return j.select(
+        *key_cols, status.alias("status"), changed.alias("changed_cols")
+    )

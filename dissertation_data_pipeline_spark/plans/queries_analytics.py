@@ -403,3 +403,57 @@ def ext_rule_classifier(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     cls = tr.rule_classify("text")
     return d.select("doc_id", *[c.alias(n) for n, c in cls.items()])
+
+
+@register(
+    "ext_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                  OR old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CASE WHEN old.o_orderkey IS NOT NULL AND new.o_orderkey IS NOT NULL
+                 AND (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+                      OR old.o_totalprice IS DISTINCT FROM new.o_totalprice)
+                THEN concat_ws(',',
+                  CASE WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus THEN 'o_orderstatus' END,
+                  CASE WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'o_totalprice' END)
+                ELSE '' END AS changed_cols
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    """,
+)
+def ext_snapshot_diff(spark, sf_dir):
+    """[EXT] full-outer snapshot reconciliation (added / removed /
+    changed / unchanged + changed-column list) between two synthesized
+    order snapshots — the incremental-pipeline "what changed this run"
+    primitive, one shuffle join on the key
+    (operators/relational.py::snapshot_diff)."""
+    from dissertation_data_pipeline_spark.operators.relational import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )

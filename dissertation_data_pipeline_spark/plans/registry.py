@@ -673,6 +673,7 @@ set_driver_priority(
         "ext_range_window_hour",
         "ext_approx_percentile_bounded",
         "ext_rule_classifier",
+        "ext_snapshot_diff",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

@@ -95,3 +95,39 @@ def test_top_k_frequency_deterministic_ties(spark):
     df = spark.createDataFrame([("a",), ("a",), ("b",), ("b",), ("c",)], "v string")
     out = ops.top_k_frequency(df, "v", 2).collect()
     assert [(r["v"], r["cnt"]) for r in out] == [("a", 2), ("b", 2)]
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    from dissertation_data_pipeline_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0), (4, "D", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 20.0), (3, "Z", 30.0), (4, "D", 41.0), (5, "E", 50.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        1: ("removed", ""),
+        2: ("unchanged", ""),
+        3: ("changed", "s"),
+        4: ("changed", "v"),
+        5: ("added", ""),
+    }
+
+
+def test_snapshot_diff_null_safe(spark):
+    """NULL -> value and value -> NULL are changes; NULL == NULL is not."""
+    from dissertation_data_pipeline_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x"), (3, None)], "k long, s string")
+    new = spark.createDataFrame([(1, "y"), (2, None), (3, None)], "k long, s string")
+    got = {
+        r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], ["s"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}

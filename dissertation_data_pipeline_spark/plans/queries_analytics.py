@@ -457,3 +457,48 @@ def ext_snapshot_diff(spark, sf_dir):
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
+
+
+@register(
+    "ext_triangle_count",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity > 40
+    ), edges AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                      greatest(a.l_partkey, b.l_partkey) AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT (SELECT COUNT(*) FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+           (SELECT COUNT(*) FROM (SELECT DISTINCT id FROM
+              (SELECT u AS id FROM edges UNION ALL SELECT v FROM edges))) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           CAST(0 AS BIGINT) AS n_dropped_nodes
+    """,
+)
+def ext_triangle_count(spark, sf_dir):
+    """[EXT] exact triangle count of the high-quantity co-purchase
+    graph (parts sharing an order) by degree-ordered wedge closing
+    (operators/graphs.py — Suri & Vassilvitskii orientation: out-degree
+    bounded by O(sqrt m), no reducer owns a hub's neighborhood). The
+    oracle brute-forces the 3-way edge join over normalized u<v<w
+    edges — same count, quadratic shape the operator avoids."""
+    from dissertation_data_pipeline_spark.operators import graphs as g
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
+    )
+    return g.triangle_count(g.normalize_edges(pairs))

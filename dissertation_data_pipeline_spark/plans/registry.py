@@ -674,6 +674,7 @@ set_driver_priority(
         "ext_approx_percentile_bounded",
         "ext_rule_classifier",
         "ext_snapshot_diff",
+        "ext_triangle_count",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

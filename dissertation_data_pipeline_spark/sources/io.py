@@ -129,13 +129,36 @@ def write_table(
     fmt: str = "parquet",
     mode: str = "overwrite",
     partition_by: Sequence[str] = (),
+    compression: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
+    """Columnar/text sink. ``fmt`` covers parquet/orc/csv/json (all
+    built-in, splittable except json-gzip). ``compression`` picks the
+    codec (parquet/orc: snappy default, zstd for cold data — better
+    ratio, still splittable at the stripe/row-group level). At 100 TB,
+    ``max_records_per_file`` is the file-size governor: without it a
+    skewed final stage writes multi-GB files that downstream scans
+    cannot split fairly."""
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
         writer = writer.option("header", True)
+    if compression:
+        writer = writer.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """ORC scan (S3-sibling of read_parquet): predicate pushdown and
+    column pruning work the same as parquet; schema pinned when the
+    contract is known."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
 
 
 def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:

@@ -388,3 +388,37 @@ def test_extract_audio_features_real_decode(spark):
     assert got[1]["n_samples"] == 80 and got[1]["sample_rate"] == 8000
     assert got[1]["duration_s"] == 80 / 8000
     assert got[2]["rms"] == 0.0
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmpd):
+    from dissertation_data_pipeline_spark.sources.io import read_orc, write_table
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").limit(500)
+    path = f"{tmpd}/orders_orc"
+    write_table(o, path, fmt="orc", compression="zstd")
+    back = read_orc(spark, path)
+    assert back.count() == 500
+    assert [f.name for f in back.schema] == [f.name for f in o.schema]
+    # predicate reaches the ORC scan
+    plan = (
+        back.filter(F.col("o_orderkey") == 42)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan, plan
+
+
+def test_max_records_per_file_governs_file_count(spark, tmpd):
+    import glob
+
+    from dissertation_data_pipeline_spark.sources.io import write_table
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").coalesce(1)
+    path = f"{tmpd}/orders_sized"
+    write_table(o, path, max_records_per_file=400)
+    n_rows = o.count()
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) >= n_rows // 400, files

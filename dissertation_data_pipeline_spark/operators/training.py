@@ -337,3 +337,43 @@ def chunk_documents(
         .alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    weight_col: Column | str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group
+    (Efraimidis & Spirakis 2006): rank rows by ``u^(1/w)`` descending,
+    where u is the md5-derived uniform of the row id — heavier rows
+    win proportionally more often, yet the draw is a pure function of
+    (id, weight), so resamples are reproducible and cross-engine
+    exact.
+
+    Ranking uses the monotone-equivalent key ``ln(u)/w`` (for
+    u in (0,1), u^(1/w) orders identically): the pow form compresses
+    key gaps toward 1 (cross-engine ulp flips become plausible), the
+    ln-ratio form keeps gaps ~7 orders above double ulp. Weights must
+    be positive; rank ties break on the id.
+
+    One window shuffle on the group key — the sampling itself is
+    scan-speed expression work.
+    """
+    from pyspark.sql.window import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0,1): (h32 + 1) / (2^32 + 1) — never 0 or 1, ln is finite
+    u = (uniform_hash_u32(F.col(id_col)) + 1) / F.lit(4294967297.0)
+    key = F.log(u) / w.cast("double")
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.col("_es_key").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_es_key", key)
+        .withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es_key")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dissertation_data_pipeline_spark.operators.training import (
+    weighted_sample_per_group,
     chunk_documents,
     corpus_top_bigrams,
     decontaminate_report,
@@ -284,3 +285,42 @@ def ext_chunk_documents(spark, sf_dir):
     dropped). Scan-shaped retrieval/RAG prep — no shuffle."""
     d = load_table(spark, sf_dir, "documents")
     return chunk_documents(d, "doc_id", "text", window=32, stride=24)
+
+
+@register(
+    "ext_weighted_sample",
+    r"""
+    WITH u AS (
+      SELECT doc_id, lang, n_chars,
+             ((strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16^7
+              + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 2, 1)) - 1) * 16^6
+              + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 3, 1)) - 1) * 16^5
+              + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 4, 1)) - 1) * 16^4
+              + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 5, 1)) - 1) * 16^3
+              + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 6, 1)) - 1) * 16^2
+              + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 7, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), 8, 1)) - 1)
+             ) AS h32
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln((h32 + 1) / 4294967297.0) / n_chars AS es_key
+      FROM u
+    )
+    SELECT lang, doc_id, n_chars, sample_rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY es_key DESC, doc_id ASC
+      ) AS sample_rank
+      FROM keyed
+    ) WHERE sample_rank <= 5
+    """,
+)
+def ext_weighted_sample(spark, sf_dir):
+    """[EXT] Efraimidis-Spirakis weighted sampling without
+    replacement: 5 docs per language, weight = n_chars, md5-derived
+    uniforms — deterministic, reproducible, one window shuffle
+    (operators/training.py::weighted_sample_per_group)."""
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        d, ["lang"], "n_chars", 5, id_col="doc_id"
+    ).select("lang", "doc_id", "n_chars", "sample_rank")

@@ -186,3 +186,41 @@ def test_chunk_documents_windows_and_containment(spark):
     # 100 tokens -> starts 0,24,48,72,96; 96+8 >= 100 -> last dropped
     assert [s for _, s, _ in by_doc[4]] == [0, 24, 48, 72]
     assert by_doc[4][-1][2] == 28  # 100 - 72
+
+
+def test_weighted_sample_is_deterministic_and_biased(spark):
+    """Heavier rows must win more often across many independent groups,
+    and resamples must be byte-identical."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        weighted_sample_per_group,
+    )
+
+    # 200 groups, each with one heavy (w=1000) and nine light (w=10) rows
+    rows = []
+    for grp in range(200):
+        for i in range(10):
+            rows.append((grp, grp * 10 + i, 1000 if i == 0 else 10))
+    df = spark.createDataFrame(rows, "grp int, doc_id long, w int")
+    pick = weighted_sample_per_group(df, ["grp"], "w", 1, id_col="doc_id")
+    got = {r["grp"]: r["doc_id"] for r in pick.collect()}
+    assert len(got) == 200
+    heavy_wins = sum(1 for g, d in got.items() if d == g * 10)
+    # P(heavy wins) = 1000/1090 ~ 0.917; with 200 trials, <150 wins is
+    # astronomically unlikely (and the draw is deterministic anyway)
+    assert heavy_wins > 150, heavy_wins
+    again = {r["grp"]: r["doc_id"] for r in pick.collect()}
+    assert got == again
+
+
+def test_weighted_sample_without_replacement(spark):
+    from dissertation_data_pipeline_spark.operators.training import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(1, i, 5) for i in range(4)], "grp int, doc_id long, w int"
+    )
+    out = weighted_sample_per_group(df, ["grp"], "w", 3, id_col="doc_id").collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) == 3
+    assert sorted(r["sample_rank"] for r in out) == [1, 2, 3]

@@ -284,3 +284,113 @@ def ext_dup_ngram_fraction(spark, sf_dir):
     frequency -> per-doc re-aggregate; no pairwise work."""
     d = load_table(spark, sf_dir, "documents")
     return dx.duplicated_shingle_fraction(d, "doc_id", "text", n=3)
+
+
+#: the SimHash CTE over an arbitrary source CTE (same math as
+#: _SIMHASH_CTE, which is pinned to the raw documents table)
+def _simhash_cte_over(src: str) -> str:
+    return _SIMHASH_CTE.replace("FROM documents", f"FROM {src}")
+
+
+@register(
+    "ext_curation_pipeline",
+    f"""
+    WITH RECURSIVE quality AS (
+      SELECT * FROM documents WHERE n_chars >= 150
+    ),
+    exact AS (
+      SELECT doc_id, text, lang FROM (
+        SELECT doc_id, text, lang,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM quality
+      ) WHERE rn = 1
+    ),
+    {_simhash_cte_over("exact")},
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM simh a JOIN simh b
+        ON a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src AS id, src AS label FROM edges
+      UNION
+      SELECT e.src AS id, r.label FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (
+      SELECT id AS doc_id, min(label) AS component_id FROM reach GROUP BY 1
+    ),
+    final AS (
+      SELECT e.* FROM exact e
+      LEFT JOIN comp c ON e.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL OR c.component_id = e.doc_id
+    )
+    SELECT l.lang,
+           l.n_raw,
+           COALESCE(q.n, 0) AS n_quality,
+           COALESCE(x.n, 0) AS n_exact,
+           COALESCE(f.n, 0) AS n_final,
+           COALESCE(f.toks, 0) AS tokens_final
+    FROM (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1) l
+    LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM quality GROUP BY 1) q USING (lang)
+    LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM exact GROUP BY 1) x USING (lang)
+    LEFT JOIN (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS toks
+      FROM final GROUP BY 1
+    ) f USING (lang)
+    """,
+)
+def ext_curation_pipeline(spark, sf_dir):
+    """[EXT] the end-to-end corpus-curation pipeline as ONE query:
+    length gate -> exact dedup (min-id canonical per content digest)
+    -> SimHash near-dup cluster survivors -> per-language funnel
+    report (raw / quality / exact / final doc counts + surviving
+    tokens). Composes quality gating, exact_dedup semantics,
+    signature-contracted component edges, iterative CC, and
+    dedup_survivors — the full curation funnel a training-data run
+    executes, verified stage-by-stage against one recursive-CTE
+    oracle."""
+    from dissertation_data_pipeline_spark.operators.clusters import (
+        connected_components,
+        dedup_survivors,
+    )
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 150)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text", "lang")
+        .localCheckpoint(eager=False)
+    )
+    comp = connected_components(
+        dx.simhash_component_edges(exact, "doc_id", "text", max_hamming=3)
+    )
+    final = dedup_survivors(exact, comp)
+    n_tokens = F.size(dx.tokens("text")).cast("long")
+    raw = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    nq = quality.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    nx = exact.groupBy("lang").agg(F.count(F.lit(1)).alias("n_exact"))
+    nf = final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_final"), F.sum(n_tokens).alias("tokens_final")
+    )
+    return (
+        raw.join(nq, "lang", "left")
+        .join(nx, "lang", "left")
+        .join(nf, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+        )
+    )

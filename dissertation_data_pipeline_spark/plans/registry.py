@@ -676,6 +676,7 @@ set_driver_priority(
         "ext_snapshot_diff",
         "ext_triangle_count",
         "ext_weighted_sample",
+        "ext_curation_pipeline",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

@@ -78,3 +78,14 @@ def test_duplicated_shingle_fraction(spark):
     assert out[1]["dup_frac"] == 0.5
     assert out[2]["n_dup"] == 1
     assert out[3]["n_dup"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_curation_pipeline_funnel_is_monotone(spark):
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["ext_curation_pipeline"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_exact"] >= r["n_final"] >= 0
+        if r["n_final"]:
+            assert r["tokens_final"] > 0

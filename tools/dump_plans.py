@@ -129,6 +129,21 @@ HEADLINERS = {
         "one scan (conditional counts); unique shuffles only the key; "
         "the FK check is a broadcast left-anti count."
     ),
+    "ext_snapshot_diff": (
+        "One full-outer shuffle join on the key; the null-safe "
+        "per-column comparison and status ladder are codegen "
+        "projections over the joined row."
+    ),
+    "ext_triangle_count": (
+        "Degree-ordered orientation (joins on node id) bounds every "
+        "out-degree by O(sqrt m); the wedge self-join and the closing "
+        "semi-join are both equi-joins — no reducer ever owns a hub's "
+        "full neighborhood."
+    ),
+    "ext_weighted_sample": (
+        "Sampling keys are scan-speed expressions (md5 uniform + "
+        "ln-ratio); the only shuffle is the per-group ranking window."
+    ),
 }
 
 MARKERS = [

@@ -112,3 +112,141 @@ def fs10_safe_filename(spark, sf_dir):
         "p_partkey",
         fx.safe_filename(F.concat_ws("/", "p_name", "p_brand")).alias("fname"),
     )
+
+
+@register(
+    "ext_histogram_equiwidth",
+    """
+    WITH mm AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT least(CAST(floor((o_totalprice - lo) * 10 / (hi - lo)) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders CROSS JOIN mm
+    GROUP BY 1
+    """,
+)
+def ext_histogram_equiwidth(spark, sf_dir):
+    """[EXT] 10-bin equal-width histogram of order values: global
+    min/max attach as a broadcast 1-row aggregate, binning is a codegen
+    expression, counts aggregate map-side — two passes over the scan,
+    zero driver-side math. Bin edges are the same IEEE doubles in both
+    engines, so bucket assignment is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) * 10 / (F.col("hi") - F.col("lo"))
+        ).cast("long"),
+        F.lit(9).cast("long"),
+    )
+    return (
+        o.crossJoin(F.broadcast(mm))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@register(
+    "ext_pct_of_total",
+    """
+    WITH rev AS (
+      SELECT n_name,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           CAST(r AS DOUBLE) AS revenue,
+           round(CAST(r AS DOUBLE) / CAST(SUM(r) OVER () AS DOUBLE), 6) AS share
+    FROM rev
+    """,
+)
+def ext_pct_of_total(spark, sf_dir):
+    """[EXT] ratio-to-report: each nation's revenue share of the
+    corpus total via an empty-frame window sum over the (tiny)
+    aggregated frame — the denominators never touch fact-table rows.
+    Exact decimal sums on both sides of the division."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("r").cast("double").alias("revenue"),
+        F.round(
+            F.col("r").cast("double") / F.sum("r").over(w).cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "ext_mad_outliers",
+    """
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ), med AS (
+      SELECT event_type, quantile_cont(v, 0.5) AS m FROM cents GROUP BY 1
+    ), dev AS (
+      SELECT c.event_type, c.v, med.m, abs(c.v - med.m) AS d
+      FROM cents c JOIN med USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN dev.d > 5 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY 1
+    """,
+)
+def ext_mad_outliers(spark, sf_dir):
+    """[EXT] robust outlier screen: median absolute deviation per
+    event_type over integer cents (exact percentile interpolation —
+    both engines IEEE-agree), outliers = |v - median| > 5*MAD. Two
+    grouped percentile passes + one flagging aggregation; the per-type
+    medians ride broadcast joins back onto the rows."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
+    med = cents.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("m")
+    )
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", F.abs(F.col("v") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("d", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("d") > 5 * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

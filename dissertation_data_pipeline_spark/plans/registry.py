@@ -677,6 +677,9 @@ set_driver_priority(
         "ext_triangle_count",
         "ext_weighted_sample",
         "ext_curation_pipeline",
+        "ext_histogram_equiwidth",
+        "ext_pct_of_total",
+        "ext_mad_outliers",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

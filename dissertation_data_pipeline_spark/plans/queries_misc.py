@@ -250,3 +250,74 @@ def ext_mad_outliers(spark, sf_dir):
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+@register(
+    "ext_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ext_event_transitions(spark, sf_dir):
+    """[EXT] first-order Markov transition counts over per-user event
+    sequences: one window shuffle on user_id (total order (ts,
+    event_id) — partition-count invariant), then a map-side-combined
+    pair count. The behavioral-analytics primitive behind funnels and
+    session models."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ext_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    )
+    SELECT f.cohort_week,
+           CAST(floor(date_diff('day', f.cohort_week,
+                                CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ext_cohort_retention(spark, sf_dir):
+    """[EXT] cohort retention: users cohorted by the ISO week of their
+    first event; per (cohort, week-offset) distinct active users. One
+    groupBy for cohort assignment (broadcast back onto events — the
+    cohort table is |users|-sized, far under the fact table), one
+    count-distinct aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    joined = e.join(F.broadcast(firsts), "user_id")
+    offset = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7.0
+    ).cast("long")
+    return joined.groupBy(
+        "cohort_week", offset.alias("week_offset")
+    ).agg(F.countDistinct("user_id").alias("n_active"))

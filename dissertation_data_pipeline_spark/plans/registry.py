@@ -680,6 +680,8 @@ set_driver_priority(
         "ext_histogram_equiwidth",
         "ext_pct_of_total",
         "ext_mad_outliers",
+        "ext_event_transitions",
+        "ext_cohort_retention",
         # -- 3: deferred tail (redundant-shape siblings, next round) ------
         "tpch_q3_shipping_priority",
         "tpch_q5_region_volume",

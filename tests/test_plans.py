@@ -148,7 +148,10 @@ def test_no_cartesian_products_in_registry(spark):
     - ``ext_tfidf_top_terms`` / ``ext_bm25_rank``: the 1-row corpus
       scalars (N, avgdl) broadcast onto the scored postings.
     - ``ext_dq_checks``: the 1-row total-rows aggregate broadcast onto
-      the (1-row) FK violation count."""
+      the (1-row) FK violation count.
+    - ``ext_histogram_equiwidth``: the 1-row global (min, max) aggregate
+      broadcast onto the scan so bin assignment stays a codegen
+      expression."""
     allowed = {
         "ext_ann_brute_topk",
         "ext_ann_ivf_topk",
@@ -158,6 +161,7 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_tfidf_top_terms",
         "ext_bm25_rank",
         "ext_dq_checks",
+        "ext_histogram_equiwidth",
     }
     offenders = {}
     for name, q in QUERIES.items():

@@ -128,3 +128,88 @@ def triangle_count(
         [(tri, n_nodes, n_edges, dropped)],
         "n_triangles long, n_nodes long, n_edges long, n_dropped_nodes long",
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    iterations: int = 6,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list, in scaled-integer
+    arithmetic so every engine computes the identical result.
+
+    Float PageRank is not reproducible across engines or even across
+    partitionings (the per-node contribution sum is a float reduction,
+    and reduction order is partition-dependent). This variant keeps
+    every rank as a BIGINT in units of ``1/scale``:
+
+    - ``rank_0(v) = scale div n_nodes``
+    - ``contrib(e) = (rank(src) * w) div out_weight(src)`` — per-edge
+      integer floor division, then an exact integer sum per dst
+    - ``rank'(v) = (100 - damping_pct) * (scale div n) div 100
+      + damping_pct * contrib_sum(v) div 100``
+
+    Integer sums are associative and commutative, so the result is
+    bit-identical regardless of partitioning — the property the oracle
+    check needs. The floor divisions lose < n_edges/scale of total mass
+    per iteration (and dangling-node mass is not redistributed), which
+    is irrelevant for ranking and fully deterministic.
+
+    Plan per iteration: one hash join of ranks onto edges on src (the
+    rank frame has one row per node — broadcast when the node set is
+    small, e.g. a label/category graph), one groupBy dst (map-side
+    combined), one left join back onto the node list. O(iterations)
+    shuffles total; ranks are lazily localCheckpoint-ed each round so
+    the lineage does not grow with the iteration count. At 100 TB the
+    same loop holds with ranks hash-partitioned on node id and the
+    edge list pre-partitioned on src — the join key never changes, so
+    AQE reuses one exchange per side per round.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()  # scalar loop constant (one int), not row data
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0).cast("long").alias("r"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    base_total = scale // n_nodes
+    base = (100 - damping_pct) * base_total // 100
+    ranks = nodes.select("node", F.lit(base_total).cast("long").alias("r"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(out_w, "src")
+            .join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(r * w) div ow").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(s, 0L)) div 100"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

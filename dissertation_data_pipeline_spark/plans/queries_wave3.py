@@ -1,0 +1,461 @@
+"""[EXT] Wave-3 operators: corpus boilerplate removal, unigram-frequency
+quality scoring, integer-exact PageRank, equi-depth histograms,
+per-group linear regression, and Z-order curve values.
+
+Cross-engine exactness strategy (shared with the whole registry): keep
+every accumulating computation in integer/decimal space — integer sums
+are associative+commutative so results are partition-order invariant,
+and any final division of two exact integers is one IEEE op both
+engines perform identically. No float ever rides through a reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators.graphs import pagerank_int
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+_CHUNK = 8  # tokens per chunk for cross-doc chunk dedup
+
+
+@register(
+    "ext_chunk_dedup_clean",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ts[(i*{_CHUNK}+1):(i*{_CHUNK}+{_CHUNK})], ' ') AS chunk
+      FROM toks, UNNEST(range(CAST(ceil(len(ts)/{_CHUNK}.0) AS BIGINT))) AS u(i)
+    ), freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN f.nd = 1 THEN c.chunk END, ' '
+                               ORDER BY c.pos), '') AS cleaned
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY 1
+    """,
+)
+def ext_chunk_dedup_clean(spark, sf_dir):
+    """[EXT] Cross-document boilerplate removal at token-chunk
+    granularity (the RefinedWeb/Falcon line-dedup recipe, applied to
+    8-token chunks because this corpus has no newlines): a chunk whose
+    exact text appears in more than one document is boilerplate; each
+    document is reconstructed from its surviving chunks in order.
+
+    Plan: chunking is pure codegen (split + transform/slice — no
+    explode until the chunk table), then one groupBy on chunk text for
+    the corpus frequency, one shuffle join back (fact x pre-aggregated
+    frequency — the aggregate side carries one row per distinct chunk,
+    so a viral chunk is ONE row, not a skewed key), and one groupBy
+    doc_id to reassemble. At 100 TB this is exactly the shape used in
+    production line-dedup: hash-partition on chunk digest, join,
+    regroup by doc — three shuffles, no global sort, no driver state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.ceil(F.size(toks) / F.lit(float(_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(toks, i * _CHUNK + 1, _CHUNK), " "),
+    )
+    ch = d.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    freq = ch.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    kept_entry = F.when(
+        F.col("nd") == 1, F.struct(F.col("pos"), F.col("chunk"))
+    )  # NULL (dropped by collect_list) when the chunk is cross-doc dup
+    return (
+        ch.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_entry)),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+
+
+@register(
+    "ext_token_freq_quality",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), td AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ), corpus AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS freq FROM td GROUP BY 1
+    )
+    SELECT td.doc_id,
+           CAST(SUM(td.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(td.c * corpus.freq) AS BIGINT) AS freq_sum,
+           CAST(SUM(td.c * corpus.freq) AS DOUBLE) / CAST(SUM(td.c) AS DOUBLE)
+             AS avg_tok_freq
+    FROM td JOIN corpus USING (tok)
+    GROUP BY 1
+    """,
+)
+def ext_token_freq_quality(spark, sf_dir):
+    """[EXT] Unigram corpus-frequency quality score — the cheap LM
+    proxy used by web-scale curation pipelines (docs whose tokens are
+    rare corpus-wide are disproportionately boilerplate/garbage; cf.
+    the CCNet/KenLM perplexity bucket, here with the corpus itself as
+    the unigram model). All-integer accumulation: per-doc score is
+    SUM(tf * corpus_freq), exact in any partitioning; the single final
+    division is the only float op.
+
+    Plan: one explode pass -> groupBy (doc_id, token) with map-side
+    combine -> token-level re-aggregate for the corpus table (vocab
+    rows only) -> broadcast-size join back -> groupBy doc_id. The
+    vocabulary aggregate is tiny relative to the corpus at any scale
+    (Heaps' law), so the join-back broadcasts at 100 TB too.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    td = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    corpus = td.groupBy("tok").agg(F.sum("c").alias("freq"))
+    return (
+        td.join(F.broadcast(corpus), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("freq")).alias("freq_sum"),
+            (
+                F.sum(F.col("c") * F.col("freq")).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("avg_tok_freq"),
+        )
+    )
+
+
+_PR_SCALE = 1_000_000_000
+_PR_ITER = 6
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank in pure integer arithmetic —
+    bit-identical to ``operators.graphs.pagerank_int`` by construction
+    (same floor divisions in the same order on exact integers)."""
+    head = f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), edges AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), consts AS (
+      SELECT {_PR_SCALE} // COUNT(*) AS base_total,
+             (15 * ({_PR_SCALE} // COUNT(*))) // 100 AS base
+      FROM nodes
+    ), outw AS (
+      SELECT src, SUM(w) AS ow FROM edges GROUP BY 1
+    ), r0 AS (
+      SELECT node, base_total AS r FROM nodes, consts
+    )"""
+    its = []
+    for k in range(1, _PR_ITER + 1):
+        its.append(f""", r{k} AS (
+      SELECT n.node,
+             (SELECT base FROM consts) + (85 * COALESCE(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM((p.r * e.w) // o.ow) AS s
+        FROM edges e JOIN outw o USING (src) JOIN r{k - 1} p ON e.src = p.node
+        GROUP BY 1
+      ) c ON n.node = c.node
+    )""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT node AS event_type, CAST(r AS BIGINT) AS rank_scaled FROM r{_PR_ITER}
+    """
+    )
+
+
+@register("ext_pagerank_transitions", _pagerank_oracle())
+def ext_pagerank_transitions(spark, sf_dir):
+    """[EXT] PageRank over the event-type transition graph (edges =
+    Markov transition counts from per-user event sequences), computed
+    by ``pagerank_int`` in scaled-integer arithmetic: float PageRank is
+    partition-order dependent (float contribution sums), the integer
+    variant is bit-reproducible on any engine or partitioning — which
+    is what lets a recursive oracle verify a distributed iterative
+    algorithm value-for-value.
+
+    The node set here is small (event types), but the loop is the
+    genuine distributed shape: per iteration one join of ranks onto
+    edges on src, one map-side-combined groupBy dst, one left join onto
+    the node list, lineage cut per round. Swap the edge list for a
+    web/citation graph and the same code runs at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank_int(
+        edges, iterations=_PR_ITER, scale=_PR_SCALE, damping_pct=85
+    )
+    return ranks.select(
+        F.col("node").alias("event_type"), F.col("r").alias("rank_scaled")
+    )
+
+
+@register(
+    "ext_histogram_equidepth",
+    """
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM orders
+    ), hist AS (
+      SELECT v, COUNT(*) AS c FROM cents GROUP BY 1
+    ), cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum FROM hist
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM cents
+    ), ks AS (
+      SELECT unnest(range(1, 10)) AS k
+    ), bounds AS (
+      SELECT k, MIN(v) AS b
+      FROM cum, tot, ks
+      WHERE cum > (k * (n - 1)) // 10
+      GROUP BY 1
+    ), blist AS (
+      SELECT list(b ORDER BY k) AS bs FROM bounds
+    )
+    SELECT CAST(len(list_filter(bs, b -> v > b)) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS lo_cents,
+           MAX(v) AS hi_cents
+    FROM cents, blist
+    GROUP BY 1
+    """,
+)
+def ext_histogram_equidepth(spark, sf_dir):
+    """[EXT] Equi-depth (decile) histogram of order values WITHOUT a
+    global sort: boundary k is the exact order statistic at 0-based
+    index (k*(n-1)) div 10, recovered from a cumulative count over the
+    *distinct-value* histogram — the standard exact-quantile-via-
+    histogram trick. The ordered window runs over distinct integer
+    cents (bounded by the value domain, not the row count), so there is
+    no scale-killing whole-data sort; rows then bin against the 9
+    broadcast boundaries with a pure codegen filter-count. All integer,
+    so both engines agree exactly — no percentile interpolation floats.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v")
+    )
+    hist = cents.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("v", F.sum("c").over(wcum).alias("cum"))
+    tot = cents.agg(F.count(F.lit(1)).alias("n"))
+    ks = cum.sparkSession.range(1, 10).select(F.col("id").alias("k"))
+    bounds = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .filter(F.col("cum") > F.expr("(k * (n - 1)) div 10"))
+        .groupBy("k")
+        .agg(F.min("v").alias("b"))
+    )
+    blist = bounds.agg(
+        F.array_sort(F.collect_list(F.struct("k", "b"))).alias("kb")
+    ).select(F.transform("kb", lambda s: s.getField("b")).alias("bs"))
+    binned = cents.crossJoin(F.broadcast(blist)).select(
+        F.size(F.filter("bs", lambda b: F.col("v") > b))
+        .cast("long")
+        .alias("bucket"),
+        "v",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo_cents"),
+        F.max("v").alias("hi_cents"),
+    )
+
+
+@register(
+    "ext_group_linreg",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '2024-01-01') * 24
+               + CAST(hour(ts) AS BIGINT) AS x,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts GROUP BY 1
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
+           (CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept_cents,
+           CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM m
+    """,
+)
+def ext_group_linreg(spark, sf_dir):
+    """[EXT] Per-group ordinary least squares (value-vs-time trend per
+    event type) from exact integer moment sums: x = whole hours since
+    2024-01-01 (date arithmetic — timezone-free in both engines), y =
+    integer cents. n, Sx, Sy, Sxx, Sxy, Syy accumulate as BIGINTs (one
+    distributed aggregation, map-side combined, order-invariant), then
+    slope/intercept/r² are a handful of IEEE ops on identical exact
+    integers — so a float regression result becomes value-hashable.
+    Magnitude audit: x<=720, y<2^23, n<=2e5 per group at sf0.1 keeps
+    every product far below 2^63 (n*Syy worst ~1e18).
+
+    This is the moment-sketch pattern every distributed ML system uses
+    for closed-form estimators: one pass, six numbers per group, no
+    iteration — the 100 TB plan is identical to the sf0.01 plan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            * 24
+            + F.hour("ts")
+        ).cast("long").alias("x"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope_cents_per_hour"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+        (num * num / (den * deny)).alias("r2"),
+    )
+
+
+def _zorder_sql_expr(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+def zorder_value(a, b, bits: int = 8):
+    """Z-order (Morton) curve value of two bucketed ints as a pure
+    codegen expression: interleave the low ``bits`` bits of ``a`` (odd
+    positions) and ``b`` (even positions)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        )
+    return z
+
+
+@register(
+    "ext_zorder_values",
+    f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS a,
+             (CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 256 AS b
+      FROM orders
+    )
+    SELECT o_orderkey, a, b,
+           CAST({_zorder_sql_expr('a', 'b', 8)} AS BIGINT) AS zval
+    FROM keyed
+    """,
+)
+def ext_zorder_values(spark, sf_dir):
+    """[EXT] Z-order (Morton) curve values over (customer, order-date)
+    buckets — the multi-dimensional data-layout key behind Delta/Iceberg
+    OPTIMIZE ZORDER. Sorting/range-partitioning files by this key makes
+    per-file min/max ranges tight in BOTH dimensions simultaneously, so
+    predicate pushdown skips files for either-column filters — at 100 TB
+    layout is the cheapest query accelerator there is. The interleave
+    is a pure bitwise codegen expression (16 shift/mask terms, no UDF);
+    ``sources.layout.write_zordered`` applies it as
+    repartitionByRange(zval) + sortWithinPartitions for writing, and the
+    layout test measures the file-skipping effect on real parquet
+    footers.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("a"),
+        (
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            )
+            % 256
+        ).alias("b"),
+    )
+    return keyed.select(
+        "o_orderkey",
+        "a",
+        "b",
+        zorder_value(F.col("a"), F.col("b"), 8).alias("zval"),
+    )

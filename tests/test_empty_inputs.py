@@ -34,6 +34,12 @@ REPRESENTATIVES = [
     "ext_snapshot_diff",
     "ext_rule_classifier",
     "ext_multimodal_audio",
+    "ext_chunk_dedup_clean",
+    "ext_token_freq_quality",
+    "ext_pagerank_transitions",
+    "ext_histogram_equidepth",
+    "ext_group_linreg",
+    "ext_zorder_values",
 ]
 
 

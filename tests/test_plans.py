@@ -151,7 +151,10 @@ def test_no_cartesian_products_in_registry(spark):
       the (1-row) FK violation count.
     - ``ext_histogram_equiwidth``: the 1-row global (min, max) aggregate
       broadcast onto the scan so bin assignment stays a codegen
-      expression."""
+      expression.
+    - ``ext_histogram_equidepth``: the 1-row total count, the 9-row
+      decile index frame, and the 1-row boundary array all broadcast
+      onto bounded frames — binning stays codegen, no global row sort."""
     allowed = {
         "ext_ann_brute_topk",
         "ext_ann_ivf_topk",
@@ -162,6 +165,7 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_bm25_rank",
         "ext_dq_checks",
         "ext_histogram_equiwidth",
+        "ext_histogram_equidepth",
     }
     offenders = {}
     for name, q in QUERIES.items():

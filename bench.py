@@ -70,6 +70,10 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # cross-round comparability: the registry grows every round, so the
+    # raw total conflates coverage with speed; per-query mean is the
+    # stable metric (BASELINE.md tracks it per round)
+    avg = round(total / max(len(timings), 1), 4)
 
     # Full per-query detail goes to a sidecar file; the driver's bench
     # record keeps only the last 2000 chars of stdout (BENCH_r01.json:
@@ -82,6 +86,7 @@ def main() -> None:
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "avg_per_query": avg,
                 "queries": timings,
                 "sf": sf,
             },
@@ -107,6 +112,7 @@ def main() -> None:
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "avg_per_query": avg,
                 "queries": trial,
                 "sf": sf,
                 "n_queries": len(timings),
@@ -123,6 +129,7 @@ def main() -> None:
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "avg_per_query": avg,
                 "queries": shown,
                 "sf": sf,
                 "n_queries": len(timings),

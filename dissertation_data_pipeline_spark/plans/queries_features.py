@@ -1,0 +1,224 @@
+"""[EXT] Feature-engineering queries: hash split, hashing-trick
+features, leave-one-out target encoding, one-pass correlation matrix.
+
+Oracle portability notes: DuckDB has no ``conv(hex, 16, 10)``, so the
+md5-uniform is spelled as a strpos-digit sum (same trick as
+``queries_training``); correlation is computed from exact integer
+moment sums with the IDENTICAL final-formula structure on both sides,
+so every float op sees bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators.features import (
+    feature_hash_long,
+    split_assign,
+    target_encode_loo,
+)
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+def _h_sql(expr: str) -> str:
+    """DuckDB md5-uniform u32 of a VARCHAR sql expression (mirrors
+    ``operators.training.uniform_hash_u32``)."""
+    return " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(md5({expr}), "
+        f"{i + 1}, 1)) - 1) AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@register(
+    "ext_train_split",
+    f"""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN ({_h_sql('CAST(doc_id AS VARCHAR)')}) % 100 < 80
+                    THEN 'train'
+                  WHEN ({_h_sql('CAST(doc_id AS VARCHAR)')}) % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY 1, 2
+    """,
+)
+def ext_train_split(spark, sf_dir):
+    """[EXT] Deterministic 80/10/10 train/val/test assignment from the
+    md5 uniform of doc_id, reported as per-(split, lang) counts. The
+    split is a pure scan-side expression — no shuffle to assign, stable
+    under re-ingestion, any partitioning, any engine — which is the
+    property a training pipeline needs so eval sets never contaminate
+    across reruns."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(split_assign("doc_id").alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "ext_feature_hashing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST(({_h_sql('tok')}) % 64 AS BIGINT) AS slot,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def ext_feature_hashing(spark, sf_dir):
+    """[EXT] Hashing-trick features (Weinberger et al. 2009): tokens
+    into 64 md5 slots, long-form (doc_id, slot, cnt) output — the
+    sparse representation that scales (see
+    ``operators/features.py::feature_hash_long``). One explode + one
+    map-side-combined groupBy, no joins, no vocabulary state."""
+    d = load_table(spark, sf_dir, "documents")
+    return feature_hash_long(d, "doc_id", "text", n_slots=64).select(
+        F.col("_id").alias("doc_id"), "slot", "cnt"
+    )
+
+
+@register(
+    "ext_target_encoding",
+    """
+    WITH agg AS (
+      SELECT source,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.source,
+           CAST(agg.s - d.n_chars AS DOUBLE)
+             / CAST(nullif(agg.c - 1, 0) AS DOUBLE) AS loo_target_mean
+    FROM documents d JOIN agg USING (source)
+    """,
+)
+def ext_target_encoding(spark, sf_dir):
+    """[EXT] Leakage-free categorical encoding: source -> leave-one-out
+    mean of n_chars ((sum - own)/(cnt - 1), exact integer sums, one
+    final division). Per-category aggregate is one row per category at
+    any scale — broadcast back, no second pass over the target."""
+    d = load_table(spark, sf_dir, "documents")
+    return target_encode_loo(
+        d.select("doc_id", "source", "n_chars"), "source", "n_chars"
+    ).select("doc_id", "source", "loo_target_mean")
+
+
+_CORR_COLS = {
+    "q": "l_quantity",
+    "p": "l_extendedprice",
+    "d": "l_discount",
+    "t": "l_tax",
+}
+_CORR_PAIRS = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+
+
+def _corr_sql() -> str:
+    cents = ", ".join(
+        f"CAST(CAST({c} AS DECIMAL(18,2)) * 100 AS BIGINT) AS {k}"
+        for k, c in _CORR_COLS.items()
+    )
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for k in _CORR_COLS:
+        sums.append(f"SUM({k}) AS s{k}")
+        sums.append(f"SUM({k} * {k}) AS s{k}{k}")
+    for a, b in _CORR_PAIRS:
+        sums.append(f"SUM({a} * {b}) AS s{a}{b}")
+
+    def corr(a: str, b: str) -> str:
+        # identical formula structure to the Spark side: means first,
+        # then covariance/variances, then one sqrt — every input to a
+        # float op is an exact-integer cast
+        return (
+            f"(CAST(s{a}{b} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CAST(s{a} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" * (CAST(s{b} AS DOUBLE) / CAST(n AS DOUBLE)))"
+            f" / sqrt("
+            f"(CAST(s{a}{a} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CAST(s{a} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" * (CAST(s{a} AS DOUBLE) / CAST(n AS DOUBLE)))"
+            f" * (CAST(s{b}{b} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - (CAST(s{b} AS DOUBLE) / CAST(n AS DOUBLE))"
+            f" * (CAST(s{b} AS DOUBLE) / CAST(n AS DOUBLE))))"
+        )
+
+    arms = " UNION ALL ".join(
+        f"SELECT '{_CORR_COLS[a]}' AS col_a, '{_CORR_COLS[b]}' AS col_b, "
+        f"{corr(a, b)} AS corr FROM m"
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH cents AS (SELECT {cents} FROM lineitem),
+    m AS (SELECT {', '.join(sums)} FROM cents)
+    {arms}
+    """
+
+
+@register("ext_corr_matrix", _corr_sql())
+def ext_corr_matrix(spark, sf_dir):
+    """[EXT] Pearson correlation matrix of the four lineitem measures
+    in ONE aggregation pass: 15 integer moment sums (cents; the squared
+    -price sums exceed int64 so they accumulate as DECIMAL(38,0) /
+    HUGEINT — still exact), then each pairwise correlation is a fixed
+    dag of IEEE ops on exact integers, identical on both engines.
+
+    This is the moment-sketch pattern at its best: the full matrix
+    costs one scan + one 1-row aggregate regardless of scale; adding
+    columns grows the aggregate width, never the pass count. (Spark's
+    built-in ``corr`` computes float co-moments in-stream — fine
+    numerically, but not cross-engine-hashable; same answer here to
+    ~1e-12.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        *[
+            (F.col(c).cast("decimal(18,2)") * 100).cast("long").alias(k)
+            for k, c in _CORR_COLS.items()
+        ]
+    )
+    sums = [F.count(F.lit(1)).alias("n")]
+    for k in _CORR_COLS:
+        sums.append(F.sum(F.col(k).cast("decimal(38,0)")).alias(f"s{k}"))
+        sums.append(
+            F.sum((F.col(k) * F.col(k)).cast("decimal(38,0)")).alias(f"s{k}{k}")
+        )
+    for a, b in _CORR_PAIRS:
+        sums.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)")).alias(f"s{a}{b}")
+        )
+    m = cents.agg(*sums)
+
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("n").cast("double")
+        mean = lambda k: F.col(f"s{k}").cast("double") / n  # noqa: E731
+        e2 = lambda k: F.col(f"s{k}{k}").cast("double") / n  # noqa: E731
+        exy = F.col(f"s{a}{b}").cast("double") / n
+        cov = exy - mean(a) * mean(b)
+        var = lambda k: e2(k) - mean(k) * mean(k)  # noqa: E731
+        return cov / F.sqrt(var(a) * var(b))
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(_CORR_COLS[a]).alias("col_a"),
+                F.lit(_CORR_COLS[b]).alias("col_b"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select(
+        "r.col_a", "r.col_b", "r.corr"
+    )

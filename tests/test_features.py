@@ -1,0 +1,81 @@
+"""Feature-engineering semantics: hash split, hashing trick, LOO target
+encoding, correlation matrix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators.features import (
+    feature_hash_long,
+    split_assign,
+    target_encode_loo,
+)
+from dissertation_data_pipeline_spark.plans.registry import QUERIES
+
+
+def test_split_proportions_and_determinism(spark):
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["n"]
+        for r in df.select(split_assign("doc_id").alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
+    assert counts["train"] / n == pytest.approx(0.80, abs=0.02)
+    assert counts["val"] / n == pytest.approx(0.10, abs=0.01)
+    assert counts["test"] / n == pytest.approx(0.10, abs=0.01)
+    # repartitioning must not move any row across splits
+    again = {
+        r["split"]: r["n"]
+        for r in df.repartition(13)
+        .select(split_assign("doc_id").alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == counts
+
+
+def test_feature_hash_preserves_token_mass(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "x"), (3, "p q p q p q")],
+        "doc_id long, text string",
+    )
+    fh = feature_hash_long(df, "doc_id", "text", n_slots=8)
+    rows = fh.collect()
+    assert all(0 <= r["slot"] < 8 for r in rows)
+    mass = {
+        r["_id"]: r["m"]
+        for r in fh.groupBy("_id").agg(F.sum("cnt").alias("m")).collect()
+    }
+    assert mass == {1: 4, 2: 1, 3: 6}  # every token lands in exactly one slot
+
+
+def test_target_encode_loo_exact_and_singleton_null(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 5)],
+        "cat string, y long",
+    )
+    got = {
+        (r["cat"], r["y"]): r["loo_target_mean"]
+        for r in target_encode_loo(df, "cat", "y").collect()
+    }
+    assert got[("a", 10)] == pytest.approx((20 + 30) / 2)
+    assert got[("a", 20)] == pytest.approx((10 + 30) / 2)
+    assert got[("a", 30)] == pytest.approx((10 + 20) / 2)
+    assert got[("b", 5)] is None  # singleton category: no other rows
+
+
+def test_corr_matrix_bounds_and_determinism(spark, sf_dir):
+    # (the driver's synthetic lineitem draws measures independently, so
+    # no pair is strongly correlated — assert the invariants instead)
+    rows = QUERIES["ext_corr_matrix"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r["corr"] <= 1.0
+    # exact integer moments -> bit-identical on rerun
+    again = QUERIES["ext_corr_matrix"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -62,3 +62,44 @@ def run_available_now_to_memory(
         query.stop()
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    state,  # sources.state.StateTable
+    checkpoint_dir: str,
+    *,
+    timeout_sec: int = 120,
+):
+    """Stream -> keyed-state merge sink: every micro-batch is upserted
+    into a ``StateTable`` by key via ``foreachBatch`` — the streaming
+    MERGE INTO pattern (Delta/Iceberg ``whenMatchedUpdate`` reduced to
+    the engine's snapshot-swap parquet state).
+
+    Semantics: within the stream, later micro-batches win per key;
+    within one batch, ``StateTable.upsert``'s deterministic tiebreak
+    applies. Combined with the checkpoint, the sink is effectively
+    idempotent under retries for AvailableNow runs: a replayed batch
+    re-upserts the same rows to the same keys (last-writer-wins on
+    identical data is a no-op).
+
+    At 100 TB the per-batch work is one join-shaped merge keyed on the
+    state key — the same shuffle class as the batch upsert — and state
+    snapshots would be a transactional table format; the control flow
+    (foreachBatch + checkpoint) is identical.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        state.upsert(transform(batch_df))
+
+    query = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+    return state.read()

@@ -245,3 +245,59 @@ def test_stream_static_enrich_equals_batch(spark, sf_dir, tmpdirs):
     assert got == want
     # rows with no dim match survive with NULL weight (left contract)
     assert any(k[1] is None for k in got), got
+
+
+def test_foreach_batch_upsert_latest_wins(spark, sf_dir, tmpdirs):
+    """Stream -> StateTable merge sink: one row per user survives with
+    the latest value; a second run over the same source (fresh
+    checkpoint, same state) is a no-op on the final table."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from dissertation_data_pipeline_spark.sources.state import StateTable
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_foreach_batch_upsert,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(2000)
+    src = f"{tmpdirs}/src"
+    events.repartition(3).write.parquet(src)
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("last_ts", TimestampType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state = StateTable(spark, f"{tmpdirs}/state", schema, key="user_id")
+
+    def latest_per_user(df):
+        return df.groupBy("user_id").agg(
+            F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_seen")
+        )
+
+    stream = read_events_stream(spark, src, events.schema)
+    got = run_foreach_batch_upsert(
+        stream, latest_per_user, state, f"{tmpdirs}/ckpt1"
+    )
+    rows = {r["user_id"]: r["last_ts"] for r in got.collect()}
+    want = {
+        r["user_id"]: r["mx"]
+        for r in events.groupBy("user_id").agg(F.max("ts").alias("mx")).collect()
+    }
+    assert rows == want  # one row per key, latest event time
+
+    # idempotence: replay with a fresh checkpoint (same data, same keys)
+    again = run_foreach_batch_upsert(
+        read_events_stream(spark, src, events.schema),
+        latest_per_user,
+        state,
+        f"{tmpdirs}/ckpt2",
+    )
+    assert {r["user_id"]: r["last_ts"] for r in again.collect()} == want

@@ -222,3 +222,59 @@ def ext_corr_matrix(spark, sf_dir):
     return m.select(F.explode(rows).alias("r")).select(
         "r.col_a", "r.col_b", "r.corr"
     )
+
+
+@register(
+    "ext_k_anonymity",
+    f"""
+    WITH pseudo AS (
+      SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id,
+             event_type,
+             CAST(hour(ts) AS BIGINT) AS hour_of_day,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ), cohorts AS (
+      SELECT event_type, hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS cohort_n
+      FROM pseudo GROUP BY 1, 2
+    )
+    SELECT p.pseudo_id, p.event_type, p.hour_of_day, p.v AS value_cents
+    FROM pseudo p JOIN cohorts c USING (event_type, hour_of_day)
+    WHERE c.cohort_n >= 50
+    """,
+)
+def ext_k_anonymity(spark, sf_dir):
+    """[EXT] Privacy-preserving release prep, two standard steps in one
+    pass: (1) pseudonymization — user_id replaced by a one-way md5
+    token (stable across runs/engines, so longitudinal joins still
+    work on the pseudonym); (2) k-anonymity suppression — rows whose
+    quasi-identifier cohort (event_type, hour-of-day) holds fewer than
+    k=50 members are dropped, so no released row is identifiable to a
+    group smaller than k (Sweeney 2002).
+
+    Plan: cohort counts are one map-side-combined groupBy over the
+    quasi-identifier (tiny output — bounded by the QI domain, not row
+    count), broadcast back as a join filter; pseudonymization is a
+    scan-side expression. At 100 TB: same two stages, no extra pass —
+    the suppression filter rides the existing scan."""
+    e = load_table(spark, sf_dir, "events")
+    pseudo = e.select(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 16).alias(
+            "pseudo_id"
+        ),
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias(
+            "value_cents"
+        ),
+    )
+    cohorts = pseudo.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    return (
+        pseudo.join(
+            F.broadcast(cohorts.filter(F.col("cohort_n") >= 50)),
+            ["event_type", "hour_of_day"],
+        )
+        .select("pseudo_id", "event_type", "hour_of_day", "value_cents")
+    )

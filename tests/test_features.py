@@ -79,3 +79,33 @@ def test_corr_matrix_bounds_and_determinism(spark, sf_dir):
     # exact integer moments -> bit-identical on rerun
     again = QUERIES["ext_corr_matrix"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_k_anonymity_suppresses_small_cohorts(spark, sf_dir):
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    out = QUERIES["ext_k_anonymity"].fn(spark, sf_dir)
+    cohorts = out.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert cohorts.filter(F.col("n") < 50).count() == 0  # k holds in output
+    # suppression only ever drops rows, never rewrites them
+    e = load_table(spark, sf_dir, "events")
+    assert out.count() <= e.count()
+    # pseudonym is one-way but stable: same user -> same token
+    tokens = out.select("pseudo_id").distinct().count()
+    users_released = (
+        e.select(
+            "event_type",
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            "user_id",
+        )
+        .join(
+            out.select("event_type", "hour_of_day").distinct(),
+            ["event_type", "hour_of_day"],
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert tokens == users_released

@@ -144,6 +144,39 @@ HEADLINERS = {
         "Sampling keys are scan-speed expressions (md5 uniform + "
         "ln-ratio); the only shuffle is the per-group ranking window."
     ),
+    "ext_chunk_dedup_clean": (
+        "Chunking is codegen (transform/slice — no explode before the "
+        "chunk table); the frequency side of the join-back is "
+        "pre-aggregated, so a viral boilerplate chunk is ONE row, not "
+        "a skewed join key."
+    ),
+    "ext_pagerank_transitions": (
+        "Per iteration: one hash join of ranks onto edges, one "
+        "map-side-combined groupBy dst, one left join onto nodes — "
+        "lineage cut per round; integer ranks make the distributed "
+        "result bit-reproducible."
+    ),
+    "ext_histogram_equidepth": (
+        "No global row sort: boundaries come from a cumulative count "
+        "over the DISTINCT-value histogram (bounded by the value "
+        "domain); rows bin against 9 broadcast boundaries in codegen."
+    ),
+    "ext_corr_matrix": (
+        "The full 4x4 correlation matrix is ONE scan + ONE 1-row "
+        "aggregate (15 exact integer moment sums); adding columns "
+        "widens the aggregate, never adds a pass."
+    ),
+    "ext_entity_resolution": (
+        "Quadratic term block-bounded (brand, type); components "
+        "switch from single-task union-find to distributed label "
+        "propagation past 2M edges; golden record is one shuffle on "
+        "component_id."
+    ),
+    "ext_k_anonymity": (
+        "Cohort counts bounded by the quasi-identifier domain, "
+        "broadcast back as a join filter; pseudonymization rides the "
+        "scan — no extra pass over the fact table."
+    ),
 }
 
 MARKERS = [

@@ -63,6 +63,29 @@ def register(name: str, sql: str | None):
 #: prior round sort last.  Populated by ``_driver_priority()``.
 DRIVER_PRIORITY: list[str] = []
 
+#: Queries with a green (hash_match) row in CORRECTNESS_r01.json — the
+#: gate has already hard-verified these, so under a bounded budget they
+#: sort LAST and the budget buys rows for never-checked queries instead.
+GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset(
+    {
+        "flagship_corpus_rollup", "a1_frequency_status", "a2_orders_summary",
+        "a7_duplicate_groups", "a8_conflict_report", "p4_filter_project",
+        "j1_left_join", "j2_dim_rollup", "j3_anti_join", "j6_multikey_join",
+        "u1_union_conform", "u3_distinct", "w1_dedup_priority",
+        "w2_latest_per_key", "w5_flag_both_sources", "a9_coalesce_fill",
+        "o2_top_k_frequency", "fs1_normalize_bill_number",
+        "fs3_normalize_status", "fs12_normalize_text_plain", "fs14_word_count",
+        "fs13_doc_id_from_url", "j4_make_bill_id", "fd2_parse_date_multi",
+        "fd1_lenient_year_rollup", "fd3_year_from_prefix", "p9_keyword_filter",
+        "fj3_base64_roundtrip", "p6_p7_predicates", "ext_dedup_exact",
+        "ext_dedup_tokenset", "ext_minhash_lsh_pairs", "ext_simhash_pairs",
+        "ext_near_dup_components", "ext_blocked_jaccard_pairs",
+        "ext_ann_brute_topk", "ext_ann_lsh_topk", "ext_ann_ivf_topk",
+        "ext_embedding_quantize", "ext_vector_stats", "ext_langid",
+        "ext_langid_confusion", "ext_quality_features",
+    }
+)
+
 
 def set_driver_priority(names: list[str]) -> None:
     DRIVER_PRIORITY[:] = names
@@ -70,8 +93,14 @@ def set_driver_priority(names: list[str]) -> None:
 
 def _ordered_names() -> list[str]:
     pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(pri)]
-    return pri + rest
+    seen = set(pri)
+    fresh = [
+        n for n in QUERIES if n not in seen and n not in GREEN_PRIOR_ROUNDS
+    ]
+    green = [
+        n for n in QUERIES if n not in seen and n in GREEN_PRIOR_ROUNDS
+    ]
+    return pri + fresh + green
 
 
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

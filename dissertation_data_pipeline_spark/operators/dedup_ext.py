@@ -259,6 +259,64 @@ def tokenset_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFram
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def minhash_signature_frame(
+    post: DataFrame, *, num_hashes: int = 12
+) -> DataFrame:
+    """(_id, _shingle) postings -> one signature row per doc:
+    (_id, _n shingle count, _s0.._s{k-1} minima). A plain groupBy —
+    map-side partial aggregation does most of the min work before the
+    shuffle; one md5-derived hash per posting, projected once."""
+    coeffs = MINHASH_COEFFS[:num_hashes]
+    assert len(coeffs) == num_hashes, "extend MINHASH_COEFFS for more hashes"
+    hp = post.select("_id", shingle_hash(F.col("_shingle")).alias("_h"))
+    return hp.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"_s{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
+        ],
+    )
+
+
+def minhash_band_entries(
+    sig: DataFrame, *, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Signature rows -> (_id, band_idx, band_key) — band keys from the
+    signature columns, exploded as a plain-column array (never explode
+    an HOF-built array; see the generator/HOF trap in the module
+    docstring). This long form is also the *storable* LSH index layout:
+    persist it bucketed by (band_idx, band_key) and incremental batches
+    probe it without touching corpus text (``dedup_incremental``)."""
+    return (
+        sig.select(
+            "_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            _md5(
+                                F.concat_ws(
+                                    "|",
+                                    *[
+                                        F.col(f"_s{b * rows_per_band + j}").cast(
+                                            "string"
+                                        )
+                                        for j in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("band_key"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("_id", "band.band_idx", "band.band_key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -299,44 +357,14 @@ def minhash_lsh_pairs(
     # checkpoints the posexplode+lead+distinct pipeline runs three
     # times (measured; same trap as simhash_signatures)
     post = shingle_postings(df, id_col, text_col, n=shingle_words).localCheckpoint()
-    hp = post.select("_id", shingle_hash(F.col("_shingle")).alias("_h"))
-    sig = hp.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"_s{i}"
-            )
-            for i, (a, b) in enumerate(coeffs)
-        ],
-    ).localCheckpoint()
-
-    band_entries = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        _md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"_s{b * rows_per_band + j}").cast("string")
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("_id", "band.band_idx", "band.band_key")
+    sig = minhash_signature_frame(post, num_hashes=num_hashes).localCheckpoint()
 
     # repartition by the band bucket: distributes candidate generation
     # across the cluster (a small single-file scan otherwise probes a
     # broadcast join on ONE partition) and co-locates the self-join
-    band_entries = band_entries.repartition("band_idx", "band_key")
+    band_entries = minhash_band_entries(
+        sig, bands=bands, rows_per_band=rows_per_band
+    ).repartition("band_idx", "band_key")
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (

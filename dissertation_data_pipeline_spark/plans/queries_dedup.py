@@ -394,3 +394,65 @@ def ext_curation_pipeline(spark, sf_dir):
             F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
         )
     )
+
+
+@register(
+    "ext_dedup_incremental",
+    f"""
+    WITH {_SHINGLE_CTE},
+    hv AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_HEXVAL}) AS hs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, [{_SIG_LIST}] AS sig FROM hv
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             md5(array_to_string(sig[band_idx*3+1 : band_idx*3+3], '|')) AS band_key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+    ),
+    cb AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
+    ib AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    vs_dup AS (
+      SELECT DISTINCT ib.doc_id
+      FROM ib JOIN cb ON ib.band_idx = cb.band_idx AND ib.band_key = cb.band_key
+    ),
+    bmin AS (
+      SELECT band_idx, band_key, MIN(doc_id) AS m FROM ib GROUP BY 1, 2
+    ),
+    within_dup AS (
+      SELECT DISTINCT ib.doc_id
+      FROM ib JOIN bmin
+        ON ib.band_idx = bmin.band_idx AND ib.band_key = bmin.band_key
+      WHERE ib.doc_id > bmin.m
+    ),
+    dropped AS (
+      SELECT doc_id FROM vs_dup UNION SELECT doc_id FROM within_dup
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def ext_dedup_incremental(spark, sf_dir):
+    """[EXT] Incremental near-dup dedup (operators/dedup_incremental):
+    the corpus slice (doc_id % 5 != 0) stands in for the persisted LSH
+    band index; the increment slice (doc_id % 5 == 0) probes it by
+    band-key join — O(increment) work, corpus text never re-read — and
+    additionally self-dedups by min-id-per-band-bucket. The oracle
+    recomputes bands for both slices and applies the identical drop
+    rules, so the probe's candidate geometry is value-checked."""
+    from dissertation_data_pipeline_spark.operators.dedup_incremental import (
+        batch_band_entries,
+        dedup_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    inc = docs.filter(F.col("doc_id") % 5 == 0)
+    index = batch_band_entries(corpus, "doc_id", "text")
+    survivors, _ = dedup_incremental(inc, index, "doc_id", "text")
+    return survivors.select("doc_id", "lang", "source")

@@ -89,3 +89,35 @@ def test_curation_pipeline_funnel_is_monotone(spark):
         assert r["n_raw"] >= r["n_quality"] >= r["n_exact"] >= r["n_final"] >= 0
         if r["n_final"]:
             assert r["tokens_final"] > 0
+
+
+# ---------------------------------------------------------- incremental dedup
+def test_dedup_incremental_probe_vs_stored_index(spark):
+    from dissertation_data_pipeline_spark.operators.dedup_incremental import (
+        dedup_incremental,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    other = "one two three four five six seven eight nine ten " * 3
+    batch1 = mk([(1, base), (2, base), (3, other)])
+    empty_index = spark.createDataFrame(
+        [], "_id long, band_idx int, band_key string"
+    )
+
+    s1, idx1 = dedup_incremental(batch1, empty_index, "doc_id", "text")
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    assert ids1 == {1, 3}  # within-batch family keeps min id
+
+    # next increment: same contents under new ids + one fresh doc
+    fresh = "totally different words nowhere else seen in corpus " * 3
+    batch2 = mk([(11, base), (13, other), (14, fresh)])
+    s2, idx2 = dedup_incremental(batch2, idx1, "doc_id", "text")
+    ids2 = {r["doc_id"] for r in s2.collect()}
+    assert ids2 == {14}  # stored index caught both re-ingested texts
+
+    # the index grew by exactly the survivors' entries
+    assert idx2.select("_id").distinct().count() == 3  # {1, 3, 14}
+    # replaying batch2 against the new index drops everything
+    s3, _ = dedup_incremental(batch2, idx2, "doc_id", "text")
+    assert s3.count() == 0

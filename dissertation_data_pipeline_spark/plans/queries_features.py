@@ -278,3 +278,84 @@ def ext_k_anonymity(spark, sf_dir):
         )
         .select("pseudo_id", "event_type", "hour_of_day", "value_cents")
     )
+
+
+@register(
+    "ext_table_profile",
+    """
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS nn_doc_id,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+             CAST(MIN(doc_id) AS VARCHAR) AS mn_doc_id,
+             CAST(MAX(doc_id) AS VARCHAR) AS mx_doc_id,
+             CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS nn_lang,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd_lang,
+             MIN(lang) AS mn_lang, MAX(lang) AS mx_lang,
+             CAST(COUNT(*) - COUNT(source) AS BIGINT) AS nn_source,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_source,
+             MIN(source) AS mn_source, MAX(source) AS mx_source,
+             CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS nn_n_chars,
+             CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nd_n_chars,
+             CAST(MIN(n_chars) AS VARCHAR) AS mn_n_chars,
+             CAST(MAX(n_chars) AS VARCHAR) AS mx_n_chars
+      FROM documents
+    )
+    SELECT 'doc_id' AS column_name, n_rows, nn_doc_id AS n_nulls,
+           nd_doc_id AS n_distinct, mn_doc_id AS min_val, mx_doc_id AS max_val
+    FROM m
+    UNION ALL
+    SELECT 'lang', n_rows, nn_lang, nd_lang, mn_lang, mx_lang FROM m
+    UNION ALL
+    SELECT 'source', n_rows, nn_source, nd_source, mn_source, mx_source FROM m
+    UNION ALL
+    SELECT 'n_chars', n_rows, nn_n_chars, nd_n_chars, mn_n_chars, mx_n_chars
+    FROM m
+    """,
+)
+def ext_table_profile(spark, sf_dir):
+    """[EXT] ANALYZE-style column profile (the first thing any
+    ingestion run records): per column — null count, exact distinct
+    count, min/max (stringified post-aggregation, so numeric order is
+    preserved) — emitted long-form, one row per column.
+
+    One logical pass over the scan: the multi-column COUNT(DISTINCT)
+    compiles to a single Expand-based aggregate (rows x 4 internally,
+    still one scan, map-side partially aggregated). At 100 TB the
+    distinct counts would swap to approx_count_distinct — exact here
+    because the oracle must hash the values; the docstring IS the
+    documented swap point."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("doc_id")).alias("nn_doc_id"),
+        F.countDistinct("doc_id").alias("nd_doc_id"),
+        F.min("doc_id").cast("string").alias("mn_doc_id"),
+        F.max("doc_id").cast("string").alias("mx_doc_id"),
+        (F.count(F.lit(1)) - F.count("lang")).alias("nn_lang"),
+        F.countDistinct("lang").alias("nd_lang"),
+        F.min("lang").alias("mn_lang"),
+        F.max("lang").alias("mx_lang"),
+        (F.count(F.lit(1)) - F.count("source")).alias("nn_source"),
+        F.countDistinct("source").alias("nd_source"),
+        F.min("source").alias("mn_source"),
+        F.max("source").alias("mx_source"),
+        (F.count(F.lit(1)) - F.count("n_chars")).alias("nn_n_chars"),
+        F.countDistinct("n_chars").alias("nd_n_chars"),
+        F.min("n_chars").cast("string").alias("mn_n_chars"),
+        F.max("n_chars").cast("string").alias("mx_n_chars"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_val"),
+                F.col(f"mx_{c}").alias("max_val"),
+            )
+            for c in ["doc_id", "lang", "source", "n_chars"]
+        ]
+    )
+    return m.select(F.explode(rows).alias("r")).select("r.*")

@@ -101,3 +101,50 @@ def skipped_fraction(
         and (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)
     )
     return skipped / len(stats)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_bytes: int = 256 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a small-file parquet directory to ~``target_bytes``
+    files (snapshot-swap rewrite). Returns the new file count.
+
+    The small-files problem is THE silent killer of long-lived 100 TB
+    tables: every incremental append (one file per micro-batch per
+    partition) multiplies scan task counts, footer reads, and driver
+    planning time. Periodic compaction to row-group-friendly sizes
+    (128-512 MiB) restores scan efficiency; with ``sort_cols`` the
+    rewrite also restores clustering (pair with Z-order via
+    ``write_zordered`` for multi-dim keys).
+
+    Sizing uses the on-disk byte total (what governs scan splits), not
+    row counts. The rewrite is one job: read -> repartition(n) ->
+    write to a tmp dir -> atomic directory swap (same convention as
+    ``StateTable``).
+    """
+    import glob
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    n_files = max(1, -(-size // target_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    tmp = path.rstrip("/") + ".compact-tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + ".compact-bak"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

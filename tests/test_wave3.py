@@ -209,3 +209,34 @@ def test_zorder_layout_skips_files_in_both_dims(spark, tmp_path):
     a_b = skipped_fraction(astats, "b", 0, 7)
     assert z_b >= 0.5
     assert a_b == 0.0
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from dissertation_data_pipeline_spark.sources.layout import compact_parquet
+
+    p = str(tmp_path / "frag")
+    spark.range(50_000).selectExpr(
+        "id", "id % 97 AS k", "repeat('x', 64) AS pad"
+    ).repartition(64).write.parquet(p)
+    import glob
+
+    assert len(glob.glob(p + "/*.parquet")) == 64
+    before = spark.read.parquet(p).orderBy("id").collect()
+
+    n = compact_parquet(spark, p, target_bytes=16 * 1024 * 1024)
+    files = glob.glob(p + "/*.parquet")
+    assert len(files) == n and n < 8  # tiny table -> a handful of files
+    after = spark.read.parquet(p).orderBy("id").collect()
+    assert after == before  # byte-identical contents
+
+    # sorted compaction restores clustering: per-file key ranges disjoint
+    from dissertation_data_pipeline_spark.sources.layout import (
+        file_minmax_stats,
+    )
+
+    compact_parquet(spark, p, target_bytes=4 * 1024 * 1024, sort_cols=["k"])
+    stats = sorted(
+        file_minmax_stats(p, ["k"]), key=lambda s: (s["k_min"], s["k_max"])
+    )
+    for lo, hi in zip(stats, stats[1:]):
+        assert lo["k_max"] <= hi["k_min"]

@@ -359,3 +359,90 @@ def ext_table_profile(spark, sf_dir):
         ]
     )
     return m.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "ext_label_centroid_sim",
+    """
+    WITH ex AS (
+      SELECT label, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    sums AS (
+      SELECT label, dim, CAST(SUM(x) AS BIGINT) AS s FROM ex GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT label, SUM(CAST(s AS HUGEINT) * s) AS n2 FROM sums GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.s AS HUGEINT) * b.s) AS num
+      FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           CAST(d.num AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """,
+)
+def ext_label_centroid_sim(spark, sf_dir):
+    """[EXT] Pairwise cosine similarity between per-label embedding
+    centroids — the cluster-quality / label-confusion diagnostic for an
+    embedding space. The count terms cancel algebraically
+    (cos(Sa/na, Sb/nb) == Sa.Sb / (|Sa||Sb|)), so the whole metric
+    reduces to integer sums: per-dimension element sums in units of
+    1e-7 (floor — identical on every engine), then dot/norm sums as
+    DECIMAL(38,0)/HUGEINT (the cross products reach ~1e19), one sqrt
+    at the end on exact integers. Distributed float centroid math made
+    bit-reproducible.
+
+    Plan: one posexplode pass -> groupBy (label, dim) with map-side
+    combine (output = labels x dims rows — tiny at any corpus scale) ->
+    the label-pair join runs on the AGGREGATED frame only. Adding a
+    billion vectors changes nothing downstream of the first groupBy."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * 10000000).cast("long").alias("x"),
+    )
+    sums = ex.groupBy("label", "dim").agg(F.sum("x").alias("s"))
+    norms = sums.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("n2")
+    )
+    a, b = sums.alias("a"), sums.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum((F.col("a.s") * F.col("b.s")).cast("decimal(38,0)")).alias(
+                "num"
+            )
+        )
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("nb2"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (
+                F.col("num").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+            ).alias("cos_sim"),
+        )
+    )

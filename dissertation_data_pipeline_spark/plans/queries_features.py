@@ -446,3 +446,32 @@ def ext_label_centroid_sim(spark, sf_dir):
             ).alias("cos_sim"),
         )
     )
+
+
+# One SQL text, two engines: restricted to the ANSI subset both Spark SQL
+# and DuckDB parse identically, so the SQL-API query IS its own oracle.
+_SQL_SURFACE = """
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY 1, 2
+"""
+
+
+@register("ext_sql_surface", _SQL_SURFACE)
+def ext_sql_surface(spark, sf_dir):
+    """[EXT] The SQL API surface: this query is executed via
+    ``spark.sql`` over registered views using the IDENTICAL text the
+    DuckDB oracle runs — one ANSI statement, two engines, value-equal.
+    Proof that a SQL-first user of the engine (the reference's users
+    write no SQL, but any analyst replacing it would) gets the same
+    Catalyst plan quality as the DataFrame API: pushdown, map-side
+    combine, AQE all apply to ``spark.sql`` plans identically."""
+    from dissertation_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)

@@ -475,3 +475,110 @@ def ext_sql_surface(spark, sf_dir):
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SURFACE)
+
+
+@register(
+    "ext_zscore_scaler",
+    """
+    WITH cents AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS s2
+      FROM cents GROUP BY 1
+    )
+    SELECT c.event_id, c.event_type,
+           (CAST(c.v AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+             / sqrt(CAST(m.s2 AS DOUBLE) / CAST(m.n AS DOUBLE)
+                    - (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                      * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))) AS z
+    FROM cents c JOIN m USING (event_type)
+    """,
+)
+def ext_zscore_scaler(spark, sf_dir):
+    """[EXT] Per-group standardization (StandardScaler): z = (x - mean)
+    / population std, with mean and std derived from exact integer
+    (sum, sum-of-squares) moments — one aggregation (tiny output, one
+    row per group) broadcast back onto the rows; every float op sees
+    identical exact-integer inputs on both engines. The two-pass-free
+    scaler every feature pipeline needs."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("v"),
+    )
+    m = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    return cents.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        ((F.col("v").cast("double") - mean) / F.sqrt(var)).alias("z"),
+    )
+
+
+@register(
+    "ext_negative_sampling",
+    """
+    WITH n AS (SELECT COUNT(*) AS corpus_n FROM documents),
+    anchors AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    cand AS (
+      SELECT a.doc_id AS anchor_id, j,
+             (a.doc_id * 2654435761 + j * 40503) % n.corpus_n AS neg_id
+      FROM anchors a, n, (SELECT unnest([1, 2, 3, 4, 5]) AS j)
+    )
+    SELECT anchor_id, j AS neg_rank, neg_id
+    FROM cand
+    WHERE neg_id != anchor_id
+      AND neg_id IN (SELECT doc_id FROM documents)
+    """,
+)
+def ext_negative_sampling(spark, sf_dir):
+    """[EXT] Deterministic negative sampling for contrastive training
+    pairs: each anchor doc draws k=5 pseudo-random negatives via a
+    Knuth-style multiplicative hash ring over the corpus id space — no
+    RNG state, no shuffle to sample, identical picks on any engine or
+    partitioning (the property that makes training runs reproducible).
+    Candidates semi-join the corpus to guarantee existence (ids here
+    are dense, but the join is the contract for sparse id spaces);
+    self-hits are filtered.
+
+    Plan: anchors x 5 via a broadcast literal array (no crossJoin of
+    facts), one left-semi join on neg_id. At 100 TB the semi-join is
+    the only shuffle and rides the id hash."""
+    d = load_table(spark, sf_dir, "documents")
+    n_row = d.agg(F.count(F.lit(1)).alias("corpus_n"))
+    anchors = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    ks = F.array(*[F.lit(j) for j in range(1, 6)])
+    cand = (
+        anchors.crossJoin(F.broadcast(n_row))
+        .select(
+            "anchor_id",
+            F.explode(ks).alias("j"),
+            F.col("corpus_n"),
+        )
+        .select(
+            "anchor_id",
+            F.col("j").alias("neg_rank"),
+            (
+                (F.col("anchor_id") * 2654435761 + F.col("j") * 40503)
+                % F.col("corpus_n")
+            ).alias("neg_id"),
+        )
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+    )
+    return cand.join(
+        d.select(F.col("doc_id").alias("neg_id")), "neg_id", "left_semi"
+    ).select("anchor_id", "neg_rank", "neg_id")

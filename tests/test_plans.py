@@ -166,6 +166,7 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_dq_checks",
         "ext_histogram_equiwidth",
         "ext_histogram_equidepth",
+        "ext_negative_sampling",  # 1-row corpus-count broadcast
     }
     offenders = {}
     for name, q in QUERIES.items():

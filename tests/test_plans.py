@@ -196,3 +196,30 @@ def test_dup_ngram_fraction_has_no_pair_join(spark):
     plan = plan_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shuffle_budget():
+    """Every registry query must plan at most 6 shuffle Exchanges.
+
+    The shuffle count IS the 100 TB cost model: the whole registry
+    currently planes at <= 5 (see PLAN_STATS.md); this cap catches any
+    future query or refactor that silently adds a pass over the data.
+    Iterative operators cut lineage per round (localCheckpoint), so
+    their returned plan reflects the steady-state round, which is the
+    number that matters at scale anyway."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_stats import SF_DIR as PS_SF  # noqa: F401
+    from plan_stats import count_exchanges, plan_text
+
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+    from dissertation_data_pipeline_spark.session import get_spark
+
+    spark = get_spark()
+    over = {}
+    for name, q in QUERIES.items():
+        s, _ = count_exchanges(plan_text(q.fn(spark, SF_DIR)))
+        if s > 6:
+            over[name] = s
+    assert not over, f"shuffle budget exceeded: {over}"

@@ -582,3 +582,32 @@ def ext_negative_sampling(spark, sf_dir):
     return cand.join(
         d.select(F.col("doc_id").alias("neg_id")), "neg_id", "left_semi"
     ).select("anchor_id", "neg_rank", "neg_id")
+
+
+# GROUPING SETS is SQL-only surface in Spark (the DataFrame API exposes
+# only rollup/cube); same ANSI text runs on both engines.
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("ext_grouping_sets", _GROUPING_SETS_SQL)
+def ext_grouping_sets(spark, sf_dir):
+    """[EXT] Explicit GROUPING SETS — the irregular-subtotal shape CUBE
+    and ROLLUP can't express (two independent 1-D margins + grand
+    total, WITHOUT the (status, priority) cross plane). One Expand pass
+    over the scan, map-side combined; grouping() flags disambiguate
+    real NULLs from subtotal rows. Spark exposes this via SQL only, so
+    the query runs through ``spark.sql`` on registered views with the
+    identical ANSI text as the oracle."""
+    from dissertation_data_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -43,6 +43,25 @@ def read_parquet(spark: SparkSession, path: str, schema: StructType | None = Non
     return conform(df, schema) if schema is not None else df
 
 
+def read_parquet_evolving(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under DIFFERENT
+    schema versions (columns added over time — the long-lived-table
+    reality the reference handles for CSVs via fuzzy_rename/conform).
+
+    ``mergeSchema`` makes the scan union all file footers' fields;
+    files missing a column yield NULLs for it. With ``schema`` given,
+    the merged frame is then conformed to the contract (order, types,
+    missing -> NULL) — so v1 files, v2 files, and the contract all
+    coexist in one query. mergeSchema costs one footer pass per file at
+    planning time; production tables should pin the contract schema
+    once evolution settles (the ``schema`` arg IS that pin).
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    return conform(df, schema) if schema is not None else df
+
+
 # S2 — Excel shim (legiscan_normalizer.py:137). Spark core has no xlsx
 # reader; the reference's Excel inputs are dim-sized curation sheets, so
 # a driver-side pandas read -> createDataFrame is the honest mapping.

@@ -422,3 +422,61 @@ def test_max_records_per_file_governs_file_count(spark, tmpd):
     n_rows = o.count()
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) >= n_rows // 400, files
+
+
+# ------------------------------------------------------- schema evolution
+def test_read_parquet_evolving_merges_schema_versions(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from dissertation_data_pipeline_spark.sources.io import (
+        read_parquet_evolving,
+    )
+
+    p = str(tmp_path / "evolving")
+    # v1 files: (id, name); v2 files add quality
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 0.9)], "id long, name string, quality double"
+    ).write.mode("append").parquet(p)
+
+    contract = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("quality", StringType()),  # contract says string
+        ]
+    )
+    got = {r["id"]: r for r in read_parquet_evolving(spark, p, contract).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["quality"] is None  # v1 file -> NULL for the new column
+    assert got[3]["quality"] == "0.9"  # conformed to the contract type
+
+
+# --------------------------------------------------------------- UDTF demo
+def test_python_udtf_chunker_matches_codegen_semantics(spark):
+    from pyspark.sql.functions import lit
+
+    from dissertation_data_pipeline_spark.operators.udtfs import (
+        ChunkText,
+        register_udtfs,
+    )
+
+    rows = ChunkText(lit("a b c d e f g"), lit(3)).collect()
+    assert [(r["pos"], r["chunk"], r["n_tokens"]) for r in rows] == [
+        (0, "a b c", 3),
+        (1, "d e f", 3),
+        (2, "g", 1),
+    ]
+
+    # SQL surface: registered and LATERAL-joinable
+    register_udtfs(spark)
+    got = spark.sql(
+        "SELECT t.pos, t.chunk FROM VALUES ('x y z w') AS v(s), "
+        "LATERAL chunk_text(v.s, 2) AS t ORDER BY t.pos"
+    ).collect()
+    assert [(r["pos"], r["chunk"]) for r in got] == [(0, "x y"), (1, "z w")]

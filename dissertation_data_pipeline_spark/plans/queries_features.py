@@ -1,5 +1,8 @@
-"""[EXT] Feature-engineering queries: hash split, hashing-trick
-features, leave-one-out target encoding, one-pass correlation matrix.
+"""[EXT] Feature-engineering / ML-prep queries: hash split, hashing-
+trick features, leave-one-out target encoding, one-pass correlation
+matrix, privacy release prep (pseudonymization + k-anonymity), table
+profiling, label-centroid similarity, SQL-surface demos (plain ANSI +
+GROUPING SETS), z-score scaling, deterministic negative sampling.
 
 Oracle portability notes: DuckDB has no ``conv(hex, 16, 10)``, so the
 md5-uniform is spelled as a strpos-digit sum (same trick as

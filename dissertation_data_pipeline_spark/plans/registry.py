@@ -620,6 +620,7 @@ from dissertation_data_pipeline_spark.plans import queries_tpch2  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_analytics  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave3  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_features  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_timeseries  # noqa: E402,F401
 
 # Gate-coverage policy for this round (see DRIVER_PRIORITY docstring):
 # 1. queries fixed since the last gate run (array serialization, BIGINT

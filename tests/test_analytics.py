@@ -189,3 +189,66 @@ def test_bm25_top_n_is_take_ordered(spark):
     docs = load_table(spark, SF_DIR, "documents")
     plan = _plan(tr.bm25_rank(docs, "doc_id", "text", ["spark"], top_n=5))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ----------------------------------------------------------- time series
+def test_gap_fill_grid_is_dense_and_mass_preserving(spark, sf_dir):
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    out = QUERIES["ext_time_gap_fill"].fn(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    n_types = e.select("event_type").distinct().count()
+    hours = out.select("h").distinct().count()
+    assert out.count() == n_types * hours  # fully dense grid
+    # zero rows exist (the corpus has silent hours per type)...
+    assert out.filter(F.col("n") == 0).count() > 0
+    # ...and event mass is preserved exactly
+    assert out.agg(F.sum("n")).collect()[0][0] == e.count()
+
+
+def test_running_distinct_users_matches_bruteforce_prefixes(spark, sf_dir):
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    rows = sorted(
+        QUERIES["ext_running_distinct_users"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+        "user_id",
+    )
+    for r in rows:
+        brute = (
+            e.filter(F.col("d") <= r["day"]).select("user_id").distinct().count()
+        )
+        assert r["cum_users"] == brute  # exact COUNT(DISTINCT) per prefix
+
+
+def test_attribution_credits_only_preceding_touches(spark):
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+    import datetime as dt
+
+    # crafted stream: purchase at t2 credits the click at t1, not the
+    # view at t3; the t0 purchase (no prior touch) is excluded
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 7, "purchase", 100.0, None),
+            (2, t(1), 7, "click", 0.0, None),
+            (3, t(2), 7, "purchase", 50.0, None),
+            (4, t(3), 7, "view", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")  # only table this query reads
+        out = QUERIES["ext_attribution_last_touch"].fn(spark, d).collect()
+    assert [(r["touch_type"], r["n_purchases"], r["attributed_cents"]) for r in out] == [
+        ("click", 1, 5000)
+    ]

@@ -167,6 +167,7 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_histogram_equiwidth",
         "ext_histogram_equidepth",
         "ext_negative_sampling",  # 1-row corpus-count broadcast
+        "ext_time_gap_fill",  # 1-row hour-bounds broadcast onto the grid
     }
     offenders = {}
     for name, q in QUERIES.items():

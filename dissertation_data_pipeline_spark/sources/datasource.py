@@ -39,6 +39,7 @@ try:  # Spark >= 4 only; the module degrades to an ImportError marker
         DataSource,
         DataSourceReader,
         InputPartition,
+        SimpleDataSourceStreamReader,
     )
 
     HAVE_DATASOURCE_API = True
@@ -55,6 +56,9 @@ except ImportError:  # pragma: no cover - pyspark 3.x fallback
     class InputPartition:  # type: ignore[no-redef]
         def __init__(self, value):
             self.value = value
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
 
 
 #: the bill-feed contract (a flattened OpenStates record shape —
@@ -129,6 +133,53 @@ class RestPagesReader(DataSourceReader):
             yield tuple(rec.get(f) for f in _FIELDS) + (page,)
 
 
+class RestPagesStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the paginated feed: offset = next unread page.
+
+    The reference re-polls the API per run and re-skips known pages via
+    its processed-set JSON (utils.py:14-53); a streaming source makes
+    the offset the engine's checkpointed state instead. Each microbatch
+    reads every currently-available page from the offset forward and
+    advances to the first missing page (the feed's termination
+    condition); recovery replays deterministically via
+    ``readBetweenOffsets`` — pages are immutable once published, the
+    same property the reference's content-hash cache relies on.
+
+    The Simple stream-reader API reads on the driver — right-sized for
+    feed ingestion (rate-limited pages, not data-plane volume); the
+    heavy lifting stays in the DataFrame transformations downstream.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.endpoint = options.get("endpoint", "")
+
+    def initialOffset(self) -> dict:
+        return {"page": 1}
+
+    def _rows(self, page: int) -> list[tuple]:
+        return [
+            tuple(rec.get(f) for f in _FIELDS) + (page,)
+            for rec in fetch_page(self.endpoint, page)
+        ]
+
+    def read(self, start: dict):
+        page = int(start["page"])
+        out: list[tuple] = []
+        while True:
+            rows = self._rows(page)
+            if not rows:
+                break
+            out.extend(rows)
+            page += 1
+        return iter(out), {"page": page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out: list[tuple] = []
+        for page in range(int(start["page"]), int(end["page"])):
+            out.extend(self._rows(page))
+        return iter(out)
+
+
 class RestPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -139,3 +190,6 @@ class RestPagesDataSource(DataSource):
 
     def reader(self, schema) -> RestPagesReader:
         return RestPagesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RestPagesStreamReader:
+        return RestPagesStreamReader(self.options)

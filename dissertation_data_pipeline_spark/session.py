@@ -41,6 +41,13 @@ ENGINE_CONF: dict[str, str] = {
     # Parquet: pushdown + column pruning are on by default; keep dictionary
     # filtering on for point-lookup-ish predicates.
     "spark.sql.parquet.filterPushdown": "true",
+    # Runtime row-level filtering: when a selective dim/filtered side joins a
+    # big fact on a non-partition key, inject a bloom filter built from the
+    # small side into the fact scan — rows that can't join die at the scan,
+    # before the shuffle. Size thresholds keep it scale-triggered (big scans
+    # only); test_plans.py::test_runtime_bloom_filter_injects demonstrates
+    # the plan shape with thresholds lowered to local-data sizes.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Timestamps without timezone: read as TIMESTAMP (session tz = UTC) so
     # date arithmetic matches the DuckDB oracle's naive timestamps.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",

@@ -111,3 +111,35 @@ def test_is_amendment(spark):
 def test_state_code(spark):
     out = vals(spark, fx.state_code("v"), ["co", " CO ", "Colorado", None])
     assert out == ["CO", "CO", None, None]
+
+
+# ------------------------------------------------------- column encryption
+def test_aes_roundtrip_and_mode_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from dissertation_data_pipeline_spark.functions.crypto import (
+        decrypt_col,
+        encrypt_col,
+    )
+
+    key = "0123456789abcdef"  # 16-byte AES-128 key
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "alice")], "id long, name string"
+    )
+    # GCM: roundtrip exact, but NOT deterministic (random IV per value)
+    gcm = df.select(
+        "id", "name", encrypt_col("name", key).alias("ct")
+    )
+    back = gcm.select("id", "name", decrypt_col("ct", key).alias("pt"))
+    assert all(r["pt"] == r["name"] for r in back.collect())
+    cts = [r["ct"] for r in gcm.filter(F.col("name") == "alice").collect()]
+    assert cts[0] != cts[1]  # equal plaintexts, different ciphertexts
+
+    # ECB: deterministic -> usable as join/group key (documented tradeoff)
+    ecb = df.select(
+        "name", encrypt_col("name", key, mode="ECB").alias("ct")
+    )
+    cts = [r["ct"] for r in ecb.filter(F.col("name") == "alice").collect()]
+    assert cts[0] == cts[1]
+    groups = ecb.groupBy("ct").count().collect()
+    assert sorted(r["count"] for r in groups) == [1, 2]

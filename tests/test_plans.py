@@ -224,3 +224,42 @@ def test_shuffle_budget():
         if s > 6:
             over[name] = s
     assert not over, f"shuffle budget exceeded: {over}"
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """Runtime row-level filtering (the 100 TB shuffle-saver): a
+    selective filtered side must inject a bloom filter into the fact
+    scan so non-joining rows die before the shuffle. Size thresholds
+    gate it to big scans in production; lowered here to demonstrate the
+    plan shape on local data."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join; with a broadcast join Spark prunes via
+        # the broadcast itself and needs no bloom filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "bloom_filter_agg" in plan_str(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

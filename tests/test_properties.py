@@ -234,3 +234,45 @@ def test_connected_components_agree_across_algorithms(spark, edges):
         for r in connected_components_star(df).collect()
     }
     assert a == b
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.sampled_from(["aa bb cc dd ee ff gg hh", "ii jj kk ll mm nn oo pp",
+                         "qq rr ss tt uu vv ww xx"]),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_incremental_dedup_invariants(spark, texts):
+    """For ANY batch of (possibly duplicate) docs probed against an
+    empty index: (1) surviving texts are unique; (2) every dropped doc
+    shares a band (here: full text, since identical texts share all
+    bands) with some survivor of smaller id; (3) replaying the batch
+    against the grown index drops everything."""
+    from dissertation_data_pipeline_spark.operators.dedup_incremental import (
+        dedup_incremental,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, t + " " + t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "_id long, band_idx int, band_key string")
+    survivors, idx = dedup_incremental(batch, empty, "doc_id", "text")
+    rows = survivors.collect()
+    seen_texts = [r["text"] for r in rows]
+    assert len(seen_texts) == len(set(seen_texts))  # unique contents
+    # min-id survivor per duplicate family
+    first_by_text = {}
+    for i, t in enumerate(texts):
+        first_by_text.setdefault(t, i)
+    assert {r["doc_id"] for r in rows} == set(first_by_text.values())
+    # replay: everything is now a known near-dup
+    replay, _ = dedup_incremental(batch, idx, "doc_id", "text")
+    assert replay.count() == 0

@@ -497,3 +497,88 @@ def semantic_dedup(
             .alias("keep"),
         )
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al. 2011): split each
+    vector into ``n_sub`` subvectors and encode each as its nearest of
+    ``n_codes`` codebook entries — compressing a 64-dim float vector to
+    8 nibble codes (64x smaller) while distances remain approximable
+    code-wise (the memory layout behind IVF-PQ indexes).
+
+    Codebooks here are md5-sampled corpus vectors sliced per subspace
+    (the same deterministic no-training sampling as ``ivf_centroids``;
+    a Lloyd refinement per subspace would slot in exactly like the
+    trained-IVF variant). Assignment is relational — subspace-exploded
+    rows against a broadcast (n_sub x n_codes)-row codebook, strict
+    left-fold L2 so the oracle matches bit-for-bit, per-(vector,
+    subspace) rank with a deterministic tiebreak.
+
+    Returns (id, subspace, code, d2). Long form on purpose: the
+    downstream consumer (asymmetric-distance scoring, code histogram
+    balance checks) groups/joins by subspace or code — the same
+    long-form argument as ``feature_hash_long``.
+
+    Scale: the codebook is n_sub*n_codes rows (broadcast — always);
+    the exploded frame is rows x n_sub, scanned once; the only shuffle
+    is the per-(id, subspace) rank window, and at 100 TB the rank
+    collapses into a map-side argmin over broadcast codebook literals
+    exactly as ``ivf_assign`` documents.
+    """
+    cents = ivf_centroids(
+        df, corpus_id=id_col, corpus_vec=vec_col, n_cells=n_codes
+    ).select(F.col("cell_id").alias("code_id"), "centroid")
+    subs = F.array(*[F.lit(s) for s in range(n_sub)])
+    cb = cents.select(
+        "code_id",
+        "centroid",
+        F.explode(subs).alias("s"),
+    ).select(
+        "code_id",
+        "s",
+        F.slice(F.col("centroid"), F.col("s") * sub_dim + 1, sub_dim).alias(
+            "subc"
+        ),
+    )
+    vx = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(subs).alias("s"),
+    ).select(
+        "_id",
+        "s",
+        F.slice(F.col("_v"), F.col("s") * sub_dim + 1, sub_dim).alias("subv"),
+    )
+    diff2 = F.zip_with(
+        F.col("subv"),
+        F.col("subc"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    scored = vx.join(F.broadcast(cb), "s").select(
+        "_id",
+        "s",
+        "code_id",
+        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
+    )
+    w = Window.partitionBy("_id", "s").orderBy(
+        F.asc("d2"), F.asc("code_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("s").alias("subspace"),
+            F.col("code_id").alias("code"),
+            F.round("d2", 6).alias("d2"),
+        )
+    )

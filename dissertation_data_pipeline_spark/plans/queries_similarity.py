@@ -373,3 +373,48 @@ def ext_semantic_dedup(spark, sf_dir):
     return sim.semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding", tau=0.35, n_cells=16
     )
+
+
+@register(
+    "ext_ann_pq_codes",
+    f"""
+    WITH cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS code_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 16
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT code_id, s, centroid[(s*8+1):(s*8+8)] AS subc FROM cents, subs
+    ),
+    vx AS (
+      SELECT vec_id, s, embedding[(s*8+1):(s*8+8)] AS subv
+      FROM embeddings, subs
+    ),
+    scored AS (
+      SELECT vx.vec_id, vx.s, cb.code_id,
+             list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+               i -> (subv[i]::DOUBLE - subc[i]::DOUBLE)
+                    * (subv[i]::DOUBLE - subc[i]::DOUBLE))),
+               (acc, x) -> acc + x) AS d2
+      FROM vx JOIN cb USING (s)
+    ),
+    ranked AS (
+      SELECT vec_id, s, code_id, d2,
+             row_number() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2 ASC, code_id ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, s AS subspace, code_id AS code, round(d2, 6) AS d2
+    FROM ranked WHERE rn = 1
+    """,
+)
+def ext_ann_pq_codes(spark, sf_dir):
+    """[EXT] Product-quantization encoding (Jégou et al. 2011, the
+    IVF-PQ memory layout): 64-dim vectors -> 8 subspace codes from
+    16-entry md5-sampled codebooks; strict-left-fold L2 per subspace so
+    the assignment (and its tiebreaks) is bit-identical on both
+    engines. See operators/similarity.py::pq_codes for the scale
+    shape (broadcast codebook, one exploded scan, map-side-argmin
+    collapse at 100 TB)."""
+    return sim.pq_codes(load_table(spark, sf_dir, "embeddings"))

@@ -218,3 +218,26 @@ def test_redact_counts_and_rewrite(spark):
     # whole-word: "customers" survives, bare "customer" does not
     assert rows[3]["t"] == 1
     assert "customers" in rows[3]["red"] and " customer " not in rows[3]["red"]
+
+
+def test_pq_codes_cover_and_selfencode_exactly(spark, sf_dir):
+    from dissertation_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        pq_codes,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq_codes(emb)
+    n_vec = emb.count()
+    assert out.count() == n_vec * 8  # one code per (vector, subspace)
+    assert out.filter((F.col("code") < 0) | (F.col("code") >= 16)).count() == 0
+    assert out.filter(F.col("d2") < 0).count() == 0
+    # a codebook-source vector reconstructs itself: d2 == 0 in every subspace
+    src = ivf_centroids(emb, n_cells=16).select("cell_id").count()
+    assert src == 16
+    zero_rows = out.filter(F.col("d2") == 0.0)
+    per_vec_zero = (
+        zero_rows.groupBy("vec_id").count().filter(F.col("count") == 8).count()
+    )
+    assert per_vec_zero >= 16  # at least the 16 sampled codebook sources

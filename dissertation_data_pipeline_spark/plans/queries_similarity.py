@@ -418,3 +418,119 @@ def ext_ann_pq_codes(spark, sf_dir):
     shape (broadcast codebook, one exploded scan, map-side-argmin
     collapse at 100 TB)."""
     return sim.pq_codes(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ext_ann_pq_adc_topk",
+    f"""
+    WITH cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS code_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 16
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT code_id, s, centroid[(s*8+1):(s*8+8)] AS subc FROM cents, subs
+    ),
+    vx AS (
+      SELECT vec_id, s, embedding[(s*8+1):(s*8+8)] AS subv
+      FROM embeddings, subs
+    ),
+    codes AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT vx.vec_id, vx.s, cb.code_id,
+               row_number() OVER (PARTITION BY vx.vec_id, vx.s ORDER BY
+                 list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                   i -> (subv[i]::DOUBLE - subc[i]::DOUBLE)
+                        * (subv[i]::DOUBLE - subc[i]::DOUBLE))),
+                   (acc, x) -> acc + x) ASC, cb.code_id ASC) AS rn
+        FROM vx JOIN cb USING (s)
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, cb.s, cb.code_id,
+             CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+               i -> (q.embedding[(cb.s*8+1):(cb.s*8+8)][i]::DOUBLE - subc[i]::DOUBLE)
+                    * (q.embedding[(cb.s*8+1):(cb.s*8+8)][i]::DOUBLE - subc[i]::DOUBLE))),
+               (acc, x) -> acc + x) * 1000000000000) AS BIGINT) AS qd
+      FROM embeddings q, cb WHERE q.vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT lut.query_id, codes.vec_id,
+             CAST(SUM(lut.qd) AS BIGINT) AS adc
+      FROM codes JOIN lut USING (s, code_id)
+      WHERE codes.vec_id <> lut.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc, rank FROM (
+      SELECT query_id, vec_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def ext_ann_pq_adc_topk(spark, sf_dir):
+    """[EXT] PQ asymmetric-distance top-10 (the IVF-PQ query path):
+    corpus vectors are REPRESENTED ONLY BY THEIR 8 CODES; each query
+    builds a (subspace, code) -> distance lookup table against the
+    codebook (8x16 = 128 entries, broadcast), and a corpus vector's
+    approximate distance is the sum of 8 table lookups — no corpus
+    floats touched at query time, which is what makes PQ indexes fit
+    in memory at 100 TB scale.
+
+    Exactness: per-entry lookup distances are strict-fold doubles
+    floored to integer picodistance units, so the 8-way sum (a shuffle
+    aggregation — order-free only for integers) is engine- and
+    partitioning-invariant. The top-10 rank has a full deterministic
+    tiebreak."""
+    from dissertation_data_pipeline_spark.operators.similarity import (
+        ivf_centroids,
+        pq_codes,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_codes(emb).select("vec_id", "subspace", "code")
+
+    cents = ivf_centroids(emb, n_cells=16).select(
+        F.col("cell_id").alias("code"), "centroid"
+    )
+    subs = F.array(*[F.lit(s) for s in range(8)])
+    cb = cents.select("code", "centroid", F.explode(subs).alias("subspace")).select(
+        "code",
+        "subspace",
+        F.slice(F.col("centroid"), F.col("subspace") * 8 + 1, 8).alias("subc"),
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qsub = F.slice(F.col("qv"), F.col("subspace") * 8 + 1, 8)
+    d2 = F.aggregate(
+        F.zip_with(
+            qsub,
+            F.col("subc"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = q.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "subspace",
+        "code",
+        F.floor(d2 * F.lit(1_000_000_000_000)).cast("long").alias("qd"),
+    )
+    scored = (
+        codes.join(lut, ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "adc", "rank")
+    )

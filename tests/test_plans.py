@@ -168,6 +168,9 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_histogram_equidepth",
         "ext_negative_sampling",  # 1-row corpus-count broadcast
         "ext_time_gap_fill",  # 1-row hour-bounds broadcast onto the grid
+        "ext_ann_pq_adc_topk",  # 128-row codebook broadcast: every query
+        # scores every codebook entry to build its lookup table — that
+        # IS the PQ-ADC operator (same class as the IVF centroid pass)
     }
     offenders = {}
     for name, q in QUERIES.items():

@@ -98,3 +98,56 @@ def test_key_skew_report_flags_hot_key(spark, sf_dir):
     assert top["key"] == 7
     assert top["share"] > 0.65
     assert top["x_mean"] > 100
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The OTHER half of the skew story: salting (above) is the
+    explicit tool; AQE skew-join splitting is the automatic one. With a
+    hot key holding 80% of a 2M-row side, the executed plan must show
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead — the hot
+    partition split into advisory-sized chunks, no salting needed.
+    Thresholds are lowered to local-data sizes (production defaults:
+    256MB / factor 5); the downstream agg must NOT be keyed on the join
+    key, or Spark skips the split to preserve the required
+    distribution (that interaction is exactly why the salted variants
+    exist for keyed-output pipelines)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1KB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(2_000_000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(50_000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("r")
+        )
+        j = big.join(right, "k").select(F.sum("payload").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+        assert "AQEShuffleRead skewed" in plan, plan[:3000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -1,0 +1,253 @@
+"""Third TPC-H wave — Q2/Q11/Q20 on a DERIVED part-supplier bridge.
+
+The testdata star schema has no ``partsupp`` table, so the first two
+waves skipped the three queries built on it. This wave derives the
+bridge from the fact table instead — the standard trick when a
+normalized side table is missing from a lake:
+
+    partsupp := lineitem GROUP BY (l_partkey, l_suppkey)
+        ps_availqty   = SUM(l_quantity)            (exact BIGINT)
+        ps_supplycost = MIN(l_extendedprice)       (exact DECIMAL(18,2))
+
+Both engines build the bridge from the same parquet with the same
+exact-integer/decimal arithmetic, so the adaptation is oracle-checkable
+bit-for-bit. Plan-shape parity with the classics is preserved:
+
+- Q2  = min-cost-supplier-per-part correlated aggregate + snowflake dims
+  + deterministic top-100
+- Q11 = group-share-of-total with the threshold restated as an exact
+  BIGINT cents cross-multiplication (no float boundary can flip a row)
+- Q20 = two-level semi-join reduction (parts by name prefix -> bridge
+  threshold vs a windowed shipped quantity -> supplier list)
+
+At scale the bridge is ONE map-side-combinable groupBy over the fact
+table (same key as the downstream join, so AQE reuses the exchange);
+the dims all broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+
+_PARTSUPP_SQL = """
+  partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS ps_availqty,
+           MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+  )
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    return li.groupBy("ps_partkey", "ps_suppkey").agg(
+        F.sum("qty").cast("long").alias("ps_availqty"),
+        F.min("price").alias("ps_supplycost"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    costs AS (
+      SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+    ),
+    mins AS (SELECT ps_partkey, MIN(ps_supplycost) AS mincost
+             FROM costs GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM costs
+    JOIN mins ON costs.ps_partkey = mins.ps_partkey
+             AND costs.ps_supplycost = mins.mincost
+    JOIN part ON p_partkey = costs.ps_partkey
+    WHERE p_size <= 15 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, ps_suppkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 on the derived bridge: cheapest AMERICA supplier for each
+    LARGE part of size <= 15. The per-part MIN is computed once on the
+    region-filtered bridge and joined back (two passes over a small
+    aggregate beat a correlated subquery re-scan); supplier/nation/
+    region/part dims broadcast. Top-100 has a full deterministic
+    tiebreak so LIMIT membership is engine-stable."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    costs = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost",
+                "s_acctbal", "s_name", "n_name")
+    )
+    mins = costs.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("mincost")
+    ).withColumnRenamed("ps_partkey", "m_partkey")
+    return (
+        costs.join(
+            mins,
+            (costs.ps_partkey == F.col("m_partkey"))
+            & (costs.ps_supplycost == F.col("mincost")),
+        )
+        .join(F.broadcast(part), costs.ps_partkey == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+            "ps_suppkey",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "ps_suppkey"
+        )
+        .limit(100)
+        .drop("ps_suppkey")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    natps AS (
+      SELECT ps_partkey,
+             CAST(ps_supplycost * 100 AS BIGINT) * ps_availqty AS value_cents
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    grouped AS (
+      SELECT ps_partkey, SUM(value_cents) AS part_cents
+      FROM natps GROUP BY 1
+    ),
+    total AS (SELECT SUM(value_cents) AS total_cents FROM natps)
+    SELECT ps_partkey,
+           CAST(part_cents AS DOUBLE) / 100 AS part_value
+    FROM grouped, total
+    WHERE part_cents * 1000 > total_cents
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 on the derived bridge: parts whose NATION_3 stock value
+    exceeds 1/1000 of the national total. The share threshold is an
+    exact BIGINT-cents cross-multiplication (``part*1000 > total``) —
+    no float division can flip a boundary row between engines. The
+    1-row total broadcasts onto the per-part aggregate."""
+    ps = _derived_partsupp(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    natps = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select(
+            "ps_partkey",
+            (
+                (F.col("ps_supplycost") * 100).cast("long")
+                * F.col("ps_availqty")
+            ).alias("value_cents"),
+        )
+    )
+    grouped = natps.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("part_cents")
+    )
+    total = natps.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("part_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("part_cents").cast("double") / 100).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS qty_1997
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ),
+    candidates AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE ps_availqty > 2 * qty_1997
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT ps_suppkey FROM candidates)
+    """,
+)
+def tpch_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 on the derived bridge: suppliers of 'small…' parts whose
+    all-time stock exceeds twice what they shipped in 1997 (exact
+    BIGINT threshold). Shape parity: part-name prefix filter -> bridge
+    join -> windowed-quantity threshold -> DISTINCT supplier list ->
+    semi-join into the supplier dim. The candidate set is tiny, so the
+    final semi-join broadcasts."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("long").alias("qty_1997"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    candidates = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > 2 * F.col("qty_1997"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(candidates),
+            sup.s_suppkey == candidates.ps_suppkey,
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -617,6 +617,7 @@ from dissertation_data_pipeline_spark.plans import queries_multimodal  # noqa: E
 from dissertation_data_pipeline_spark.plans import queries_skew  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_temporal  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_tpch2  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_tpch3  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_analytics  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave3  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_features  # noqa: E402,F401
@@ -736,6 +737,9 @@ set_driver_priority(
         "tpch_q19_disc_revenue_or",
         "tpch_q21_waiting_suppliers",
         "tpch_q22_idle_customers",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q20_potential_promotion",
         # -- 3: round-2 additions (never checked): ext_semantic_dedup,
         #       ext_pii_redaction, ext_dup_ngram_fraction,
         #       ext_chunk_documents follow in registration order.

@@ -161,6 +161,8 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_ann_ivf_trained_topk",  # same centroid broadcast as ivf_topk
         "ext_key_skew_report",
         "tpch_q22_idle_customers",
+        "tpch_q11_important_stock",  # 1-row national stock total broadcast
+        # for the exact share-of-total threshold (same class as q22)
         "ext_tfidf_top_terms",
         "ext_bm25_rank",
         "ext_dq_checks",

@@ -776,6 +776,186 @@ def blocked_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    *,
+    ngram_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs within blocks: for each
+    candidate pair, ``containment_a = |A∩B| / |A|`` (the fraction of
+    A's distinct shingles that also occur in B) and symmetrically
+    ``containment_b``. Emitted when either direction reaches
+    ``threshold``.
+
+    Jaccard misses subset relationships — a paragraph quoted whole
+    inside a much longer page has tiny Jaccard but containment ≈ 1
+    from the quote's side. Containment is the signal the dedup
+    literature uses for doc-inside-doc / quote / boilerplate-envelope
+    detection (Broder's original resemblance/containment pairing).
+
+    Plan shape is identical to ``blocked_jaccard_pairs`` (inverted
+    index over (block, shingle) postings — quadratic only in
+    posting-list length), and both sides' set sizes come from per-doc
+    shingle counts, so the containment divisions are two extra codegen
+    expressions on the same aggregate, not a new pass.
+    """
+    assert block_cols, "containment_pairs requires blocking columns"
+    assert threshold > 0, "zero-overlap pairs are not representable"
+    post = shingle_postings(
+        df, id_col, text_col, n=ngram_words, carry_cols=block_cols
+    ).localCheckpoint()
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    postings = post.repartition(*block_cols, "_shingle")
+    a, b = postings.alias("a"), postings.alias("b")
+    cond = (F.col("a._shingle") == F.col("b._shingle")) & (
+        F.col("a._id") < F.col("b._id")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    out = inter.join(sa, "id_a").join(sb, "id_b")
+    ca = F.round(F.col("_inter").cast("double") / F.col("_na").cast("double"), 6)
+    cb = F.round(F.col("_inter").cast("double") / F.col("_nb").cast("double"), 6)
+    return (
+        out.select(
+            *block_cols,
+            "id_a",
+            "id_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
+#: winnowing position encoding: 20 bits of position packed under the
+#: 32-bit gram hash so ONE integer min realizes (min value, rightmost
+#: position) — documents must stay under 2^20 k-grams per row
+WINNOW_POS_BITS = 20
+WINNOW_POS_MASK = (1 << WINNOW_POS_BITS) - 1
+
+
+def winnowing_fingerprints(
+    col: Column | str, *, k: int = 5, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every character ``k``-gram, slide
+    a window of ``w`` consecutive hashes, record the minimum of each
+    window (rightmost position on ties), and keep the distinct
+    (position, hash) selections. Guarantees a fingerprint in every
+    ``w``-window, with expected density 2/(w+1) — the standard
+    position-aware local fingerprinting for plagiarism / near-dup
+    evidence (vs SimHash/MinHash which lose position entirely).
+
+    Returns ONE struct column (``n_grams``, ``n_fingerprints``,
+    ``fp_digest``) — the digest is md5 over the sorted distinct
+    "pos:hash" selections, so two docs share it iff their fingerprint
+    sets agree. Alias the struct into its own projection and
+    unpack fields in a SECOND select: the field reads are then free
+    attribute accesses, and CollapseProject leaves the two projections
+    apart (the struct is referenced three times), so the fingerprint
+    pipeline runs once per row, not once per output column.
+
+    Implementation: one packed-integer array per document —
+    ``hash * 2^20 + (2^20-1-pos)`` — so the per-window rightmost-argmin
+    is a single ``array_min`` over a slice (no struct folds), and the
+    whole computation is two nested HOF passes over arrays that are
+    **lambda-bound once** (see the expression-reuse trap in the module
+    docstring). Per-doc work is O(grams × w); embarrassingly parallel,
+    no shuffle at any scale. At 100 TB the long-form variant (posexplode
+    positions + frame-bounded window min, all codegen) is the drop-in
+    upgrade — same selections, same digest.
+    """
+    def _select(ks: Column) -> Column:
+        """Build the full output struct from the bound keys array —
+        ``ks`` is a lambda variable, so every reference is free."""
+        g = F.size(ks)
+        wlen = F.least(F.lit(w), g)
+        n_windows = F.greatest(g - (w - 1), F.lit(1))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(ks, j, wlen)),
+        )
+        # sorted-distinct selections: the digest must be canonical, and
+        # engines disagree on whether distinct preserves encounter order
+        # (DuckDB's list_distinct does not) — a sorted set is the same
+        # fingerprint SET with an order both engines produce identically
+        fps = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    mins,
+                    lambda mk: F.concat_ws(
+                        ":",
+                        (
+                            F.lit(WINNOW_POS_MASK)
+                            - mk.bitwiseAND(F.lit(WINNOW_POS_MASK))
+                        ).cast("string"),
+                        F.shiftright(mk, WINNOW_POS_BITS).cast("string"),
+                    ),
+                )
+            )
+        )
+        empty = g == F.lit(0)
+        # fps appears twice (size + join) — both re-walk the integer
+        # window mins, neither re-hashes; the md5 stage lives in ks
+        return F.struct(
+            g.cast("long").alias("n_grams"),
+            F.when(empty, F.lit(0))
+            .otherwise(F.size(fps))
+            .cast("long")
+            .alias("n_fingerprints"),
+            F.when(empty, F.md5(F.lit("")))
+            .otherwise(F.md5(F.array_join(fps, "|")))
+            .alias("fp_digest"),
+        )
+
+    def _compute(ss: Column) -> Column:
+        n_grams = F.greatest(F.length(ss) - (k - 1), F.lit(0))
+        # packed keys: hash(gram at 0-based pos i)*2^POS + (POSMASK - i);
+        # the when-guard keeps the descending sequence(0, -1) an empty
+        # doc would produce from ever being evaluated
+        keys = F.when(
+            n_grams > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_grams - 1),
+                lambda i: (
+                    F.conv(
+                        F.substring(_md5(F.substring(ss, i + 1, k)), 1, 8), 16, 10
+                    ).cast("long")
+                    * F.lit(1 << WINNOW_POS_BITS)
+                    + (F.lit(WINNOW_POS_MASK) - i)
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+        # bind the keys array ONCE (transform over a 1-element wrapper);
+        # referencing `keys` from each window slice directly would re-run
+        # the md5 pipeline per window
+        return F.transform(F.array(keys), _select).getItem(0)
+
+    # bind the normalized text once as well — substring(ss, ...) inside
+    # the per-gram lambda must read a lambda variable, not re-normalize
+    # the whole document per gram
+    raw = F.lower(F.trim(_c(col).cast("string")))
+    return F.transform(F.array(raw), _compute).getItem(0)
+
+
 def duplicated_shingle_fraction(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -816,4 +996,87 @@ def duplicated_shingle_fraction(
                 F.col("n_dup").cast("double") / F.col("n_shingles"), 6
             ).alias("dup_frac"),
         )
+    )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram_chars: int = 15,
+    min_span_chars: int = 30,
+) -> DataFrame:
+    """Maximal repeated-substring spans — the scalable char-gram
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which
+    removes every substring >= 50 chars occurring twice in the corpus).
+
+    A position is *duplicated* when its ``gram_chars``-gram occurs more
+    than once in the corpus (any document, including elsewhere in the
+    same one). Maximal runs of consecutive duplicated positions merge
+    into spans (gaps-and-islands: ``pos - row_number`` is constant
+    exactly on step-1 runs); spans shorter than ``min_span_chars`` are
+    dropped. Approximation vs a true suffix array: adjacent duplicated
+    grams may match *different* sources, so a span certifies "every
+    window of it is duplicated somewhere", not one contiguous match —
+    the standard trade for making this a groupBy instead of a global
+    suffix sort.
+
+    Plan shape: positions long-form (codegen substring over an exploded
+    sequence), gram-frequency hash aggregate (map-side combine), join
+    back on the gram key (aggregate side is one row per key — viral
+    boilerplate grams cannot skew the join), one per-doc window for run
+    grouping, one groupBy for span extents. No pairwise work anywhere —
+    at 100 TB this is shuffle-bound on (gram) and (doc) keys only.
+
+    Returns (id, span_start, span_end, span_chars) with 1-based
+    inclusive character offsets.
+    """
+    from pyspark.sql.window import Window
+
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    s = F.lower(F.trim(_c(text_col).cast("string")))
+    # repartition before the explode for the same two reasons as
+    # shingle_postings: spread a narrow scan, and pre-satisfy the
+    # per-doc window's clustering
+    posts = (
+        df.select(F.col(id_col).alias("_id"), s.alias("_s"))
+        .repartition(nparts, F.col("_id"))
+        .select(
+            "_id",
+            # when-guard: a doc shorter than gram_chars would hand
+            # sequence() a stop below its start, which generates a
+            # DESCENDING [1, 0] — not an empty list
+            F.explode(
+                F.when(
+                    F.length("_s") >= gram_chars,
+                    F.sequence(
+                        F.lit(1), F.length("_s") - (gram_chars - 1)
+                    ),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+            ).alias("_pos"),
+            "_s",
+        )
+        .select("_id", "_pos", _md5(F.substring(F.col("_s"), F.col("_pos"), gram_chars)).alias("_g"))
+    )
+    freq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    dup = (
+        posts.join(freq.filter(F.col("_n") > 1), "_g", "left_semi")
+        .select("_id", "_pos")
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    runs = dup.withColumn("_grp", F.col("_pos") - F.row_number().over(w))
+    return (
+        runs.groupBy("_id", "_grp")
+        .agg(F.min("_pos").alias("span_start"), F.max("_pos").alias("_last"))
+        .select(
+            F.col("_id").alias(id_col),
+            "span_start",
+            (F.col("_last") + (gram_chars - 1)).alias("span_end"),
+            (F.col("_last") + (gram_chars - 1) - F.col("span_start") + 1).alias(
+                "span_chars"
+            ),
+        )
+        .filter(F.col("span_chars") >= min_span_chars)
     )

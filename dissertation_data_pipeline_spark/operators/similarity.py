@@ -582,3 +582,74 @@ def pq_codes(
             F.round("d2", 6).alias("d2"),
         )
     )
+
+
+def pq_adc_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qv",
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance scores against the PQ-coded corpus: every
+    (query, corpus vector) pair reachable through the code table gets
+    ``adc`` = the sum of the query's per-subspace lookup distances for
+    the vector's codes, in exact integer picodistance units.
+
+    This is the shared first stage of the PQ query path — top-k reads
+    rank it directly (``ext_ann_pq_adc_topk``); two-stage retrieval
+    shortlists on it and re-ranks the shortlist against true vectors
+    (``ext_ann_pq_rerank``). Corpus vectors are touched ONLY through
+    their codes; the query-side lookup table is n_sub x n_codes rows
+    (broadcast — always).
+
+    Exactness: per-entry lookup distances are strict-fold doubles
+    floored to integer picodistance units, so the n_sub-way sum (a
+    shuffle aggregation — order-free only for integers) is engine- and
+    partitioning-invariant.
+    """
+    codes = pq_codes(
+        corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+        sub_dim=sub_dim, n_codes=n_codes,
+    ).select(id_col, "subspace", "code")
+    cents = ivf_centroids(
+        corpus, corpus_id=id_col, corpus_vec=vec_col, n_cells=n_codes
+    ).select(F.col("cell_id").alias("code"), "centroid")
+    subs = F.array(*[F.lit(s) for s in range(n_sub)])
+    cb = cents.select(
+        "code", "centroid", F.explode(subs).alias("subspace")
+    ).select(
+        "code",
+        "subspace",
+        F.slice(F.col("centroid"), F.col("subspace") * sub_dim + 1, sub_dim).alias(
+            "subc"
+        ),
+    )
+    qsub = F.slice(F.col(query_vec), F.col("subspace") * sub_dim + 1, sub_dim)
+    d2 = F.aggregate(
+        F.zip_with(
+            qsub,
+            F.col("subc"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = queries.crossJoin(F.broadcast(cb)).select(
+        query_id,
+        "subspace",
+        "code",
+        F.floor(d2 * F.lit(1_000_000_000_000)).cast("long").alias("qd"),
+    )
+    return (
+        codes.join(lut, ["subspace", "code"])
+        .filter(F.col(id_col) != F.col(query_id))
+        .groupBy(query_id, id_col)
+        .agg(F.sum("qd").alias("adc"))
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "gopher_quality_gate",
     "pack_sequences",
     "uniform_hash_u32",
+    "bigram_lm_scores",
     "stratified_sample",
     "domain_resample",
     "corpus_top_bigrams",
@@ -376,4 +377,74 @@ def weighted_sample_per_group(
         .withColumn("sample_rank", F.row_number().over(win))
         .filter(F.col("sample_rank") <= k)
         .drop("_es_key")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    CCNet-style quality signal (Wenzek et al. 2020 score documents by
+    LM perplexity and keep the low-perplexity head; this is the same
+    operator with the corpus itself as the LM).
+
+    Model: add-one-smoothed conditional bigram probabilities
+    ``p(w2|w1) = (c(w1 w2) + 1) / (c_hist(w1) + V)`` where
+    ``c_hist(w1)`` counts w1 as a bigram *history* and ``V`` is the
+    distinct-continuation vocabulary — so probabilities normalize per
+    history. Output per doc: bigram count, mean log-probability, and
+    perplexity ``exp(-mean)``.
+
+    Plan shape (the pre-aggregated join-back from DESIGN.md §3): the
+    bigram long form is ONE posexplode + per-doc ``lead`` window; both
+    count tables are map-side-combinable groupBys over it, each one row
+    per key — a viral bigram ("of the") is a single aggregate row, so
+    the join back cannot skew. V attaches as a broadcast 1-row scalar.
+
+    Float discipline: each per-term log is computed from bit-identical
+    exact-integer operands, so terms agree across engines to <= 1 ulp;
+    the per-doc sum is the one float reduction in the repo, and its
+    partition-order spread (~1e-13 over ~1e2 terms) sits nine orders
+    below the 1e-4 display rounding — documented bounded-error, not
+    accidental.  Docs with fewer than two tokens have no bigrams and
+    are excluded (the oracle agrees).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+")
+        ).alias("pos", "w1"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # the long form feeds four consumers (c12, c_hist, V, scoring join);
+    # checkpoint so the explode+lead pipeline runs once
+    bg = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+        .localCheckpoint(eager=False)
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("_c1"))
+    vocab = bg.agg(F.countDistinct("w2").alias("_V"))
+    logp = F.log(
+        (F.col("_c12") + 1).cast("double")
+        / (F.col("_c1") + F.col("_V")).cast("double")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), logp.alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_lp").alias("_sum_lp"),
+    )
+    mean = F.col("_sum_lp") / F.col("n_bigrams")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round(mean, 4).alias("avg_logp"),
+        F.round(F.exp(-mean), 4).alias("perplexity"),
     )

@@ -420,10 +420,11 @@ def ext_ann_pq_codes(spark, sf_dir):
     return sim.pq_codes(load_table(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "ext_ann_pq_adc_topk",
-    f"""
-    WITH cents AS MATERIALIZED (
+# shared PQ-ADC oracle CTE chain, ending in `scored(query_id, vec_id,
+# adc)` — reused by the top-k read and the two-stage re-rank
+# (queries_wave4). Mirrors operators.similarity.pq_adc_scores.
+PQ_ADC_SCORED_CTE = f"""
+    cents AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS code_id,
              embedding AS centroid
       FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 16
@@ -462,6 +463,13 @@ def ext_ann_pq_codes(spark, sf_dir):
       WHERE codes.vec_id <> lut.query_id
       GROUP BY 1, 2
     )
+"""
+
+
+@register(
+    "ext_ann_pq_adc_topk",
+    f"""
+    WITH {PQ_ADC_SCORED_CTE}
     SELECT query_id, vec_id, adc, rank FROM (
       SELECT query_id, vec_id, adc,
              row_number() OVER (PARTITION BY query_id
@@ -484,50 +492,13 @@ def ext_ann_pq_adc_topk(spark, sf_dir):
     aggregation — order-free only for integers) is engine- and
     partitioning-invariant. The top-10 rank has a full deterministic
     tiebreak."""
-    from dissertation_data_pipeline_spark.operators.similarity import (
-        ivf_centroids,
-        pq_codes,
-    )
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes = pq_codes(emb).select("vec_id", "subspace", "code")
-
-    cents = ivf_centroids(emb, n_cells=16).select(
-        F.col("cell_id").alias("code"), "centroid"
-    )
-    subs = F.array(*[F.lit(s) for s in range(8)])
-    cb = cents.select("code", "centroid", F.explode(subs).alias("subspace")).select(
-        "code",
-        "subspace",
-        F.slice(F.col("centroid"), F.col("subspace") * 8 + 1, 8).alias("subc"),
-    )
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    qsub = F.slice(F.col("qv"), F.col("subspace") * 8 + 1, 8)
-    d2 = F.aggregate(
-        F.zip_with(
-            qsub,
-            F.col("subc"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    lut = q.crossJoin(F.broadcast(cb)).select(
-        "query_id",
-        "subspace",
-        "code",
-        F.floor(d2 * F.lit(1_000_000_000_000)).cast("long").alias("qd"),
-    )
-    scored = (
-        codes.join(lut, ["subspace", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("qd").alias("adc"))
-    )
+    scored = sim.pq_adc_scores(emb, q)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

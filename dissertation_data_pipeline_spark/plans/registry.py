@@ -622,6 +622,7 @@ from dissertation_data_pipeline_spark.plans import queries_analytics  # noqa: E4
 from dissertation_data_pipeline_spark.plans import queries_wave3  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_features  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_timeseries  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_wave4  # noqa: E402,F401
 
 # Gate-coverage policy for this round (see DRIVER_PRIORITY docstring):
 # 1. queries fixed since the last gate run (array serialization, BIGINT
@@ -740,6 +741,11 @@ set_driver_priority(
         "tpch_q2_min_cost_supplier",
         "tpch_q11_important_stock",
         "tpch_q20_potential_promotion",
+        "ext_containment_pairs",
+        "ext_winnowing_fingerprints",
+        "ext_ann_pq_rerank",
+        "ext_bigram_lm_score",
+        "ext_repeated_substring_spans",
         # -- 3: round-2 additions (never checked): ext_semantic_dedup,
         #       ext_pii_redaction, ext_dup_ngram_fraction,
         #       ext_chunk_documents follow in registration order.

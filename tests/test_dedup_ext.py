@@ -121,3 +121,116 @@ def test_dedup_incremental_probe_vs_stored_index(spark):
     # replaying batch2 against the new index drops everything
     s3, _ = dedup_incremental(batch2, idx2, "doc_id", "text")
     assert s3.count() == 0
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    """A short doc quoted whole inside a long doc: Jaccard is small but
+    containment from the quote's side is 1.0."""
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(12))
+    rows = [(1, quote, "en"), (2, page, "en"), (3, "unrelated text entirely", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in dx.containment_pairs(
+            df, "doc_id", "text", ["lang"], threshold=0.9
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    ca, cb = pairs[(1, 2)]
+    assert ca == 1.0  # every shingle of the quote occurs in the page
+    assert cb < 0.5  # but the page is mostly not the quote
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_guarantee_and_dup_digest(spark):
+    """Every w-window selects >= 1 fingerprint (density bound holds),
+    identical docs share the digest, and short docs degrade cleanly."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the winnowing algorithm selects minima from sliding windows"),
+        (2, "the winnowing algorithm selects minima from sliding windows"),
+        (3, "a completely different document body with other characters"),
+        (4, "tiny"),  # shorter than k=5 -> zero grams
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", dx.winnowing_fingerprints("text", k=5, w=4).alias("w")
+        )
+        .select("doc_id", "w.n_grams", "w.n_fingerprints", "w.fp_digest")
+        .collect()
+    }
+    assert out[1]["fp_digest"] == out[2]["fp_digest"]
+    assert out[1]["fp_digest"] != out[3]["fp_digest"]
+    # density: selections cover every window, and winnowing never keeps
+    # more than one fingerprint per window start
+    n_windows = out[1]["n_grams"] - 3
+    assert 1 <= out[1]["n_fingerprints"] <= n_windows
+    # w consecutive windows share at least one selection => at least
+    # ceil(n_windows / (2w-1)) distinct fingerprints is a safe floor
+    assert out[1]["n_fingerprints"] >= n_windows // (2 * 4)
+    assert out[4]["n_grams"] == 0 and out[4]["n_fingerprints"] == 0
+    assert out[5]["n_grams"] == 0
+    assert out[4]["fp_digest"] == out[5]["fp_digest"]
+
+
+def test_winnowing_selects_window_minimum(spark):
+    """The fingerprint set is exactly {min of each w-window} (rightmost
+    tie), cross-checked against a pure-Python reimplementation."""
+    import hashlib
+
+    text = "abcdefgabcdefgabcdefg"
+    k, w = 5, 4
+    s = text.lower()
+    grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+    hashes = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    keys = [h * (1 << 20) + ((1 << 20) - 1 - i) for i, h in enumerate(hashes)]
+    wlen = min(w, len(keys))
+    expected = set()
+    for j in range(max(len(keys) - w + 1, 1)):
+        mk = min(keys[j : j + wlen])
+        pos = (1 << 20) - 1 - (mk & ((1 << 20) - 1))
+        expected.add(f"{pos}:{mk >> 20}")
+    digest = hashlib.md5("|".join(sorted(expected)).encode()).hexdigest()
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = (
+        df.select(dx.winnowing_fingerprints("text", k=k, w=w).alias("w"))
+        .select("w.n_fingerprints", "w.fp_digest")
+        .collect()[0]
+    )
+    assert row["n_fingerprints"] == len(expected)
+    assert row["fp_digest"] == digest
+
+
+def test_repeated_substring_spans_merging(spark):
+    """Two docs sharing one long substring produce one maximal span
+    each covering exactly the shared region; unique text yields none."""
+    shared = "this exact sentence is repeated across two documents verbatim"
+    rows = [
+        (1, "XXXXX " + shared + " YYYYY"),
+        (2, "aaaaa " + shared + " bbbbb"),
+        (3, "nothing here repeats anywhere at all in this tiny corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_chars"])
+        for r in dx.repeated_substring_spans(
+            df, "doc_id", "text", gram_chars=15, min_span_chars=30
+        ).collect()
+    }
+    assert set(spans) == {1, 2}
+    # the surrounding spaces are shared too (both prefixes end and both
+    # suffixes begin with one), so the maximal span is space + sentence
+    # + space starting at 1-based position 6
+    for d in (1, 2):
+        start, end, n = spans[d]
+        assert start == 6
+        assert n == len(shared) + 2
+        assert end == start + n - 1

@@ -173,6 +173,10 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_ann_pq_adc_topk",  # 128-row codebook broadcast: every query
         # scores every codebook entry to build its lookup table — that
         # IS the PQ-ADC operator (same class as the IVF centroid pass)
+        "ext_ann_pq_rerank",  # same codebook broadcast (shortlist stage
+        # reuses pq_adc_scores); the re-rank stage joins equi on ids
+        "ext_bigram_lm_score",  # 1-row vocabulary-size broadcast: the
+        # smoothing denominator attaches to every scored bigram
     }
     offenders = {}
     for name, q in QUERIES.items():

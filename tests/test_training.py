@@ -224,3 +224,25 @@ def test_weighted_sample_without_replacement(spark):
     ids = [r["doc_id"] for r in out]
     assert len(ids) == len(set(ids)) == 3
     assert sorted(r["sample_rank"] for r in out) == [1, 2, 3]
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Add-one smoothed bigram LM on a 3-doc corpus where every
+    probability is hand-computable: bigrams (a b) x2 and (a c) x1,
+    history count c(a)=3, vocabulary V={b, c} -> p(b|a)=3/5,
+    p(c|a)=2/5."""
+    import math
+
+    from dissertation_data_pipeline_spark.operators.training import (
+        bigram_lm_scores,
+    )
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(out) == {1, 2, 3}  # the single-token doc has no bigrams
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["avg_logp"] == round(math.log(3 / 5), 4)
+    assert out[3]["avg_logp"] == round(math.log(2 / 5), 4)
+    assert out[1]["perplexity"] == round(5 / 3, 4)
+    assert out[3]["perplexity"] == round(5 / 2, 4)

@@ -1,0 +1,146 @@
+"""[EXT] Upsert-shaped table maintenance: MERGE INTO and CDC apply.
+
+The reference maintains its corpus by re-running pandas scripts that
+re-read, patch, and rewrite whole CSV/parquet snapshots
+(build_master_corpus.py's concat-then-dedup; the enricher's
+read-patch-write loop over master_corpus.parquet). The engine expresses
+the same maintenance as *set-based merge semantics* — the shape Delta
+Lake/Iceberg call ``MERGE INTO`` and Spark can execute as ONE
+full-outer shuffle join at any scale:
+
+- :func:`merge_upsert` — declarative MERGE: matched-update,
+  matched-delete (predicated), not-matched-insert, with the target's
+  schema preserved. One shuffle on the merge key; a small source side
+  broadcasts (Catalyst/AQE decide — the operator never forces a
+  cartesian or a collect).
+- :func:`latest_changes` / :func:`apply_changes` — change-data-capture
+  replay: reduce a change log to its latest op per key (deterministic
+  total order), then apply upserts and deletes onto a base snapshot in
+  one full-outer join.
+
+Scale notes (100 TB): both operators are a single hash-partitioned
+join on the key — the minimal possible data movement for keyed
+maintenance. The change-log reduction is a window over (key, order)
+with map-side-combinable input; skewed hot keys split under AQE.
+Neither operator collects, loops, or touches Python row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    *,
+    update_set: Mapping[str, Column],
+    insert_values: Mapping[str, Column] | None = None,
+    delete_when: Column | None = None,
+) -> DataFrame:
+    """MERGE ``source`` INTO ``target`` ON ``key`` — one full-outer join.
+
+    Row fates (ANSI/Delta MERGE semantics):
+
+    - **matched & delete_when** -> row removed;
+    - **matched** (else)        -> target row with ``update_set``
+      columns replaced (expressions may reference both sides via the
+      ``t``/``s`` aliases);
+    - **target-only**           -> kept unchanged;
+    - **source-only**           -> inserted from ``insert_values``
+      (missing columns become typed NULLs). Pass ``insert_values=None``
+      for an update-only merge (source-only rows dropped).
+
+    Keys are assumed non-null on both sides (enforce upstream — a NULL
+    key would read as "unmatched" on both legs). The output schema is
+    exactly the target schema, so the result can overwrite the
+    target's storage location.
+    """
+    t, s = target.alias("t"), source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
+    target_only = F.col(f"s.{key}").isNull()
+
+    if delete_when is not None:
+        joined = joined.filter(~(matched & F.coalesce(delete_when, F.lit(False))))
+    if insert_values is None:
+        joined = joined.filter(F.col(f"t.{key}").isNotNull())
+
+    out = []
+    for f in target.schema.fields:
+        upd = update_set.get(f.name, F.col(f"t.{f.name}"))
+        ins = (
+            insert_values.get(f.name, F.lit(None).cast(f.dataType))
+            if insert_values is not None
+            else F.lit(None).cast(f.dataType)
+        )
+        out.append(
+            F.when(matched, upd)
+            .when(target_only, F.col(f"t.{f.name}"))
+            .otherwise(ins)
+            .alias(f.name)
+        )
+    return joined.select(*out)
+
+
+def latest_changes(
+    changes: DataFrame,
+    key: str,
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Reduce a change log to its LATEST row per key.
+
+    ``order_by`` must be a deterministic total order per key (e.g.
+    ``[F.desc("ts"), F.desc("change_id")]`` — always include a unique
+    final tiebreak so replays are partition-order independent). One
+    window shuffle on the key.
+    """
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    *,
+    order_by: Sequence[Column | str],
+    is_delete: Column,
+    status_col: str = "change_status",
+) -> DataFrame:
+    """Replay a CDC change log onto a base snapshot.
+
+    ``changes`` is reduced to its latest op per key (:func:`latest_changes`),
+    then applied: a latest-op delete removes the key (a delete for an
+    absent key is a no-op); any other op upserts. Output columns are the
+    base columns, the change columns (NULL where the key saw no change),
+    and ``status_col`` in ``{'kept','updated','inserted'}``. Non-key
+    column names must be disjoint between the two frames (rename
+    upstream).
+    """
+    latest = latest_changes(changes, key, order_by).withColumn(
+        "_del", F.coalesce(is_delete, F.lit(False))
+    )
+    b, c = base.alias("b"), latest.alias("c")
+    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
+    has_change = F.col(f"c.{key}").isNotNull()
+    in_base = F.col(f"b.{key}").isNotNull()
+    surviving = joined.filter(~(has_change & F.col("_del")))
+    out_key = F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)
+    base_cols = [F.col(f"b.{f}") for f in base.columns if f != key]
+    change_cols = [F.col(f"c.{f}") for f in latest.columns if f not in (key, "_del")]
+    status = (
+        F.when(~has_change, F.lit("kept"))
+        .when(in_base, F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias(status_col)
+    )
+    return surviving.select(out_key, *base_cols, *change_cols, status)

@@ -256,3 +256,54 @@ def sessionize(
     return df.withColumn("_new_session", gap_new).withColumn(
         "session_idx", (F.sum("_new_session").over(wsum) - 1).cast("long")
     ).drop("_new_session")
+
+
+def late_event_report(
+    events: DataFrame,
+    *,
+    key: str,
+    ts_col: str,
+    arrival_col: str,
+    allowed_lateness_s: int,
+    group_col: str,
+) -> DataFrame:
+    """Batch watermark accounting: how much data WOULD have been late.
+
+    Structured Streaming drops events older than ``max(event_time) -
+    allowed lateness`` (the watermark). This operator replays a batch
+    in arrival order (``arrival_col`` — a monotonically-assigned ingest
+    id) and classifies each event against the per-key watermark that
+    held *when it arrived*: late iff ``ts < max(ts over earlier
+    arrivals of the same key) - allowed``. The per-``group_col`` report
+    (event count / late count / worst lateness in microseconds) is the
+    sizing input for choosing a production watermark delay.
+
+    Scale: the watermark is a running max over a window partitioned by
+    ``key`` — one shuffle, parallel across keys (a *global* arrival
+    order would serialize; per-key order is what a keyed stream
+    guarantees anyway). All time math — including the reported worst
+    lateness — stays in exact int64 microseconds: no division, so no
+    engine-specific float/rounding behavior can touch the values.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros(F.col(ts_col))
+    wm_us = F.max(ts_us).over(w) - F.lit(allowed_lateness_s * 1_000_000)
+    flagged = events.select(
+        F.col(group_col),
+        ts_us.alias("_ts_us"),
+        wm_us.alias("_wm_us"),
+    ).withColumn(
+        "_late", F.col("_wm_us").isNotNull() & (F.col("_ts_us") < F.col("_wm_us"))
+    )
+    return flagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("_late").cast("long")).alias("n_late"),
+        F.coalesce(
+            F.max(F.when(F.col("_late"), F.col("_wm_us") - F.col("_ts_us"))),
+            F.lit(0),
+        ).alias("max_lateness_us"),
+    )

@@ -448,3 +448,88 @@ def bigram_lm_scores(
         F.round(mean, 4).alias("avg_logp"),
         F.round(F.exp(-mean), 4).alias("perplexity"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 100,
+) -> DataFrame:
+    """Top-N collocations by pointwise mutual information.
+
+    PMI(a,b) = ln( P(ab) / (P(a)P(b)) ) with P(ab) = c_ab/T2 over
+    adjacent-bigram instances and P(w) = c_w/T1 over token instances —
+    the classic collocation-extraction statistic (Church & Hanks 1990),
+    used in pipelines to mine multiword units for tokenizer/vocab work.
+
+    Cross-engine determinism: the PMI *argument* is computed as
+    ``(c_ab/T2) / ((c_a/T1) * (c_b/T1))`` in doubles — every operand is
+    an exact int64 count and IEEE-754 ``/``/``*`` are bit-exact, so the
+    score (and therefore the top-N membership under the full
+    ``(score DESC, w1, w2)`` tiebreak) is identical in any engine that
+    evaluates the same expression shape. Only the final ``ln`` display
+    value touches libm; it is rounded to 4dp.
+
+    Scale: one explode + two hash aggregates (map-side combinable) +
+    one join of bigram counts against the unigram table on each word —
+    at 100 TB the unigram side is Zipf-small after ``min_count``-style
+    pruning and broadcasts; no quadratic term anywhere. The int64
+    counts hold to ~3e9 tokens per corpus-partition of the statistic;
+    beyond that, compute the same ratio in log-domain doubles.
+    """
+    toks = df.select(
+        F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+").alias("_t")
+    )
+    uni = toks.select(F.explode("_t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_w")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_t", i).alias("w1"),
+                        F.element_at("_t", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    t1 = uni.agg(F.sum("c_w").alias("T1"))
+    t2 = big.agg(F.sum("c_ab").alias("T2"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    score = (
+        (F.col("c_ab").cast("double") / F.col("T2").cast("double"))
+        / (
+            (F.col("c_a").cast("double") / F.col("T1").cast("double"))
+            * (F.col("c_b").cast("double") / F.col("T1").cast("double"))
+        )
+    )
+    return (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            score.alias("_score"),
+        )
+        .orderBy(F.desc("_score"), "w1", "w2")
+        .limit(top_n)
+        .select(
+            "w1", "w2", "c_ab", "c_a", "c_b",
+            F.round(F.log("_score"), 4).alias("pmi"),
+        )
+    )

@@ -1,0 +1,172 @@
+"""Wave 5: MERGE upsert, CDC apply, PMI, late-data report, sketches."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators.merge import (
+    apply_changes,
+    latest_changes,
+    merge_upsert,
+)
+from dissertation_data_pipeline_spark.operators.sketches import (
+    bottomk_sketches,
+    sketch_overlap_pairs,
+)
+from dissertation_data_pipeline_spark.operators.temporal import late_event_report
+from dissertation_data_pipeline_spark.operators.training import pmi_collocations
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [Row(k=1, v="a", n=10), Row(k=2, v="b", n=20), Row(k=3, v="c", n=30)]
+    )
+
+
+def test_merge_upsert_all_four_fates(spark):
+    source = spark.createDataFrame(
+        [Row(k=2, nv=200), Row(k=3, nv=300), Row(k=4, nv=400)]
+    )
+    out = merge_upsert(
+        _target(spark),
+        source,
+        "k",
+        update_set={"n": F.col("s.nv")},
+        insert_values={"k": F.col("s.k"), "v": F.lit("ins"), "n": F.col("s.nv")},
+        delete_when=F.col("t.v") == "c",  # k=3 matched & deleted
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert set(rows) == {1, 2, 4}  # 3 deleted
+    assert rows[1].v == "a" and rows[1].n == 10  # target-only kept
+    assert rows[2].v == "b" and rows[2].n == 200  # matched updated
+    assert rows[4].v == "ins" and rows[4].n == 400  # inserted
+    assert out.columns == ["k", "v", "n"]  # target schema preserved
+
+
+def test_merge_upsert_update_only_drops_source_only(spark):
+    source = spark.createDataFrame([Row(k=2, nv=99), Row(k=9, nv=1)])
+    out = merge_upsert(
+        _target(spark), source, "k", update_set={"n": F.col("s.nv")}
+    )
+    rows = {r.k: r.n for r in out.collect()}
+    assert rows == {1: 10, 2: 99, 3: 30}  # k=9 not inserted
+
+
+def test_latest_changes_deterministic_tiebreak(spark):
+    log = spark.createDataFrame(
+        [Row(k=1, ts=5, cid=1, op="a"), Row(k=1, ts=5, cid=2, op="b")]
+    )
+    out = latest_changes(log, "k", [F.desc("ts"), F.desc("cid")]).collect()
+    assert len(out) == 1 and out[0].op == "b"
+
+
+def test_apply_changes_delete_upsert_insert(spark):
+    base = spark.createDataFrame([Row(k=1, name="x"), Row(k=2, name="y")])
+    log = spark.createDataFrame(
+        [
+            Row(k=1, ts=1, cid=1, op="upsert", val=1.0),
+            Row(k=1, ts=2, cid=2, op="delete", val=None),  # latest: delete k=1
+            Row(k=2, ts=1, cid=3, op="delete", val=None),
+            Row(k=2, ts=2, cid=4, op="upsert", val=7.0),  # latest: upsert k=2
+            Row(k=5, ts=1, cid=5, op="upsert", val=5.0),  # insert k=5
+            Row(k=6, ts=1, cid=6, op="delete", val=None),  # delete absent: no-op
+        ]
+    )
+    out = apply_changes(
+        base,
+        log,
+        "k",
+        order_by=[F.desc("ts"), F.desc("cid")],
+        is_delete=F.col("op") == "delete",
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert set(rows) == {2, 5}
+    assert rows[2].change_status == "updated" and rows[2].val == 7.0
+    assert rows[5].change_status == "inserted" and rows[5].name is None
+
+
+def test_apply_changes_kept_rows_pass_through(spark):
+    base = spark.createDataFrame([Row(k=1, name="x")])
+    log = spark.createDataFrame([Row(k=9, ts=1, cid=1, op="upsert", val=0.5)])
+    rows = {r.k: r for r in apply_changes(
+        base, log, "k",
+        order_by=[F.desc("ts"), F.desc("cid")],
+        is_delete=F.col("op") == "delete",
+    ).collect()}
+    assert rows[1].change_status == "kept" and rows[1].val is None
+    assert rows[9].change_status == "inserted"
+
+
+def test_pmi_prefers_exclusive_pair(spark):
+    # "tick tock" always together (exclusive) vs common filler pairs:
+    # PMI must rank the exclusive pair first.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="tick tock " + "the of " * 8) for i in range(5)]
+    )
+    out = pmi_collocations(docs, min_count=5, top_n=3).collect()
+    assert (out[0].w1, out[0].w2) == ("tick", "tock")
+    assert out[0].c_ab == 5
+    assert out[0].pmi > 0
+
+
+def test_pmi_min_count_prunes(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="rare pair"), Row(doc_id=2, text="x y " * 10)]
+    )
+    got = {(r.w1, r.w2) for r in pmi_collocations(docs, min_count=5, top_n=10).collect()}
+    assert ("rare", "pair") not in got
+
+
+def test_late_event_report_flags_out_of_order(spark):
+    # arrival order (aid) vs event time (sec): event 3 arrives after the
+    # watermark from event 2 has passed it by > 10s allowed lateness.
+    rows = [
+        Row(aid=1, k=1, sec=100, g="a"),
+        Row(aid=2, k=1, sec=200, g="a"),
+        Row(aid=3, k=1, sec=150, g="a"),  # late: wm=200-10=190 > 150
+        Row(aid=4, k=1, sec=185, g="b"),  # not late: 185 >= 190? NO -> late
+        Row(aid=5, k=2, sec=50, g="a"),   # first arrival for key 2: no wm
+    ]
+    df = spark.createDataFrame(rows).select(
+        "aid", "k", F.timestamp_seconds("sec").alias("ts"), "g"
+    )
+    rep = {
+        r.g: r
+        for r in late_event_report(
+            df, key="k", ts_col="ts", arrival_col="aid",
+            allowed_lateness_s=10, group_col="g",
+        ).collect()
+    }
+    assert rep["a"].n_events == 4 and rep["a"].n_late == 1
+    assert rep["a"].max_lateness_us == (190 - 150) * 1_000_000
+    assert rep["b"].n_events == 1 and rep["b"].n_late == 1
+    assert rep["b"].max_lateness_us == (190 - 185) * 1_000_000
+
+
+def test_bottomk_sketch_identical_groups_estimate_one(spark):
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, g="a", text=text), Row(doc_id=2, g="b", text=text),
+         Row(doc_id=3, g="c", text="totally different words here now " * 8)]
+    )
+    sk = bottomk_sketches(docs, "g", "text", id_col="doc_id", k=16)
+    got = {r.g: r for r in sk.collect()}
+    assert got["a"].sketch == got["b"].sketch
+    assert got["a"].sketch == sorted(got["a"].sketch)
+    assert len(got["a"].sketch) <= 16
+    pairs = {
+        (r.g_a, r.g_b): r
+        for r in sketch_overlap_pairs(sk, "g", k=16).collect()
+    }
+    assert pairs[("a", "b")].jaccard_est == 1.0
+    assert pairs[("a", "c")].jaccard_est < 0.5
+    assert pairs[("a", "b")].sample_size == len(got["a"].sketch)
+
+
+def test_bottomk_sketch_caps_at_k(spark):
+    long_text = " ".join(f"tok{i}" for i in range(500))
+    docs = spark.createDataFrame([Row(doc_id=1, g="a", text=long_text)])
+    got = bottomk_sketches(docs, "g", "text", id_col="doc_id", k=8).collect()[0]
+    assert len(got.sketch) == 8
+    assert got.n_distinct == 498  # 500 tokens -> 498 word-3-grams

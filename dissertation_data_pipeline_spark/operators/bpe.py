@@ -1,0 +1,168 @@
+"""[EXT] Distributed BPE vocabulary training (Sennrich et al. 2016).
+
+The tokenizer-training step of an LLM data pipeline, expressed the way
+a 100 TB corpus forces you to:
+
+1. **Corpus -> word-frequency table.** BPE statistics only depend on
+   ``(word, count)``, so the trillions-of-tokens corpus reduces to a
+   vocab-sized table in ONE map-side-combinable groupBy. Every
+   subsequent round works on this table — the same reduction every
+   published BPE trainer (subword-nmt, SentencePiece) performs
+   in-memory, here as a DataFrame so it shards across executors.
+2. **Iterative merges with driver-side small state.** Each round:
+   adjacent symbol-pair counts (explode + hash aggregate, weighted by
+   word frequency) -> global argmax with a deterministic tiebreak
+   (count DESC, pair lexicographic) -> collect exactly ONE row -> apply
+   the merge to every word's symbol array as a fold expression. This is
+   the same driver-pattern as k-means (operators/similarity.py
+   ``train_ivf``): per-round driver state is O(1), data-plane work is
+   O(vocab), and the loop cuts lineage with a lazy localCheckpoint per
+   round so plans don't double.
+
+No DuckDB oracle: the per-round global argmax makes the loop
+non-expressible in one SQL statement (recursive CTEs cannot aggregate
+over their recursive term). Correctness evidence is parity with an
+independent pure-Python reference implementation over randomized
+corpora (tests/test_wave6.py), the same strategy as the reference
+repo's script-vs-script consistency checks (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: end-of-word sentinel appended to every word's symbol sequence so
+#: merges can't cross word boundaries (Sennrich 2016 §3.2)
+EOW = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` from a document table — the BPE working set."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """Split each word into single-character symbols + the EOW mark."""
+    chars = F.split(F.col("word"), "")  # Spark: '' pattern -> per-char array
+    return words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.filter(chars, lambda c: c != F.lit("")),
+            F.array(F.lit(EOW)),
+        ).alias("syms"),
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<a,b>> of adjacent symbol pairs (empty for len<2)."""
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("a"),
+            F.element_at(syms, i + 1).alias("b"),
+        ),
+    )
+    return F.when(F.size(syms) >= 2, pairs).otherwise(empty)
+
+
+def pair_counts(symbol_words: DataFrame) -> DataFrame:
+    """Corpus-wide adjacent-pair frequencies, weighted by word freq."""
+    return (
+        symbol_words.select(
+            "freq", F.explode(_adjacent_pairs(F.col("syms"))).alias("p")
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent ``(a, b)`` -> ``a+b``.
+
+    A fold over the symbol array: if the accumulator's last element is
+    ``a`` and the incoming symbol is ``b``, replace the last element
+    with the merged token, else append. Matches the scan order of the
+    sequential reference algorithm (in ``b b b`` with pair ``(b,b)``
+    the first two merge, the third survives — the merged token no
+    longer equals ``a``, so it can't cascade)."""
+    merged = F.lit(a + b)
+    la, lb = F.lit(a), F.lit(b)
+
+    def step(acc: Column, s: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return F.when(
+            (F.size(acc) > 0) & (last == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_pair_count: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``num_merges`` BPE merges from a document table.
+
+    Returns ``(merges, symbol_words)``: the ordered merge list as
+    ``(left, right, count)`` tuples and the final per-word symbol
+    table. Stops early when no pair reaches ``min_pair_count``.
+    """
+    words = initial_symbols(word_frequencies(df, text_col)).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        top = (
+            pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        words = words.withColumn(
+            "syms", apply_merge(F.col("syms"), a, b)
+        ).localCheckpoint(eager=False)
+    return merges, words
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    *,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge list to a document table (the tokenizer's
+    inference path): per word, char-split + EOW, then each merge in
+    learned order as a fold. The merge list is compiled into the plan
+    (it is vocabulary-state, broadcast-small by construction)."""
+    words = F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+")
+
+    def segment_word(w: Column) -> Column:
+        chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+        syms = F.concat(chars, F.array(F.lit(EOW)))
+        for a, b, _ in merges:
+            syms = apply_merge(syms, a, b)
+        return syms
+
+    return df.withColumn(
+        out_col,
+        F.flatten(F.transform(words, segment_word)),
+    )

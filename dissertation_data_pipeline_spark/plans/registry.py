@@ -624,6 +624,7 @@ from dissertation_data_pipeline_spark.plans import queries_features  # noqa: E40
 from dissertation_data_pipeline_spark.plans import queries_timeseries  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave4  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave5  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_wave6  # noqa: E402,F401
 
 # Gate-coverage policy for this round (see DRIVER_PRIORITY docstring):
 # 1. queries fixed since the last gate run (array serialization, BIGINT

@@ -144,3 +144,44 @@ def apply_changes(
         .alias(status_col)
     )
     return surviving.select(out_key, *base_cols, *change_cols, status)
+
+
+def merge_aggregates(
+    old: DataFrame,
+    delta: DataFrame,
+    key: str,
+    *,
+    count_col: str,
+    sum_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental maintenance of a keyed algebraic aggregate.
+
+    ``old`` is a persisted aggregate state table (one row per key with
+    a count column and exact-integer/decimal sum columns); ``delta`` is
+    the same aggregation computed over ONLY the new batch — retractions
+    are expressed as negative contributions. The refreshed state is one
+    full-outer join: ``coalesce(old, 0) + coalesce(delta, 0)`` per
+    column, dropping keys whose count reaches zero.
+
+    This is the O(delta) alternative to re-aggregating the corpus: at
+    100 TB the delta aggregate touches only new files, and the merge
+    shuffles |keys-in-delta| + |state| rows — the same shape a
+    materialized-view refresh or a Structured Streaming
+    ``foreachBatch`` upsert executes. Only works for ALGEBRAIC
+    aggregates (count/sum and anything derivable from them: mean,
+    moments, min/max under insert-only); holistic statistics (median,
+    distinct) need their own mergeable summaries
+    (``operators/sketches.py``).
+    """
+    cols = [count_col, *sum_cols]
+    o = old.select(key, *[F.col(c).alias(f"_o_{c}") for c in cols])
+    d = delta.select(key, *[F.col(c).alias(f"_d_{c}") for c in cols])
+    joined = o.join(d, key, "full_outer")
+    merged = [
+        (
+            F.coalesce(F.col(f"_o_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
+        ).alias(c)
+        for c in cols
+    ]
+    return joined.select(key, *merged).filter(F.col(count_col) > 0)

@@ -98,3 +98,42 @@ def ext_udaf_label_medians(spark, sf_dir):
     middle-pair average is bit-identical to the oracle's DOUBLE
     median. Long-form (label, dim, med) output."""
     return label_dim_medians(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ext_incremental_agg",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM events GROUP BY 1
+    """,
+)
+def ext_incremental_agg(spark, sf_dir):
+    """[EXT] incremental aggregate maintenance: the per-user event
+    rollup is refreshed from a persisted state table (the event_id%10
+    != 0 slice's aggregate) plus a delta batch aggregate (the %10 == 0
+    slice) via operators/merge.py::merge_aggregates — ONE full-outer
+    join of two key-sized tables, O(delta) new data read. The oracle
+    re-aggregates the whole corpus: the merged state must equal the
+    full recompute exactly (counts and cent-sums are exact int64)."""
+    from dissertation_data_pipeline_spark.operators.merge import merge_aggregates
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+
+    old = agg(ev.filter(F.col("event_id") % 10 != 0))
+    delta = agg(ev.filter(F.col("event_id") % 10 == 0))
+    return merge_aggregates(
+        old, delta, "user_id", count_col="n_events", sum_cols=["value_cents"]
+    )

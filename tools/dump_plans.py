@@ -177,6 +177,36 @@ HEADLINERS = {
         "broadcast back as a join filter; pseudonymization rides the "
         "scan — no extra pass over the fact table."
     ),
+    "ext_merge_upsert": (
+        "MERGE INTO is exactly ONE join (full-outer on the key, "
+        "planned by size) and a when-ladder projection — no second "
+        "pass, no collect; the output schema matches the target so the "
+        "result can overwrite the target's storage."
+    ),
+    "ext_incremental_agg": (
+        "Both inputs reduce to key-sized aggregate tables (map-side "
+        "combined) before the single full-outer merge join — the "
+        "refresh reads O(delta) data and shuffles O(keys) rows, never "
+        "re-aggregating the corpus."
+    ),
+    "ext_pmi_collocations": (
+        "One explode feeds two hash aggregates (unigram + bigram "
+        "counts, both map-side combined); the 1-row corpus totals "
+        "broadcast onto the scored pairs; ranking is TakeOrdered(100), "
+        "not a global sort."
+    ),
+    "ext_source_overlap_sketch": (
+        "The corpus reduces to |sources| bottom-64 sketch rows (two "
+        "monotonically-shrinking shuffles) BEFORE the pairwise stage; "
+        "the quadratic join runs over 512-byte sketches only — the "
+        "reduction-then-pair shape is the operator's scale argument."
+    ),
+    "ext_late_data_report": (
+        "The per-key watermark is one window Exchange on user_id (keys "
+        "parallelize; a global arrival order would serialize), followed "
+        "by one map-side-combined aggregate — two shuffles total, all "
+        "time math in exact int64 microseconds."
+    ),
 }
 
 MARKERS = [

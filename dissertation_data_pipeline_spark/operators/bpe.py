@@ -32,19 +32,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dissertation_data_pipeline_spark.operators.dedup_ext import tokens
+
 #: end-of-word sentinel appended to every word's symbol sequence so
 #: merges can't cross word boundaries (Sennrich 2016 §3.2)
 EOW = "</w>"
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """``(word, freq)`` from a document table — the BPE working set."""
+    """``(word, freq)`` from a document table — the BPE working set.
+
+    Tokenization is ``dedup_ext.tokens`` — the ONE corpus tokenization
+    rule every operator family (dedup, sketches, training stats)
+    shares, so BPE statistics agree with cross-operator counts."""
     return (
-        df.select(
-            F.explode(
-                F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+")
-            ).alias("word")
-        )
+        df.select(F.explode(tokens(text_col)).alias("word"))
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -152,8 +154,15 @@ def bpe_segment(
     """Apply a learned merge list to a document table (the tokenizer's
     inference path): per word, char-split + EOW, then each merge in
     learned order as a fold. The merge list is compiled into the plan
-    (it is vocabulary-state, broadcast-small by construction)."""
-    words = F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+")
+    (it is vocabulary-state, broadcast-small by construction).
+
+    Empty/whitespace-only documents tokenize to ZERO tokens: the empty
+    words the whitespace split produces are filtered before
+    segmentation — the same ``length > 0`` rule the training path
+    applies — so inference and training agree on what a word is (an
+    unfiltered empty word would emit a phantom ``</w>`` token and
+    inflate every downstream token count)."""
+    words = F.filter(tokens(text_col), lambda w: F.length(w) > 0)
 
     def segment_word(w: Column) -> Column:
         chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))

@@ -712,6 +712,52 @@ def simhash_component_edges(
 # Blocked n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def _blocked_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    *,
+    ngram_words: int,
+) -> DataFrame:
+    """Shared inverted-index stage of the blocked pair operators:
+    ``(block..., id_a, id_b, _inter, _na, _nb)`` for every in-block
+    pair sharing >= 1 distinct word-n-gram shingle.
+
+    Postings are checkpointed once (they feed the size lookup and BOTH
+    self-join legs; self-joins do not reuse exchanges) and
+    repartitioned on (block, shingle) so posting lists co-locate and
+    the quadratic term is bounded by posting-list length, never block
+    size. Jaccard and containment are one extra division each on this
+    frame — any future shared-stage change (e.g. the stop-shingle cap
+    a 100 TB corpus needs) lands here once, for both operators.
+    """
+    post = shingle_postings(
+        df, id_col, text_col, n=ngram_words, carry_cols=block_cols
+    ).localCheckpoint()
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    postings = post.repartition(*block_cols, "_shingle")  # co-locate + spread
+    a, b = postings.alias("a"), postings.alias("b")
+    cond = (F.col("a._shingle") == F.col("b._shingle")) & (
+        F.col("a._id") < F.col("b._id")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    # ids are globally unique, so the shingle-set sizes attach by id alone
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -741,33 +787,9 @@ def blocked_jaccard_pairs(
     """
     assert block_cols, "blocked_jaccard_pairs requires blocking columns"
     assert threshold > 0, "zero-overlap pairs are not representable"
-    # checkpoint: the posting pipeline feeds the size lookup and BOTH
-    # sides of the inverted-index self-join (self-joins do not reuse
-    # exchanges — it would otherwise run three times)
-    post = shingle_postings(
-        df, id_col, text_col, n=ngram_words, carry_cols=block_cols
-    ).localCheckpoint()
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    postings = post.repartition(*block_cols, "_shingle")  # co-locate + spread lists
-    a, b = postings.alias("a"), postings.alias("b")
-    cond = (F.col("a._shingle") == F.col("b._shingle")) & (
-        F.col("a._id") < F.col("b._id")
+    out = _blocked_intersections(
+        df, id_col, text_col, block_cols, ngram_words=ngram_words
     )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            *[F.col(f"a.{c}").alias(c) for c in block_cols],
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    # ids are globally unique, so the shingle-set sizes attach by id alone
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    out = inter.join(sa, "id_a").join(sb, "id_b")
     union = F.col("_na") + F.col("_nb") - F.col("_inter")
     jac = F.round(F.col("_inter").cast("double") / union.cast("double"), 6)
     return (
@@ -805,29 +827,9 @@ def containment_pairs(
     """
     assert block_cols, "containment_pairs requires blocking columns"
     assert threshold > 0, "zero-overlap pairs are not representable"
-    post = shingle_postings(
-        df, id_col, text_col, n=ngram_words, carry_cols=block_cols
-    ).localCheckpoint()
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    postings = post.repartition(*block_cols, "_shingle")
-    a, b = postings.alias("a"), postings.alias("b")
-    cond = (F.col("a._shingle") == F.col("b._shingle")) & (
-        F.col("a._id") < F.col("b._id")
+    out = _blocked_intersections(
+        df, id_col, text_col, block_cols, ngram_words=ngram_words
     )
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(b, cond)
-        .groupBy(
-            *[F.col(f"a.{c}").alias(c) for c in block_cols],
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
-    out = inter.join(sa, "id_a").join(sb, "id_b")
     ca = F.round(F.col("_inter").cast("double") / F.col("_na").cast("double"), 6)
     cb = F.round(F.col("_inter").cast("double") / F.col("_nb").cast("double"), 6)
     return (

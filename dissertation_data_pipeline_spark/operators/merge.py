@@ -56,9 +56,13 @@ def merge_upsert(
       for an update-only merge (source-only rows dropped).
 
     Keys are assumed non-null on both sides (enforce upstream — a NULL
-    key would read as "unmatched" on both legs). The output schema is
-    exactly the target schema, so the result can overwrite the
-    target's storage location.
+    key would read as "unmatched" on both legs), and the SOURCE must be
+    key-unique: ANSI/Delta MERGE *errors* on multiple source matches,
+    and a distributed plan cannot raise lazily, so a duplicate-key
+    source here fans each matched target row out once per duplicate —
+    reduce a raw change feed with :func:`latest_changes` first. The
+    output schema is exactly the target schema, so (given a key-unique
+    source) the result can overwrite the target's storage location.
     """
     t, s = target.alias("t"), source.alias("s")
     joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")

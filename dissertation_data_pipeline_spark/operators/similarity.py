@@ -595,6 +595,7 @@ def pq_adc_scores(
     n_sub: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance scores against the PQ-coded corpus: every
     (query, corpus vector) pair reachable through the code table gets
@@ -612,6 +613,12 @@ def pq_adc_scores(
     floored to integer picodistance units, so the n_sub-way sum (a
     shuffle aggregation — order-free only for integers) is engine- and
     partitioning-invariant.
+
+    ``exclude_self`` drops pairs where ``id_col == query_id`` — ONLY
+    valid when queries are drawn from the corpus id space (the
+    benchmark queries do this; they set it True). Default False: with
+    independently-numbered queries an id collision is a coincidence,
+    and filtering it would silently drop a legitimate candidate.
     """
     codes = pq_codes(
         corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
@@ -647,9 +654,7 @@ def pq_adc_scores(
         "code",
         F.floor(d2 * F.lit(1_000_000_000_000)).cast("long").alias("qd"),
     )
-    return (
-        codes.join(lut, ["subspace", "code"])
-        .filter(F.col(id_col) != F.col(query_id))
-        .groupBy(query_id, id_col)
-        .agg(F.sum("qd").alias("adc"))
-    )
+    scored = codes.join(lut, ["subspace", "code"])
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(query_id))
+    return scored.groupBy(query_id, id_col).agg(F.sum("qd").alias("adc"))

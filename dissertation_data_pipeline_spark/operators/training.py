@@ -31,6 +31,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dissertation_data_pipeline_spark.operators.dedup_ext import (
+    tokens as corpus_tokens,
+)
+
 __all__ = [
     "token_long_form",
     "bigram_long_form",
@@ -411,9 +415,7 @@ def bigram_lm_scores(
     """
     toks = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+")
-        ).alias("pos", "w1"),
+        F.posexplode(corpus_tokens(text_col)).alias("pos", "w1"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     # the long form feeds four consumers (c12, c_hist, V, scoring join);
@@ -480,11 +482,16 @@ def pmi_collocations(
     counts hold to ~3e9 tokens per corpus-partition of the statistic;
     beyond that, compute the same ratio in log-domain doubles.
     """
-    toks = df.select(
-        F.split(F.lower(F.trim(F.col(text_col).cast("string"))), r"\s+").alias("_t")
-    )
-    uni = toks.select(F.explode("_t").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c_w")
+    toks = df.select(corpus_tokens(text_col).alias("_t"))
+    # uni feeds THREE consumers (T1, the w1 attach, the w2 attach) and
+    # big two (T2, the scored join); checkpoint both aggregates so the
+    # tokenize/explode corpus passes run once, not ~5x (the same
+    # multi-consumer trap bigram_lm_scores and sketches document)
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+        .localCheckpoint(eager=False)
     )
     pairs = toks.select(
         F.explode(
@@ -500,7 +507,11 @@ def pmi_collocations(
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
     t1 = uni.agg(F.sum("c_w").alias("T1"))
     t2 = big.agg(F.sum("c_ab").alias("T2"))
     ua = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))

@@ -498,7 +498,7 @@ def ext_ann_pq_adc_topk(spark, sf_dir):
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    scored = sim.pq_adc_scores(emb, q)
+    scored = sim.pq_adc_scores(emb, q, exclude_self=True)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -198,7 +198,7 @@ def ext_ann_pq_rerank(spark, sf_dir):
     )
     wa = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
     short = (
-        sim.pq_adc_scores(emb, q)
+        sim.pq_adc_scores(emb, q, exclude_self=True)
         .withColumn("_rn", F.row_number().over(wa))
         .filter(F.col("_rn") <= 20)
         .select("query_id", "vec_id")

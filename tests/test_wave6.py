@@ -81,6 +81,19 @@ def test_bpe_train_matches_reference(spark):
     assert got == ref_syms
 
 
+def test_bpe_segment_empty_doc_yields_no_tokens(spark):
+    # empty/whitespace-only docs must tokenize to ZERO tokens — the
+    # whitespace split's empty words are filtered before segmentation,
+    # matching the training path's length>0 rule (an unfiltered empty
+    # word would emit a phantom '</w>' and inflate token counts)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="   "), Row(doc_id=3, text="ab")]
+    )
+    got = {r.doc_id: list(r.bpe_tokens) for r in bpe_segment(docs, []).collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["a", "b", EOW]
+
+
 def test_bpe_train_early_stop(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
     # every word is a single char: pairs are (char, EOW) with count 1

@@ -104,9 +104,18 @@ def connected_components(
     # self-unions and distincts below do NOT reuse exchanges, so every
     # derivation must read this checkpoint, never the upstream LSH
     # machinery (unchecked, the pair plan evaluates 3x here — measured)
-    e = pairs.select(
-        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
-    ).localCheckpoint()
+    # NULL-id pairs are dropped EXPLICITLY: the distributed path's joins
+    # would drop them silently while the single-task path would crash on
+    # int(NaN) — same input must behave identically on both sides of
+    # the size threshold
+    e = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .localCheckpoint()
+    )
     if e.count() <= small_edge_threshold:
         return _single_task_components(e)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -209,9 +218,20 @@ def connected_components_star(
     set-equality probe (count match + one-sided anti diff), checked on
     the star edge set which only ever contracts toward (node, root).
     """
-    e = pairs.select(
+    raw = pairs.select(
         F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
-    ).filter(F.col("u") != F.col("v"))
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # every node that appears in ANY pair — including self-pairs, whose
+    # edges the star rounds cannot use but whose nodes the output
+    # contract ("every node appearing in a pair") still owes, exactly
+    # as connected_components emits them as their own singletons
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    e = raw.filter(F.col("u") != F.col("v"))
     edges = e.distinct().localCheckpoint()
     prev_cnt = None
     for _ in range(max_iter):
@@ -234,10 +254,12 @@ def connected_components_star(
     labels = edges.select(F.col("u").alias("id"), F.col("v").alias("label")).union(
         roots.select("id", F.col("id").alias("label"))
     )
-    return (
-        labels.groupBy("id")
-        .agg(F.min("label").alias("component_id"))
-        .select(F.col("id").alias("doc_id"), "component_id")
+    comp = labels.groupBy("id").agg(F.min("label").alias("component_id"))
+    singletons = nodes.join(comp.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("component_id")
+    )
+    return comp.union(singletons).select(
+        F.col("id").alias("doc_id"), "component_id"
     )
 
 

@@ -35,22 +35,35 @@ from pyspark.sql import functions as F
 __all__ = ["with_salt", "salted_join", "salted_agg", "key_skew_report"]
 
 #: algebraic aggregate builders usable in salted_agg's two phases:
-#: name -> (partial over rows, final over partials)
+#: name -> (partial over rows, final over partials). ``count`` counts
+#: NON-NULL values of its input column (SQL count(col) semantics — the
+#: documented oracle ``df.groupBy(keys).agg(F.count(col))``); count(*)
+#: is count over a non-null literal column.
 _ALGEBRAIC = {
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "count": (lambda c: F.count(F.col(c) if isinstance(c, str) else c), F.sum),
     "sum": (F.sum, F.sum),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
 
 
-def with_salt(df: DataFrame, salt: int, col_name: str = "_salt") -> Column | DataFrame:
-    """Attach a uniform salt in [0, salt). Round-robin on the row id:
-    salt values carry no meaning — only the distribution matters — so
-    determinism is not required for correctness, and the round-robin
-    is exactly uniform within every partition."""
+def with_salt(df: DataFrame, salt: int, col_name: str = "_salt") -> DataFrame:
+    """Attach a uniform salt in [0, salt), DETERMINISTIC per row
+    content: ``xxhash64`` over all columns (mod salt).
+
+    Determinism is a *correctness* requirement, not a nicety: a salt
+    from ``monotonically_increasing_id`` (or rand) changes when a
+    fetch-failure retry recomputes a subset of map tasks, so rows can
+    land in different (key, salt) shuffle partitions than their
+    original attempt and the downstream aggregate double-counts or
+    drops them — the SPARK-23207 class of silent corruption, which
+    Spark only self-repairs for its own round-robin repartition.
+    Content-hashing is stable across retries; identical duplicate rows
+    sharing a salt value only narrows their spread, it never changes
+    any result."""
     return df.withColumn(
-        col_name, F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+        col_name,
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)).cast("int"),
     )
 
 

@@ -136,9 +136,19 @@ def interval_join(
     length so the duplication factor stays ~2.
 
     Returns probe columns + interval columns (minus any shared key
-    columns, kept once).
+    columns, kept once). Non-key column names must be DISJOINT between
+    the two frames (rename upstream) — a shared non-key name would
+    survive the join twice and make the final by-name projection
+    ambiguous; enforced eagerly so the failure is a clear error at
+    plan-build time, not an AnalysisException at resolution.
     """
     on = list(on)
+    clash = (set(probe.columns) & set(intervals.columns)) - set(on)
+    if clash:
+        raise ValueError(
+            f"interval_join requires disjoint non-key column names; "
+            f"rename shared columns {sorted(clash)} on one side"
+        )
     bucket = lambda c: (F.unix_micros(F.col(c)) / F.lit(bucket_seconds * 1_000_000)).cast("bigint")  # noqa: E731
 
     iv = intervals.withColumn(
@@ -204,8 +214,20 @@ def scd2_history(
         [F.col(tiebreak).asc()] if tiebreak else []
     )
     w = Window.partitionBy(key_col).orderBy(*order)
-    changed = df.withColumn("_prev", F.lag(attr_col).over(w)).filter(
-        F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col))
+    # NULL attribute values are legitimate states: "is first event" is
+    # detected by row_number (not by lag being NULL, which conflates a
+    # NULL-valued predecessor with no predecessor) and "value changed"
+    # is null-safe (plain != returns NULL for 'a' -> NULL transitions,
+    # silently dropping the NULL interval; NULL -> NULL must NOT open a
+    # new interval)
+    changed = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            | ~F.col("_prev").eqNullSafe(F.col(attr_col))
+        )
+        .drop("_rn", "_prev")
     )
     w2 = Window.partitionBy(key_col).orderBy(*order)
     return (

@@ -81,7 +81,14 @@ def enrich_with_cache(
     cached = cache.read()
     to_fetch = needs.join(cached.select(key_col), on=key_col, how="left_anti")
 
-    fetched = fetch_missing_keys(to_fetch, key_col, fetch_fn, fetch_partitions=fetch_partitions)
+    # checkpoint BEFORE the emptiness probe: fetch_fn is a side-effecting
+    # (rate-limited, billed) call, and an unpersisted mapInPandas plan
+    # would execute it once for the probe and AGAIN inside upsert's
+    # write — double the API spend, and a transient failure on the
+    # second run could cache a different answer than the one probed
+    fetched = fetch_missing_keys(
+        to_fetch, key_col, fetch_fn, fetch_partitions=fetch_partitions
+    ).localCheckpoint()
     if fetched.limit(1).count() > 0:
         cache.upsert(fetched)
         cached = cache.read()

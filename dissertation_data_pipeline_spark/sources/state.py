@@ -32,6 +32,13 @@ class StateTable:
         self.key = key
 
     def read(self) -> DataFrame:
+        # crash recovery: if a previous upsert died between its two
+        # renames (current moved to .bak, tmp not yet promoted), the
+        # .bak snapshot is the only complete copy — restore it instead
+        # of silently starting from an empty table
+        bak = self.path + ".bak"
+        if not os.path.exists(self.path) and os.path.exists(bak):
+            os.rename(bak, self.path)
         if not os.path.exists(self.path):
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(self.path)
@@ -62,16 +69,22 @@ class StateTable:
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_gen")
         )
+        import shutil
+
         tmp = self.path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
         bak = self.path + ".bak"
+        # clear leftovers from a crashed previous upsert FIRST: a stale
+        # .bak would make the rename below raise ENOTEMPTY forever (but
+        # only after read() above has had its chance to recover from
+        # it), and a stale .tmp would poison the overwrite
+        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(self.path):
+            shutil.rmtree(bak, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(self.path):
             os.rename(self.path, bak)
         os.rename(tmp, self.path)
-        if os.path.exists(bak):
-            import shutil
-
-            shutil.rmtree(bak, ignore_errors=True)
+        shutil.rmtree(bak, ignore_errors=True)
 
 
 # I2/I3 — processed-set / idempotent-skip: anti-join the work list

@@ -120,3 +120,46 @@ def test_star_multiple_components_direction_insensitive(spark):
     )
     got = {r["doc_id"]: r["component_id"] for r in cc.collect()}
     assert got == {1: 1, 5: 1, 7: 1, 9: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_star_keeps_self_pair_only_nodes(spark):
+    # a node appearing ONLY in self-pairs is still "a node appearing in
+    # a pair" — both variants must emit it as its own singleton
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.clusters import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=5, id_b=5), Row(id_a=1, id_b=2)]
+    )
+    want = {(1, 1), (2, 1), (5, 5)}
+    got_star = {
+        (r.doc_id, r.component_id)
+        for r in connected_components_star(pairs).collect()
+    }
+    got_prop = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs).collect()
+    }
+    assert got_star == want and got_prop == want
+
+
+def test_components_drop_null_ids_consistently(spark):
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.clusters import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [Row(id_a=None, id_b=3), Row(id_a=1, id_b=2)],
+        "id_a bigint, id_b bigint",
+    )
+    # below the threshold -> single-task path; must not crash on NULL
+    got = {
+        (r.doc_id, r.component_id) for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1)}

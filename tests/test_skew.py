@@ -151,3 +151,31 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_agg_count_skips_nulls_like_plain_count(spark):
+    # count(col) semantics: NULL inputs are not counted — exactly what
+    # the documented oracle df.groupBy(k).agg(F.count(col)) does
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.skew import salted_agg
+
+    rows = [Row(k="a", x=1), Row(k="a", x=None), Row(k="a", x=3),
+            Row(k="b", x=None)]
+    df = spark.createDataFrame(rows, "k string, x int")
+    got = {r.k: r.n for r in
+           salted_agg(df, ["k"], {"n": ("count", "x")}, salt=4).collect()}
+    assert got == {"a": 2, "b": 0}
+
+
+def test_with_salt_is_deterministic_per_row_content(spark, sf_dir):
+    # retry safety: the salt must be a pure function of row content so
+    # stage recomputation cannot re-salt rows (SPARK-23207 class)
+    from dissertation_data_pipeline_spark.operators.skew import with_salt
+
+    df = load_table(spark, sf_dir, "orders").limit(200)
+    a = with_salt(df, 16).select("o_orderkey", "_salt").collect()
+    b = with_salt(df.repartition(7), 16).select("o_orderkey", "_salt").collect()
+    assert {(r.o_orderkey, r._salt) for r in a} == {
+        (r.o_orderkey, r._salt) for r in b
+    }

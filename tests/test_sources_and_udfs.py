@@ -480,3 +480,33 @@ def test_python_udtf_chunker_matches_codegen_semantics(spark):
         "LATERAL chunk_text(v.s, 2) AS t ORDER BY t.pos"
     ).collect()
     assert [(r["pos"], r["chunk"]) for r in got] == [(0, "x y"), (1, "z w")]
+
+
+def test_statetable_recovers_from_crashed_swap(spark, tmp_path):
+    # simulate a crash between the two renames of upsert's snapshot
+    # swap: current moved to .bak, tmp never promoted — read() must
+    # restore the .bak snapshot, and the next upsert must succeed even
+    # with stale .tmp/.bak directories lying around
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    from dissertation_data_pipeline_spark.sources import state as sstate
+
+    schema = StructType(
+        [StructField("key", StringType()), StructField("val", StringType())]
+    )
+    path = str(tmp_path / "state")
+    st = sstate.StateTable(spark, path, schema, "key")
+    st.upsert(spark.createDataFrame([("k1", "v1")], schema))
+    # crash simulation: current -> .bak done, promotion never happened
+    shutil.copytree(path, path + ".tmp")
+    os.rename(path, path + ".bak")
+    got = {(r.key, r.val) for r in st.read().collect()}
+    assert got == {("k1", "v1")}  # recovered from .bak
+    # stale .tmp still present: the next upsert must clear it and work
+    st.upsert(spark.createDataFrame([("k2", "v2")], schema))
+    got = {(r.key, r.val) for r in st.read().collect()}
+    assert got == {("k1", "v1"), ("k2", "v2")}
+    assert not os.path.exists(path + ".bak")

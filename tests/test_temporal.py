@@ -180,3 +180,43 @@ def test_sessionize_gap_boundary(spark):
     assert out[1] == 0 and out[2] == 0  # boundary gap is inclusive
     assert out[3] == 1
     assert out[4] == 0  # each key starts at session 0
+
+
+def test_scd2_history_null_attribute_states(spark):
+    # NULL is a legitimate attribute state: NULL->NULL must not open a
+    # new interval; 'a'->NULL must open one (plain != would drop it)
+    from pyspark.sql import Row
+    import datetime as dt
+
+    from dissertation_data_pipeline_spark.operators.temporal import scd2_history
+
+    t = lambda s: dt.datetime(2024, 1, 1, s)  # noqa: E731
+    rows = [
+        Row(k=1, ts=t(1), v=None),
+        Row(k=1, ts=t(2), v=None),   # unchanged NULL: same interval
+        Row(k=1, ts=t(3), v="a"),
+        Row(k=1, ts=t(4), v=None),   # a -> NULL: NEW interval
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v string")
+    hist = scd2_history(df, "k", "v", "ts").orderBy("effective_from").collect()
+    assert [r.v for r in hist] == [None, "a", None]
+    assert [r.effective_from.hour for r in hist] == [1, 3, 4]
+    assert [r.is_current for r in hist] == [0, 0, 1]
+
+
+def test_interval_join_rejects_colliding_column_names(spark):
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.temporal import interval_join
+
+    t = dt.datetime(2024, 1, 1)
+    probe = spark.createDataFrame([Row(k=1, ts=t, tag="p")])
+    iv = spark.createDataFrame([Row(k=1, s=t, e=t, tag="i")])
+    with pytest.raises(ValueError, match="tag"):
+        interval_join(
+            probe, iv, probe_ts="ts", start="s", end="e",
+            bucket_seconds=60, on=["k"],
+        )

@@ -156,7 +156,6 @@ def funnel_conversion(
 
     Output: (stage_idx, stage, n_users), one row per stage."""
     assert stages, "funnel needs at least one stage"
-    spark = events.sparkSession
     reached = None
     counts = []
     for i, stage in enumerate(stages):

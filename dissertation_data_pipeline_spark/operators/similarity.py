@@ -108,6 +108,34 @@ def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     return out
 
 
+def _rank_topk(
+    scored: DataFrame, query_id: str, corpus_id: str, k: int
+) -> DataFrame:
+    """Shared ranking tail of every retrieval function: deterministic
+    (sim DESC, corpus id ASC) top-k with a 1-based rank. ONE place owns
+    the ranking contract — the 6dp-rounded sim and the full tiebreak —
+    so the exact/IVF/LSH paths cannot drift apart."""
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "sim", "rank")
+    )
+
+
+def _maybe_exclude_self(
+    scored: DataFrame, query_id: str, corpus_id: str, exclude_self: bool
+) -> DataFrame:
+    """Self-match exclusion, opt-in ONLY: valid when queries are drawn
+    from the corpus id space (the benchmark queries do this). With
+    independently-numbered queries an id collision is a coincidence and
+    filtering it would silently drop a legitimate candidate — same
+    contract as ``pq_adc_scores``."""
+    if exclude_self:
+        return scored.filter(F.col(query_id) != F.col(corpus_id))
+    return scored
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -117,6 +145,7 @@ def brute_force_topk(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     k: int = 10,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k per query. Ranking key is (rounded similarity
     desc, corpus id asc) — fully deterministic under ties. Queries are
@@ -127,24 +156,19 @@ def brute_force_topk(
         "_cn", l2_norm(corpus_vec)
     )
     queries = queries.withColumn("_qn", l2_norm(query_vec))
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .select(
-            F.col(query_id),
-            F.col(corpus_id),
-            F.round(
-                cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
-            ).alias("sim"),
-        )
+    scored = _maybe_exclude_self(
+        F.broadcast(queries).crossJoin(corpus),
+        query_id,
+        corpus_id,
+        exclude_self,
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+        ).alias("sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def ivf_centroids(
@@ -213,6 +237,7 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 8,
     n_probe: int = 2,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: a query scores only the corpus
     vectors assigned to its ``n_probe`` nearest cells. Cells partition
@@ -227,24 +252,19 @@ def ivf_topk(
     probes = ivf_assign(
         queries, cents, id_col=query_id, vec_col=query_vec, rank_upto=n_probe
     ).withColumnRenamed("_vn", "_qn")
-    scored = (
-        F.broadcast(probes)
-        .join(cells, "cell_id")
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .select(
-            F.col(query_id),
-            F.col(corpus_id),
-            F.round(
-                cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
-            ).alias("sim"),
-        )
+    scored = _maybe_exclude_self(
+        F.broadcast(probes).join(cells, "cell_id"),
+        query_id,
+        corpus_id,
+        exclude_self,
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+        ).alias("sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def l2_dist2(a: Column | str, b: Column | str) -> Column:
@@ -278,7 +298,12 @@ def kmeans_refine(
     Each round is: broadcast-assign -> posexplode to (cell, dim, value)
     -> hash-aggregate -> array rebuild; ``localCheckpoint`` truncates
     the per-round plan exactly as in the connected-components loop.
-    Returns the refined (cell_id, centroid) table.
+    Returns the refined (cell_id, centroid) table — ALWAYS with every
+    input cell_id: a cell that attracts zero vectors this round (e.g.
+    duplicate sampled seeds, where the distance tie-break routes every
+    vector to the lower cell_id) keeps its previous centroid rather
+    than silently vanishing, so downstream n_probe/n_cells sizing and
+    cell-id joins stay valid.
     """
     for _ in range(rounds):
         assigned = (
@@ -308,13 +333,17 @@ def kmeans_refine(
                 / F.count(F.lit(1))
             ).alias("comp")
         )
+        refined = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s["comp"].cast("float"),
+            ).alias("_new")
+        )
         centroids = (
-            means.groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "comp"))),
-                    lambda s: s["comp"].cast("float"),
-                ).alias("centroid")
+            centroids.select("cell_id", F.col("centroid").alias("_prev"))
+            .join(refined, "cell_id", "left")
+            .select(
+                "cell_id", F.coalesce("_new", "_prev").alias("centroid")
             )
             .localCheckpoint(eager=False)
         )
@@ -386,6 +415,7 @@ def hyperplane_lsh_topk(
     k: int = 10,
     num_planes: int = 8,
     dim: int = 64,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
     cell. Join on bucket id replaces the cross join — at scale this is
@@ -399,24 +429,16 @@ def hyperplane_lsh_topk(
     qb = queries.withColumn("_bucket", lsh_bucket(query_vec, planes)).withColumn(
         "_qn", l2_norm(query_vec)
     )
-    scored = (
-        F.broadcast(qb)
-        .join(cb, "_bucket")
-        .filter(F.col(query_id) != F.col(corpus_id))
-        .select(
-            F.col(query_id),
-            F.col(corpus_id),
-            F.round(
-                cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
-            ).alias("sim"),
-        )
+    scored = _maybe_exclude_self(
+        F.broadcast(qb).join(cb, "_bucket"), query_id, corpus_id, exclude_self
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+        ).alias("sim"),
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(corpus_id).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "sim", "rank")
-    )
+    return _rank_topk(scored, query_id, corpus_id, k)
 
 
 def semantic_dedup(
@@ -499,6 +521,38 @@ def semantic_dedup(
     )
 
 
+def _pq_codebook(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    n_sub: int,
+    sub_dim: int,
+    n_codes: int,
+    code_col: str,
+    sub_col: str,
+) -> DataFrame:
+    """The per-subspace PQ codebook ``(code_col, sub_col, subc)``:
+    md5-sampled corpus vectors (``ivf_centroids``) sliced into
+    ``n_sub`` subvectors. ONE builder shared by ``pq_codes`` (encode
+    path) and ``pq_adc_scores`` (query path) — the sampling and slicing
+    must agree bit-for-bit or codes and lookup tables silently diverge,
+    so they cannot be two copies."""
+    cents = ivf_centroids(
+        df, corpus_id=id_col, corpus_vec=vec_col, n_cells=n_codes
+    ).select(F.col("cell_id").alias(code_col), "centroid")
+    subs = F.array(*[F.lit(s) for s in range(n_sub)])
+    return cents.select(
+        code_col, "centroid", F.explode(subs).alias(sub_col)
+    ).select(
+        code_col,
+        sub_col,
+        F.slice(
+            F.col("centroid"), F.col(sub_col) * sub_dim + 1, sub_dim
+        ).alias("subc"),
+    )
+
+
 def pq_codes(
     df: DataFrame,
     *,
@@ -533,21 +587,11 @@ def pq_codes(
     collapses into a map-side argmin over broadcast codebook literals
     exactly as ``ivf_assign`` documents.
     """
-    cents = ivf_centroids(
-        df, corpus_id=id_col, corpus_vec=vec_col, n_cells=n_codes
-    ).select(F.col("cell_id").alias("code_id"), "centroid")
-    subs = F.array(*[F.lit(s) for s in range(n_sub)])
-    cb = cents.select(
-        "code_id",
-        "centroid",
-        F.explode(subs).alias("s"),
-    ).select(
-        "code_id",
-        "s",
-        F.slice(F.col("centroid"), F.col("s") * sub_dim + 1, sub_dim).alias(
-            "subc"
-        ),
+    cb = _pq_codebook(
+        df, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+        sub_dim=sub_dim, n_codes=n_codes, code_col="code_id", sub_col="s",
     )
+    subs = F.array(*[F.lit(s) for s in range(n_sub)])
     vx = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -624,18 +668,9 @@ def pq_adc_scores(
         corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
         sub_dim=sub_dim, n_codes=n_codes,
     ).select(id_col, "subspace", "code")
-    cents = ivf_centroids(
-        corpus, corpus_id=id_col, corpus_vec=vec_col, n_cells=n_codes
-    ).select(F.col("cell_id").alias("code"), "centroid")
-    subs = F.array(*[F.lit(s) for s in range(n_sub)])
-    cb = cents.select(
-        "code", "centroid", F.explode(subs).alias("subspace")
-    ).select(
-        "code",
-        "subspace",
-        F.slice(F.col("centroid"), F.col("subspace") * sub_dim + 1, sub_dim).alias(
-            "subc"
-        ),
+    cb = _pq_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+        sub_dim=sub_dim, n_codes=n_codes, code_col="code", sub_col="subspace",
     )
     qsub = F.slice(F.col(query_vec), F.col("subspace") * sub_dim + 1, sub_dim)
     d2 = F.aggregate(

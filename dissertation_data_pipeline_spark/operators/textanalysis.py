@@ -188,7 +188,22 @@ def redact(
     for kind, pat in PII_PATTERNS:
         out[f"n_{kind}"] = F.regexp_count(c, F.lit(pat)).cast("long")
         red = F.regexp_replace(red, pat, f"[PII:{kind}]")
-    term_pat = r"\b(" + "|".join(terms) + r")\b"
+    # terms are LITERAL dictionary words, not patterns: escape them, or
+    # a term like "c++" becomes a quantifier (matching bare "c") and
+    # "a(b" is a PatternSyntaxException at run time. Whole-word
+    # anchoring uses explicit lookarounds, not \b: \b is defined
+    # relative to word chars, so it silently fails at a term EDGE that
+    # is itself a non-word char ("c++" followed by a space never
+    # matches \b there). For word-only terms the two are equivalent —
+    # the DuckDB oracle (RE2: no lookbehind) keeps \b for its
+    # word-only term list.
+    import re
+
+    term_pat = (
+        r"(?<![A-Za-z0-9_])("
+        + "|".join(re.escape(t) for t in terms)
+        + r")(?![A-Za-z0-9_])"
+    )
     out["n_terms"] = F.regexp_count(c, F.lit(term_pat)).cast("long")
     out["redacted"] = F.regexp_replace(red, term_pat, "[TERM]")
     return out

@@ -28,6 +28,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -221,11 +223,16 @@ def domain_resample(
 ) -> DataFrame:
     """Integer upsampling for data-mixture reweighting: emit
     ``n_copies`` rows per input row with a ``copy_idx`` column (1-based).
-    Narrow (no shuffle); combine with `stratified_sample` for
-    fractional weights."""
-    return df.withColumn(
-        "copy_idx", F.explode(F.sequence(F.lit(1), n_copies.cast("int")))
+    ``n_copies <= 0`` (or NULL) emits ZERO rows — the natural drop case
+    for a domain weighted out of the mixture. The guard matters:
+    Spark's ``sequence(1, 0)`` counts DOWN ([1, 0]), so an unguarded
+    explode would emit two phantom rows per dropped input. Narrow (no
+    shuffle); combine with `stratified_sample` for fractional weights."""
+    n = n_copies.cast("int")
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
     )
+    return df.withColumn("copy_idx", F.explode(seq))
 
 
 def corpus_top_bigrams(
@@ -367,8 +374,6 @@ def weighted_sample_per_group(
     One window shuffle on the group key — the sampling itself is
     scan-speed expression work.
     """
-    from pyspark.sql.window import Window
-
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     # u in (0,1): (h32 + 1) / (2^32 + 1) — never 0 or 1, ln is finite
     u = (uniform_hash_u32(F.col(id_col)) + 1) / F.lit(4294967297.0)

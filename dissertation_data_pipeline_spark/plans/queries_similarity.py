@@ -72,7 +72,7 @@ def ext_ann_brute_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.brute_force_topk(queries, emb, k=10)
+    return sim.brute_force_topk(queries, emb, k=10, exclude_self=True)
 
 
 def _bucket_sql(vec: str) -> str:
@@ -122,7 +122,7 @@ def ext_ann_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.hyperplane_lsh_topk(queries, emb, k=10)
+    return sim.hyperplane_lsh_topk(queries, emb, k=10, exclude_self=True)
 
 
 #: centroid sample order shared by both IVF CTE legs
@@ -177,7 +177,7 @@ def ext_ann_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2)
+    return sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2, exclude_self=True)
 
 
 @register(

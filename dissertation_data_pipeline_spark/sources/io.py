@@ -76,7 +76,15 @@ def read_excel(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
             "convert the sheet to CSV for the distributed path"
         ) from e
     pdf.columns = [str(c) for c in pdf.columns]
-    return conform(spark.createDataFrame(pdf.astype(object)), schema)
+    # blank cells arrive as pandas NaN; stringified they'd become the
+    # literal 'nan' (a real-looking value no NULL-canonicalization can
+    # catch) — map to None BEFORE createDataFrame. An empty sheet has
+    # nothing to infer from, so it short-circuits to a typed empty
+    # frame (the module contract: production paths never infer schemas)
+    pdf = pdf.astype(object).where(pd.notna(pdf), None)
+    if len(pdf) == 0:
+        return conform(spark.createDataFrame([], schema), schema)
+    return conform(spark.createDataFrame(pdf), schema)
 
 
 # S5 — JSON-in-ZIP scan (legiscan_collector.py:241-251). ZIP is not a
@@ -88,11 +96,15 @@ def read_json_zip(
     path: str,
     schema: StructType,
     *,
-    member_glob: str = ".json",
+    member_glob: str = "*.json",
 ) -> DataFrame:
+    """``member_glob`` is a real fnmatch glob over member names
+    (default ``*.json`` — matches exactly the .json-suffixed members;
+    ``data.json.bak`` does not slip through)."""
     bins = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def explode_zip(iterator):
+        import fnmatch
         import json
 
         import pandas as pd
@@ -102,7 +114,7 @@ def read_json_zip(
             for _, r in pdf.iterrows():
                 with zipfile.ZipFile(io.BytesIO(r["content"])) as zf:
                     for name in zf.namelist():
-                        if member_glob in name:
+                        if fnmatch.fnmatch(name, member_glob):
                             rows.append(
                                 {"member": name, "json": zf.read(name).decode("utf-8", "replace")}
                             )

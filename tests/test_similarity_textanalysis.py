@@ -110,7 +110,9 @@ def test_ivf_topk_subset_of_brute_rank_quality(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    ivf = sim.ivf_topk(queries, emb, k=5, n_cells=4, n_probe=2)
+    # queries are drawn from the corpus id space here -> opt in to the
+    # self-match exclusion (see _maybe_exclude_self)
+    ivf = sim.ivf_topk(queries, emb, k=5, n_cells=4, n_probe=2, exclude_self=True)
     rows = ivf.collect()
     # k bounded, ranks dense from 1, no self-matches
     by_q = {}
@@ -241,3 +243,16 @@ def test_pq_codes_cover_and_selfencode_exactly(spark, sf_dir):
         zero_rows.groupBy("vec_id").count().filter(F.col("count") == 8).count()
     )
     assert per_vec_zero >= 16  # at least the 16 sampled codebook sources
+
+
+def test_redact_escapes_regex_metachars_in_terms(spark):
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.textanalysis import redact
+
+    df = spark.createDataFrame([Row(text="see c++ code and a(b too")])
+    out = df.select(
+        *[c.alias(k) for k, c in redact("text", terms=("c++", "a(b")).items()]
+    ).collect()[0]
+    assert out.n_terms == 2
+    assert out.redacted == "see [TERM] code and [TERM] too"

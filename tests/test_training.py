@@ -246,3 +246,20 @@ def test_bigram_lm_scores_hand_computed(spark):
     assert out[3]["avg_logp"] == round(math.log(2 / 5), 4)
     assert out[1]["perplexity"] == round(5 / 3, 4)
     assert out[3]["perplexity"] == round(5 / 2, 4)
+
+
+def test_domain_resample_zero_copies_drops_row(spark):
+    # sequence(1, 0) counts DOWN in Spark — the guard must emit zero
+    # rows for n_copies<=0 (the dropped-domain case), not two phantoms
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.training import domain_resample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=3), Row(doc_id=2, w=0), Row(doc_id=3, w=-2),
+         Row(doc_id=4, w=None)]
+    )
+    got = {}
+    for r in domain_resample(df, F.col("w")).collect():
+        got.setdefault(r.doc_id, []).append(r.copy_idx)
+    assert got == {1: [1, 2, 3]}

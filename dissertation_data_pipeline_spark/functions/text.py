@@ -19,9 +19,14 @@ def _c(col: Column | str) -> Column:
 def normalize_bill_number(col: Column | str) -> Column:
     """Upper+trim; strip a leading 2-letter state prefix (``AL HB209`` ->
     ``HB209``); collapse dotted prefixes (``H.B. 123`` -> ``HB123``);
-    remove internal spaces (``HB 209`` -> ``HB209``)."""
+    remove internal spaces (``HB 209`` -> ``HB209``).
+
+    The state-prefix lookahead accepts dotted bill prefixes too
+    (``AL H.B. 209`` -> ``HB209``) — a letters-with-optional-interior-
+    dots pattern, not ``[A-Z]+\\.?`` which allowed at most one trailing
+    dot and silently kept the state glued on (``ALHB209``)."""
     c = F.upper(F.trim(_c(col).cast("string")))
-    c = F.regexp_replace(c, r"^[A-Z]{2}\s+(?=[A-Z]+\.?\s*\d)", "")
+    c = F.regexp_replace(c, r"^[A-Z]{2}\s+(?=[A-Z](?:\.?[A-Z])*\.?\s*\d)", "")
     c = F.regexp_replace(c, r"\.", "")
     c = F.regexp_replace(c, r"\s+", "")
     return c
@@ -132,14 +137,17 @@ def make_bill_id(state: Column | str, bill_number: Column | str) -> Column:
 # drop digit-only lines, collapse 3+ newline runs, trim.
 def normalize_text_plain(col: Column | str) -> Column:
     c = _c(col).cast("string")
+    # '&amp;' must decode LAST (standard entity-decode order): decoding
+    # it first turns escaped entities ('&amp;lt;') into live ones
+    # ('&lt;') which the later replaces then double-decode to '<'
     for ent, rep in [
-        ("&amp;", "&"),
         ("&nbsp;", " "),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#8212;", "—"),
         ("&#8217;", "'"),
+        ("&amp;", "&"),
     ]:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.regexp_replace(c, r"\f", "\n")

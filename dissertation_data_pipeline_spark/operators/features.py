@@ -62,11 +62,15 @@ def feature_hash_long(
     statistics pass) gets a shuffle keyed however it needs, while the
     wide-vector form would pin every doc's whole vector into one row.
     One explode + one map-side-combined groupBy; no joins.
+
+    Tokenization splits on whitespace RUNS and drops empty tokens — a
+    literal single-space split hashed phantom ''-tokens into a slot for
+    empty docs and double spaces, corrupting the feature vectors.
     """
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
-    )
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
+    ).filter(F.length("_tok") > 0)
     return (
         toks.select(
             "_id", (uniform_hash_u32(F.col("_tok")) % n_slots).alias("slot")
@@ -91,9 +95,13 @@ def target_encode_loo(
     sums), which is what makes the encoder leakage-free without any
     per-row re-aggregation.
     """
+    # count the TARGET column, not rows: SUM skips NULL targets, so the
+    # denominator must too — counting all rows made every LOO mean in a
+    # category with NULL targets wrong (and a 2-row category with one
+    # NULL produced 0.0 instead of NULL)
     agg = df.groupBy(category_col).agg(
         F.sum(F.col(target_col)).alias("_s"),
-        F.count(F.lit(1)).alias("_c"),
+        F.count(F.col(target_col)).alias("_c"),
     )
     return (
         df.join(F.broadcast(agg), category_col)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_edges", "degree_stats", "triangle_count"]
+__all__ = ["normalize_edges", "degree_stats", "triangle_count", "pagerank_int"]
 
 
 def normalize_edges(

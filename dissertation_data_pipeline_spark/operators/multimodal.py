@@ -55,7 +55,14 @@ def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         "sniffed_mime",
         F.when(F.hex(F.substring(p, 1, 3)) == "FFD8FF", "image/jpeg")
         .when(F.hex(F.substring(p, 1, 4)) == "89504E47", "image/png")
-        .when(F.hex(F.substring(p, 1, 4)) == "52494646", "audio/wav")
+        # RIFF is a generic container (WebP, AVI, WAV) — require the
+        # 'WAVE' form tag at bytes 9-12 or a WebP image would route
+        # into the audio path
+        .when(
+            (F.hex(F.substring(p, 1, 4)) == "52494646")
+            & (F.hex(F.substring(p, 9, 4)) == "57415645"),
+            "audio/wav",
+        )
         .otherwise(F.lit("application/octet-stream")),
     )
 
@@ -82,6 +89,9 @@ def png_image_decoder(data: bytes) -> tuple[int, int, int, float]:
         body = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             w, h, depth, color = struct.unpack(">IIBB", body[:10])
+            if body[12] != 0:  # Adam7: 7-pass layout the sequential
+                # unfilter below would silently mis-decode
+                raise ValueError("interlaced PNG unsupported (use PIL)")
             meta = (w, h, depth, color)
         elif ctype == b"IDAT":
             idat += body
@@ -178,10 +188,17 @@ def fake_image_decoder(data: bytes) -> tuple[int, int, int, float]:
 def extract_image_features(
     media: DataFrame, decoder: ImageDecoder | None = None
 ) -> DataFrame:
-    """Arrow-batched image feature extraction. With no injected decoder
-    this uses the deterministic fake (clearly marked); demanding a real
-    decode without a decoder raises."""
-    dec = decoder or fake_image_decoder
+    """Arrow-batched image feature extraction.
+
+    ``decoder=None`` EXPLICITLY selects the deterministic fake — the
+    oracle-checkable fixture path (the registry query's payloads are
+    synthetic, not real images). A production caller must inject
+    ``real_image_decoder()`` (PIL, else stdlib PNG) or its own; this
+    asymmetry vs ``extract_audio_features`` (whose default IS the real
+    wave decoder, because WAV payloads are cheap to synthesize for
+    real) is deliberate and the fake's output is digest-derived —
+    plausible-looking but fabricated, never ship it to a model."""
+    dec = decoder if decoder is not None else fake_image_decoder
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -74,12 +74,13 @@ def ext_train_split(spark, sf_dir):
     "ext_feature_hashing",
     f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
     )
     SELECT doc_id,
            CAST(({_h_sql('tok')}) % 64 AS BIGINT) AS slot,
            CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM toks GROUP BY 1, 2
+    FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
     """,
 )
 def ext_feature_hashing(spark, sf_dir):
@@ -100,7 +101,7 @@ def ext_feature_hashing(spark, sf_dir):
     WITH agg AS (
       SELECT source,
              CAST(SUM(n_chars) AS BIGINT) AS s,
-             CAST(COUNT(*) AS BIGINT) AS c
+             CAST(COUNT(n_chars) AS BIGINT) AS c
       FROM documents GROUP BY 1
     )
     SELECT d.doc_id, d.source,

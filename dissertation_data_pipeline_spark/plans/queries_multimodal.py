@@ -31,7 +31,7 @@ def _media(spark, sf_dir):
     (ASCII, so blob bytes == UTF-8 of the string the oracle hashes)."""
     docs = load_table(spark, sf_dir, "documents")
     s = F.when(
-        F.col("doc_id") % 2 == 0, F.concat(F.lit("RIFF"), F.col("text"))
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("RIFF0000WAVE"), F.col("text"))
     ).otherwise(F.col("text"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
@@ -47,12 +47,13 @@ def _media(spark, sf_dir):
     f"""
     WITH media AS (
       SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'RIFF' || text ELSE text END AS s
+             CASE WHEN doc_id % 2 = 0 THEN 'RIFF0000WAVE' || text ELSE text END AS s
       FROM documents
     ), meta AS (
       SELECT media_id,
              octet_length(encode(s)) AS n_bytes,
              CASE WHEN substr(hex(encode(s)), 1, 8) = '52494646'
+                   AND substr(hex(encode(s)), 17, 8) = '57415645'
                   THEN 'audio/wav' ELSE 'application/octet-stream'
              END AS sniffed_mime,
              md5(s) AS d
@@ -83,7 +84,7 @@ def ext_multimodal_features(spark, sf_dir):
     """
     WITH media AS (
       SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 2 = 0 THEN 'RIFF' || text ELSE text END AS s
+             CASE WHEN doc_id % 2 = 0 THEN 'RIFF0000WAVE' || text ELSE text END AS s
       FROM documents
     )
     SELECT media_id, frame_idx, hex(encode(substr(s, frame_idx * 64 + 1, 64)))

@@ -57,7 +57,7 @@ def _messy_bill(df):
            regexp_replace(
              regexp_replace(
                regexp_replace(trim(upper(raw_bill)),
-                 '^([A-Z]{{2}}) +([A-Z]+\\.? *[0-9])', '\\2'),
+                 '^([A-Z]{{2}}) +([A-Z](\\.?[A-Z])*\\.? *[0-9])', '\\2'),
                '\\.', '', 'g'),
              ' +', '', 'g') AS bill_number
     FROM ({_MESSY_BILL_SQL})
@@ -78,7 +78,7 @@ def fs1_normalize_bill_number(spark, sf_dir):
     WITH norm AS (
       SELECT p_partkey, trim(upper(raw_bill)) AS orig,
              regexp_replace(regexp_replace(regexp_replace(trim(upper(raw_bill)),
-               '^([A-Z]{{2}}) +([A-Z]+\\.? *[0-9])', '\\2'), '\\.', '', 'g'), ' +', '', 'g') AS compact
+               '^([A-Z]{{2}}) +([A-Z](\\.?[A-Z])*\\.? *[0-9])', '\\2'), '\\.', '', 'g'), ' +', '', 'g') AS compact
       FROM ({_MESSY_BILL_SQL})
     ), parts AS (
       SELECT *, regexp_extract(compact, '^([A-Z]+)', 1) AS prefix,
@@ -193,8 +193,8 @@ def fs3_normalize_status(spark, sf_dir):
                regexp_replace(
                  regexp_replace(
                    replace(replace(replace(replace(replace(replace(replace(raw,
-                     '&amp;', '&'), '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                     '&quot;', '"'), '&#8212;', '—'), '&#8217;', ''''),
+                     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                     '&quot;', '"'), '&#8212;', '—'), '&#8217;', ''''), '&amp;', '&'),
                    '\f', chr(10), 'g'),
                  '[ \t]+', ' ', 'g'),
                '(?m)^\s*\d+\s*$', '', 'g'),

@@ -24,7 +24,11 @@ from dissertation_data_pipeline_spark.streaming.windows import (  # noqa: F401
 from dissertation_data_pipeline_spark.streaming.jobs import (  # noqa: F401
     read_events_stream,
     run_available_now_to_memory,
+    run_foreach_batch_upsert,
 )
 from dissertation_data_pipeline_spark.streaming.joins import (  # noqa: F401
     stream_stream_interval_join,
+)
+from dissertation_data_pipeline_spark.streaming.stateful import (  # noqa: F401
+    running_user_profile,
 )

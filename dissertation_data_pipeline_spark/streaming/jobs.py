@@ -47,7 +47,10 @@ def run_available_now_to_memory(
     """Run ``transform(stream)`` over all currently-available input
     (Trigger.AvailableNow — the reference's batch-over-new-files
     semantics), sink to an in-memory table, block until done, and
-    return the result as a DataFrame."""
+    return the result as a DataFrame. Raises TimeoutError if the
+    backlog doesn't drain within ``timeout_sec`` — returning the
+    half-populated table would hand the caller silently truncated
+    results."""
     out = transform(stream_df)
     query = (
         out.writeStream.format("memory")
@@ -57,9 +60,13 @@ def run_available_now_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
-    if query.isActive:
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
         query.stop()
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not drain its "
+            f"AvailableNow backlog within {timeout_sec}s"
+        )
     spark = stream_df.sparkSession
     return spark.table(query_name)
 
@@ -99,7 +106,12 @@ def run_foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_sec)
-    if query.isActive:
+    finished = query.awaitTermination(timeout_sec)
+    if not finished:
         query.stop()
+        raise TimeoutError(
+            f"foreachBatch upsert did not drain its AvailableNow "
+            f"backlog within {timeout_sec}s — state holds a PARTIAL "
+            f"prefix of the stream"
+        )
     return state.read()

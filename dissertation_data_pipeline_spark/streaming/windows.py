@@ -25,6 +25,35 @@ def _dec(col: str) -> Column:
     return F.col(col).cast("decimal(18,2)")
 
 
+def _windowed_agg(
+    df: DataFrame,
+    window_col: Column,
+    keys: Sequence[str],
+    value_col: str | None,
+    start_alias: str,
+    end_alias: str,
+) -> DataFrame:
+    """Shared body of the three window builders: count (+ exact-decimal
+    value sum when ``value_col`` is given) per (window, keys), window
+    struct flattened to start/end columns. One place owns the agg
+    contract, so the tumbling/sliding/session shapes cannot drift."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out_cols = ["n_events"]
+    if value_col:
+        aggs.append(F.sum(_dec(value_col)).cast("double").alias("total_value"))
+        out_cols.append("total_value")
+    return (
+        df.groupBy(window_col.alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias(start_alias),
+            F.col("w.end").alias(end_alias),
+            *keys,
+            *out_cols,
+        )
+    )
+
+
 def tumbling_window_agg(
     df: DataFrame,
     ts_col: str,
@@ -34,18 +63,9 @@ def tumbling_window_agg(
 ) -> DataFrame:
     """Tumbling event-time window: count + exact-decimal value sum per
     (window, keys)."""
-    aggs = [F.count(F.lit(1)).alias("n_events")]
-    if value_col:
-        aggs.append(F.sum(_dec(value_col)).cast("double").alias("total_value"))
-    return (
-        df.groupBy(F.window(ts_col, duration).alias("w"), *keys)
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            *keys,
-            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
-        )
+    return _windowed_agg(
+        df, F.window(ts_col, duration), keys, value_col,
+        "window_start", "window_end",
     )
 
 
@@ -59,18 +79,9 @@ def sliding_window_agg(
 ) -> DataFrame:
     """Sliding (hopping) event-time window; each event lands in
     duration/slide windows."""
-    aggs = [F.count(F.lit(1)).alias("n_events")]
-    if value_col:
-        aggs.append(F.sum(_dec(value_col)).cast("double").alias("total_value"))
-    return (
-        df.groupBy(F.window(ts_col, duration, slide).alias("w"), *keys)
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            *keys,
-            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
-        )
+    return _windowed_agg(
+        df, F.window(ts_col, duration, slide), keys, value_col,
+        "window_start", "window_end",
     )
 
 
@@ -83,18 +94,9 @@ def session_window_agg(
 ) -> DataFrame:
     """Gap-based session windows per key: events closer than ``gap``
     merge; session end = last event + gap (Spark semantics)."""
-    aggs = [F.count(F.lit(1)).alias("n_events")]
-    if value_col:
-        aggs.append(F.sum(_dec(value_col)).cast("double").alias("total_value"))
-    return (
-        df.groupBy(F.session_window(ts_col, gap).alias("w"), *keys)
-        .agg(*aggs)
-        .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            *keys,
-            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
-        )
+    return _windowed_agg(
+        df, F.session_window(ts_col, gap), keys, value_col,
+        "session_start", "session_end",
     )
 
 

@@ -109,3 +109,35 @@ def test_k_anonymity_suppresses_small_cohorts(spark, sf_dir):
         .count()
     )
     assert tokens == users_released
+
+
+def test_feature_hash_long_ignores_empty_tokens(spark):
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.features import feature_hash_long
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a  b"), Row(doc_id=2, text="a b"), Row(doc_id=3, text="")]
+    )
+    rows = feature_hash_long(df, "doc_id", "text", n_slots=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r._id, {})[r.slot] = r.cnt
+    assert by_doc[1] == by_doc[2]  # double space adds no phantom slot
+    assert 3 not in by_doc  # empty doc has zero features
+
+
+def test_target_encode_loo_skips_null_targets(spark):
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.features import target_encode_loo
+
+    df = spark.createDataFrame(
+        [Row(id=1, cat="a", y=1), Row(id=2, cat="a", y=None), Row(id=3, cat="a", y=3),
+         Row(id=4, cat="b", y=5), Row(id=5, cat="b", y=None)],
+        "id int, cat string, y int",
+    )
+    got = {r.id: r.loo_target_mean for r in target_encode_loo(df, "cat", "y").collect()}
+    assert got[1] == 3.0  # mean over the OTHER non-null row (y=3)
+    assert got[3] == 1.0
+    assert got[4] is None  # no other labeled row -> NULL, not 0.0

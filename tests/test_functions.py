@@ -143,3 +143,29 @@ def test_aes_roundtrip_and_mode_semantics(spark):
     assert cts[0] == cts[1]
     groups = ecb.groupBy("ct").count().collect()
     assert sorted(r["count"] for r in groups) == [1, 2]
+
+
+def test_normalize_bill_number_dotted_state_prefix(spark):
+    from dissertation_data_pipeline_spark.functions.text import (
+        bill_number_variants,
+        normalize_bill_number,
+    )
+
+    df = spark.createDataFrame(
+        [("AL H.B. 209",), ("AL HB209",), ("HB 209",), ("H.B. 123",)],
+        "raw string",
+    )
+    out = [r[0] for r in df.select(normalize_bill_number("raw")).collect()]
+    # the state prefix strips even when the bill prefix is dotted
+    assert out == ["HB209", "HB209", "HB209", "HB123"]
+    v = df.limit(1).select(bill_number_variants("raw").alias("v")).collect()[0].v
+    assert "HB209" in v and "HB 209" in v  # usable lookup variants
+
+
+def test_normalize_text_plain_single_decodes_escaped_entities(spark):
+    from dissertation_data_pipeline_spark.functions.text import normalize_text_plain
+
+    df = spark.createDataFrame([("&amp;lt;tag&amp;gt; and &amp; x",)], "t string")
+    got = df.select(normalize_text_plain("t")).collect()[0][0]
+    # '&amp;lt;' decodes ONCE to '&lt;', never twice to '<'
+    assert got == "&lt;tag&gt; and & x"

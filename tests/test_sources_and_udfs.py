@@ -161,16 +161,26 @@ def test_extract_documents_html_pdf_plain(spark):
 def test_multimodal_plumbing(spark):
     import hashlib
 
-    payloads = [b"\xff\xd8\xff fakejpeg", b"\x89PNG\r\n fakepng", b"RIFF fakewav"]
+    payloads = [
+        b"\xff\xd8\xff fakejpeg",
+        b"\x89PNG\r\n fakepng",
+        b"RIFF\x10\x00\x00\x00WAVEfake",  # RIFF + WAVE form tag
+        b"RIFF\x10\x00\x00\x00WEBPVP8 ",  # RIFF but NOT audio (WebP)
+    ]
     media = spark.createDataFrame(
         [(i, "image", "application/octet-stream", p, None) for i, p in enumerate(payloads)],
         mm.MEDIA_SCHEMA,
     )
     sniffed = {r["media_id"]: r["sniffed_mime"] for r in mm.attach_metadata(media).collect()}
-    assert sniffed == {0: "image/jpeg", 1: "image/png", 2: "audio/wav"}
+    assert sniffed == {
+        0: "image/jpeg",
+        1: "image/png",
+        2: "audio/wav",
+        3: "application/octet-stream",  # generic RIFF must NOT sniff as wav
+    }
 
     feats = {r["media_id"]: r for r in mm.extract_image_features(media).collect()}
-    assert len(feats) == 3
+    assert len(feats) == 4
     w, h, c, luma = mm.fake_image_decoder(payloads[0])
     assert (feats[0]["width"], feats[0]["height"]) == (w, h)  # deterministic fake
 

@@ -18,11 +18,15 @@ def _c(col: Column | str) -> Column:
 
 # P9 / F-a3 — text_processor.py:99-111: case-insensitive substring
 # OR-match against a keyword list; returns the matched subset (ordered
-# as the keyword list, the reference's iteration order).
+# as the keyword list, the reference's iteration order). The MATCH is
+# case-insensitive but the returned strings keep the caller's original
+# casing — the reference appends the original keyword
+# (text_processor.py:109), so 'School Shooting' must not come back
+# lowercased.
 def matched_keywords(text: Column | str, keywords: Sequence[str]) -> Column:
     low = F.lower(F.coalesce(_c(text).cast("string"), F.lit("")))
-    kw = F.array(*[F.lit(k.lower()) for k in keywords])
-    return F.filter(kw, lambda k: low.contains(k))
+    kw = F.array(*[F.lit(k) for k in keywords])
+    return F.filter(kw, lambda k: low.contains(F.lower(k)))
 
 
 def keyword_filter_predicate(text: Column | str, keywords: Sequence[str]) -> Column:

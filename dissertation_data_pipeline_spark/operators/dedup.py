@@ -33,15 +33,20 @@ def dedup_priority(
     key: str | Sequence[str],
     priority_col: str,
     priority_order: Sequence[str],
-    tiebreak: Sequence[str] = (),
+    tiebreak: Sequence[str | Column] = (),
 ) -> DataFrame:
     """Keep one row per key, preferring earlier ``priority_order`` values
-    of ``priority_col``; ties broken by ``tiebreak`` columns ascending
-    (deterministic total order)."""
+    of ``priority_col``; ties broken by ``tiebreak`` columns/expressions
+    ascending. Callers own making the order TOTAL — when natural
+    tiebreak columns can tie (two same-priority scrapes of one key),
+    append a content-derived expression (e.g. ``md5`` of the payload)
+    so the winner is partition-independent."""
     rank = F.lit(len(priority_order))
     for i, v in enumerate(reversed(priority_order)):
         rank = F.when(F.col(priority_col) == v, F.lit(len(priority_order) - 1 - i)).otherwise(rank)
-    order = [rank.asc()] + [F.col(c).asc_nulls_last() for c in tiebreak]
+    order = [rank.asc()] + [
+        (F.col(c) if isinstance(c, str) else c).asc_nulls_last() for c in tiebreak
+    ]
     w = Window.partitionBy(*_keys(key)).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))

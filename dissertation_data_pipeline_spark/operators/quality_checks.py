@@ -39,8 +39,12 @@ from pyspark.sql import functions as F
 class Check:
     name: str
     kind: str
-    #: row-local violation predicate (NULL-safe, true == violated)
-    predicate: Column | None = None
+    #: row-local violation predicate (NULL-safe, true == violated).
+    #: compare=False: a pyspark Column is unhashable and its __eq__
+    #: builds an expression, so including it in the generated
+    #: __eq__/__hash__ makes frozen Checks raise on hash()/== — Checks
+    #: compare by (name, kind, key_cols) identity instead
+    predicate: Column | None = field(default=None, compare=False)
     #: for unique: the key columns
     key_cols: tuple[str, ...] = ()
     #: for foreign_key: (dim_df, fact_col, dim_col)

@@ -35,12 +35,17 @@ from dissertation_data_pipeline_spark.operators.dedup_ext import tokens
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, term) -> tf over whitespace tokens, single-exchange (see
-    module docstring). Returns (_id, _tok, tf)."""
+    module docstring). Returns (_id, _tok, tf). Empty tokens are
+    dropped: splitting '' on \\s+ yields [''], so an empty/whitespace
+    document would otherwise publish a phantom ''-term into TF-IDF/BM25
+    document-frequency statistics (the same phantom-token class as the
+    BPE and feature-hashing fixes)."""
     nparts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
         .repartition(nparts, F.col("_id"))
         .select("_id", F.explode(tokens("_text")).alias("_tok"))
+        .filter(F.length("_tok") > 0)
         .groupBy("_id", "_tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -170,8 +175,13 @@ def rule_classify(
     count, and an assembled plain-language summary — all scan-speed
     Column expressions, no UDFs.
 
-    Returns {has_<topic>: bool, ..., n_topics: int, summary: str}."""
-    toks = F.array_distinct(tokens(col))
+    Returns {has_<topic>: bool, ..., n_topics: int, summary: str}.
+    NULL text classifies as no-topic (flags false, n_topics 0) — the
+    coalesce keeps all three outputs consistent; without it the flags
+    and count were NULL while the summary said 'covers: none'."""
+    toks = F.coalesce(
+        F.array_distinct(tokens(col)), F.array().cast("array<string>")
+    )
     out: dict[str, F.Column] = {}
     flags = []
     for topic, words in rules.items():

@@ -89,8 +89,22 @@ def normalize_bills(frames: Sequence[DataFrame]) -> DataFrame:
 
 
 def normalizer_conflicts(frames: Sequence[DataFrame]) -> DataFrame:
-    """The normalizer's duplicate-conflict report (A8)."""
-    conformed = [conform(fuzzy_rename(df, BILL_HEADER_ALIASES), BILLS_COMBINED) for df in frames]
+    """The normalizer's duplicate-conflict report (A8).
+
+    Conflicts are computed on the NORMALIZED values — the same
+    bill_number/title normalization ``normalize_bills`` merges on —
+    so the report describes exactly the groups the pipeline merges
+    (raw-value keys would miss 'HB 123' vs 'HB123' collisions and
+    report case-only title differences the pipeline title-cases away).
+    """
+    conformed = []
+    for df in frames:
+        c = conform(fuzzy_rename(df, BILL_HEADER_ALIASES), BILLS_COMBINED)
+        conformed.append(
+            c.withColumn(
+                "bill_number", fx.normalize_bill_number("bill_number")
+            ).withColumn("title", fx.title_case("title"))
+        )
     merged = union_conform(*conformed).withColumn(
         "bill_id", fx.make_bill_id("state", "bill_number")
     )
@@ -109,13 +123,18 @@ def build_master_corpus(
     def prep(df: DataFrame, method: str) -> DataFrame:
         c = conform(df, MASTER_CORPUS, extra="keep")
         c = (
-            c.withColumn("bill_number", fx.normalize_bill_number("bill_number"))
+            # canonicalize the abbrev FIRST (build_master_corpus.py:97
+            # strips + uppercases): every downstream use — the dim
+            # join, the dedup/both-sources key, the missing-states
+            # anti-join — assumes 'CA', never ' ca '
+            c.withColumn("state_abbrev", F.upper(F.trim("state_abbrev")))
+            .withColumn("bill_number", fx.normalize_bill_number("bill_number"))
             .withColumn("status", fx.normalize_status("status"))
             .withColumn(
                 "collection_method",
                 F.coalesce(F.col("collection_method"), F.lit(method)),
             )
-            .filter(F.upper(F.coalesce(F.col("state_abbrev"), F.lit(""))) != "US")
+            .filter(F.coalesce(F.col("state_abbrev"), F.lit("")) != "US")
         )
         return conform(c, MASTER_CORPUS)
 
@@ -140,7 +159,9 @@ def build_master_corpus(
         ["state_abbrev", "bill_number"],
         "collection_method",
         COLLECTION_PRIORITY,
-        tiebreak=["year", "status"],
+        # (year, status) can tie for two same-method rows of one bill;
+        # the title digest totalizes the order (partition-independent)
+        tiebreak=["year", "status", F.md5(F.coalesce(F.col("title"), F.lit("")))],
     )
     return {
         "corpus": conform(corpus, MASTER_CORPUS),
@@ -174,6 +195,10 @@ def build_corpus(
         "left",
     )
     conformed = conform(joined, CORPUS_FINAL)
+    # canonicalize state BEFORE the 2-letter filter (build_corpus.py:68
+    # uppercases+strips first): ' CO ' must pass as 'CO', and 'co'/'CO'
+    # must not split the frequency reports or the dedup key space
+    conformed = conformed.withColumn("state", F.upper(F.trim("state")))
     filtered = conformed.filter(
         (F.length("state") == 2)
         & (F.col("year") >= min_year)
@@ -183,7 +208,11 @@ def build_corpus(
     deduped = dedup_priority(
         filtered, "bill_id", "text_source",
         ["legiscan_api", "cached", "unknown"],
-        tiebreak=["year"],
+        # full total order: year alone ties for two same-source scrapes
+        # of one bill — the md5 of the published text is a deterministic,
+        # content-derived final tiebreak (the dedup contract promises
+        # partition-independent winners)
+        tiebreak=["year", F.md5(F.coalesce(F.col("normalized_text"), F.lit("")))],
     )
     return {
         "corpus": deduped,

@@ -179,7 +179,7 @@ _TF_SQL = r"""
   FROM (
     SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
     FROM documents
-  ) GROUP BY 1, 2
+  ) WHERE len(tok) > 0 GROUP BY 1, 2
 """
 
 

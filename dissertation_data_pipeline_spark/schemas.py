@@ -207,6 +207,14 @@ def fuzzy_rename(df: DataFrame, aliases: dict[str, list[str]]) -> DataFrame:
     Unmatched contract names are left absent (conform adds them as NULL).
     This is schema-level (driver) logic, not a data-plane operator — the
     resulting plan is a plain ``select`` that Catalyst prunes through.
+
+    Matching runs in two GLOBAL phases: every target's exact matches
+    first, then substring fallbacks — so one target's fuzzy guess can
+    never steal a column another target matches exactly (a first-
+    target substring hit used to shadow a later target's exact alias).
+    Substring fallback requires patterns of >= 4 normalized chars: a
+    2-char alias like ``st`` is a substring of half the header space
+    ('Last Date', 'Bill Status', ...) and greedy-matched garbage.
     """
     def norm(name: str) -> str:
         return " ".join(name.lower().split())
@@ -214,22 +222,29 @@ def fuzzy_rename(df: DataFrame, aliases: dict[str, list[str]]) -> DataFrame:
     available = {norm(c): c for c in df.columns}
     taken: set[str] = set()
     mapping: dict[str, str] = {}  # source col -> contract name
+    # phase 1: exact normalized matches for EVERY target
     for target, patterns in aliases.items():
-        hit = None
         for p in [target] + list(patterns):
             p = norm(p)
             if p in available and available[p] not in taken:
-                hit = available[p]
+                taken.add(available[p])
+                mapping[available[p]] = target
                 break
-        if hit is None:  # substring fallback
-            for p in [target] + list(patterns):
-                p = norm(p)
-                for k, orig in available.items():
-                    if orig not in taken and (p in k or k in p):
-                        hit = orig
-                        break
-                if hit:
+    # phase 2: substring fallback for still-unmatched targets
+    for target, patterns in aliases.items():
+        if target in mapping.values():
+            continue
+        hit = None
+        for p in [target] + list(patterns):
+            p = norm(p)
+            if len(p) < 4:
+                continue  # too short to be a safe substring probe
+            for k, orig in available.items():
+                if orig not in taken and (p in k or k in p):
+                    hit = orig
                     break
+            if hit:
+                break
         if hit is not None:
             taken.add(hit)
             mapping[hit] = target

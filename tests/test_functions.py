@@ -169,3 +169,25 @@ def test_normalize_text_plain_single_decodes_escaped_entities(spark):
     got = df.select(normalize_text_plain("t")).collect()[0][0]
     # '&amp;lt;' decodes ONCE to '&lt;', never twice to '<'
     assert got == "&lt;tag&gt; and & x"
+
+
+def test_parse_date_multi_two_digit_year_pivot(spark):
+    # strptime %y semantics: 00-68 -> 2000s, 69-99 -> 1900s
+    from dissertation_data_pipeline_spark.functions.dates import parse_date_multi
+
+    df = spark.createDataFrame(
+        [("01/15/99",), ("01/15/20",), ("01/15/69",), ("01/15/2099",)],
+        "raw string",
+    )
+    got = [str(r[0]) for r in df.select(parse_date_multi("raw")).collect()]
+    assert got == ["1999-01-15", "2020-01-15", "1969-01-15", "2099-01-15"]
+
+
+def test_matched_keywords_preserves_original_casing(spark):
+    from dissertation_data_pipeline_spark.functions.arrays import matched_keywords
+
+    df = spark.createDataFrame([("about school shooting laws",)], "t string")
+    got = df.select(
+        matched_keywords("t", ["School Shooting", "Firearm"]).alias("m")
+    ).collect()[0].m
+    assert list(got) == ["School Shooting"]  # matched, original case kept

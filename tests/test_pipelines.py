@@ -133,3 +133,19 @@ def test_latest_artifact(spark):
     for name in ["results_20260101_000000.csv", "results_20260401_120000.csv"]:
         open(os.path.join(d, name), "w").write("x")
     assert latest_artifact(os.path.join(d, "results_*.csv")).endswith("results_20260401_120000.csv")
+
+
+def test_fuzzy_rename_exact_match_beats_substring_steal(spark):
+    from dissertation_data_pipeline_spark.plans.pipelines import BILL_HEADER_ALIASES
+    from dissertation_data_pipeline_spark.schemas import fuzzy_rename
+
+    df = spark.createDataFrame(
+        [("HB1", "2024-01-01", "Passed", "T")],
+        ["Bill No", "Last Date", "Bill Status", "Bill Title"],
+    )
+    out = fuzzy_rename(df, BILL_HEADER_ALIASES)
+    # no state column exists: nothing may masquerade as 'state', and the
+    # date/status columns must map to their own targets
+    assert "state" not in out.columns
+    assert "last_action_date" in out.columns
+    assert "status" in out.columns

@@ -102,6 +102,14 @@ def shingle_postings(
     ``posexplode(split(...))`` then window ``lead`` assembles each
     n-gram; documents shorter than n words contribute their whole text
     as a single shingle, matching ``word_shingles``'s fallback.
+
+    Documented deviation for NULL text: ``word_shingles`` yields a NULL
+    array (an ``explode`` of it emits nothing; the column form carries
+    NULL), while this long form emits ZERO rows for the document — the
+    doc simply has no shingles and therefore no signature/postings.
+    Both engines of every oracle pair agree on this (DuckDB's
+    ``unnest(NULL)`` is also empty); content-less docs are dedup
+    no-ops by design (see ``exact_dedup_groups``'s NULL rationale).
     """
     from pyspark.sql.window import Window
 
@@ -215,9 +223,19 @@ def jaccard(a: Column, b: Column) -> Column:
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact-content dedup: md5 digest groupBy; emits one row per
     distinct content with the canonical (min) id and the copy count.
-    One shuffle on a uniform 128-bit key — no skew at any scale."""
+    One shuffle on a uniform 128-bit key — no skew at any scale.
+
+    NULL text is NOT content: md5(NULL) is NULL and groupBy treats
+    NULL keys as equal, which would merge every content-less document
+    into one "duplicate" family and delete all but one. Each NULL-text
+    row instead gets a per-row digest (``NULL:<id>``) — a singleton
+    group that passes through dedup untouched."""
+    digest = F.coalesce(
+        _md5(_c(text_col)),
+        F.concat(F.lit("NULL:"), F.col(id_col).cast("string")),
+    )
     return (
-        df.select(F.col(id_col), _md5(_c(text_col)).alias("content_hash"))
+        df.select(F.col(id_col), digest.alias("content_hash"))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -244,7 +262,12 @@ def tokenset_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFram
     dedup misses. The token sort/distinct runs on the interpreted HOF
     path, so the input is spread across cores first (2.7x at sf0.1)."""
     df = _spread(df)
-    key = _md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " "))
+    # NULL text: per-row singleton digest, same rationale as
+    # exact_dedup_groups
+    key = F.coalesce(
+        _md5(F.array_join(F.array_sort(F.array_distinct(tokens(text_col))), " ")),
+        F.concat(F.lit("NULL:"), F.col(id_col).cast("string")),
+    )
     return (
         df.select(F.col(id_col), key.alias("tokenset_hash"))
         .groupBy("tokenset_hash")
@@ -502,31 +525,6 @@ def simhash_signatures(
         )
         sig_expr = term if sig_expr is None else sig_expr + term
     return counts.select("_id", sig_expr.alias("_sh"))
-
-
-def _band_explode(
-    base: DataFrame, keep_col: str, bands_n: int, width: int, mask: int
-) -> DataFrame:
-    """Explode (keep_col, _sh) to one row per signature band,
-    repartitioned on the band key (the pair-join layout)."""
-    bands = base.select(
-        keep_col,
-        "_sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftright(F.col("_sh"), width * i)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for i in range(bands_n)
-                ]
-            )
-        ).alias("band"),
-    ).select(keep_col, "_sh", "band.band_idx", "band.band_val")
-    return bands.repartition("band_idx", "band_val")
 
 
 def _signature_pairs(base, max_hamming: int, bits: int) -> DataFrame:
@@ -930,6 +928,20 @@ def winnowing_fingerprints(
 
     def _compute(ss: Column) -> Column:
         n_grams = F.greatest(F.length(ss) - (k - 1), F.lit(0))
+        # enforce the documented packing limit: at positions beyond
+        # POSMASK, (POSMASK - i) goes negative and borrows into the
+        # hash field — silently corrupt fingerprints. Fail loudly.
+        n_grams = F.when(
+            n_grams <= WINNOW_POS_MASK, n_grams
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "winnowing_fingerprints: document exceeds "
+                    f"{WINNOW_POS_MASK} k-grams (the {WINNOW_POS_BITS}"
+                    "-bit position packing limit); chunk it first"
+                )
+            ).cast("int")
+        )
         # packed keys: hash(gram at 0-based pos i)*2^POS + (POSMASK - i);
         # the when-guard keeps the descending sequence(0, -1) an empty
         # doc would produce from ever being evaluated

@@ -80,7 +80,13 @@ def html_to_text(html: str) -> str:
 
 def pdf_to_text(data: bytes) -> str | None:
     """U-f2 (text_processor.py:66-80): pypdf when present, else None —
-    the caller records the reference's PDF-limitation sentinel."""
+    the caller records the reference's PDF-limitation sentinel.
+
+    A CORRUPT payload also returns None (recorded with the same
+    sentinel): pypdf raises PdfReadError-class exceptions on truncated
+    bytes, and an uncaught per-row exception inside ``mapInPandas``
+    fails the whole job after retries — one bad document must not kill
+    a corpus extraction (the module's sentinel-not-crash contract)."""
     try:
         from pypdf import PdfReader  # type: ignore
         import io
@@ -89,21 +95,28 @@ def pdf_to_text(data: bytes) -> str | None:
         return "\n".join((page.extract_text() or "") for page in reader.pages)
     except ImportError:
         return None
+    except Exception:  # malformed PDF: sentinel, never a task failure
+        return None
 
 
 def _normalize_plain(text: str) -> str:
     """Python twin of functions.normalize_text_plain (F-s12) for use
-    inside the extraction batch (same transformation chain)."""
+    inside the extraction batch — the SAME transformation chain:
+    '&amp;' decodes LAST (escaped entities decode once, see the engine
+    twin's comment) and the final trim strips spaces only (Spark
+    ``F.trim``'s semantics; ``str.strip()`` would also eat trailing
+    newlines/tabs and break parity with the engine path)."""
     for ent, rep in [
-        ("&amp;", "&"), ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
         ("&quot;", '"'), ("&#8212;", "—"), ("&#8217;", "'"),
+        ("&amp;", "&"),
     ]:
         text = text.replace(ent, rep)
     text = text.replace("\f", "\n")
     text = re.sub(r"[ \t]+", " ", text)
     text = re.sub(r"^\s*\d+\s*$", "", text, flags=re.M)
     text = re.sub(r"\n{3,}", "\n\n", text)
-    return text.strip()
+    return text.strip(" ")
 
 
 def extract_documents(docs: DataFrame) -> DataFrame:
@@ -134,7 +147,22 @@ def extract_documents(docs: DataFrame) -> DataFrame:
                         )
                     )
                     continue
-                data = base64.b64decode(payload)
+                try:
+                    data = base64.b64decode(payload)
+                except (ValueError, TypeError):  # bad padding/garbage:
+                    # the no-text sentinel, never a task failure
+                    rows.append(
+                        dict(
+                            bill_id=bill_id, original_format="unknown",
+                            raw_text=None, normalized_text=None,
+                            strikethrough_detected=False,
+                            strikethrough_chars_removed=0,
+                            strikethrough_detection_method="none",
+                            strikethrough_limitation_flag=False,
+                            notes="undecodable_payload",
+                        )
+                    )
+                    continue
                 if "html" in mime:
                     html = data.decode("utf-8", "replace")
                     stripped, removed, method = strip_strikethrough(html)

@@ -26,6 +26,14 @@ class ChunkText:
     def eval(self, text: str, chunk_tokens: int):  # noqa: D102
         if text is None:
             return
+        # SQL-surface argument validation: range()'s 'arg 3 must not be
+        # zero' / int(None) TypeError are cryptic task failures; reject
+        # the bad argument with a message the SQL user can act on
+        if chunk_tokens is None or int(chunk_tokens) <= 0:
+            raise ValueError(
+                f"chunk_text: chunk_tokens must be a positive integer, "
+                f"got {chunk_tokens!r}"
+            )
         toks = text.split(" ")
         k = int(chunk_tokens)
         for i in range(0, len(toks), k):

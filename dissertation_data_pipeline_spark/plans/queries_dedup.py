@@ -49,7 +49,7 @@ _SHINGLE_CTE = r"""
 @register(
     "ext_dedup_exact",
     """
-    SELECT md5(text) AS content_hash,
+    SELECT coalesce(md5(text), 'NULL:' || doc_id) AS content_hash,
            min(doc_id) AS canonical_id,
            count(*) AS n_copies
     FROM documents GROUP BY 1
@@ -67,8 +67,9 @@ def ext_dedup_exact(spark, sf_dir):
     SELECT tokenset_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
     FROM (
       SELECT doc_id,
-             md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS tokenset_hash
+             coalesce(md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\s+'))), ' ')),
+               'NULL:' || doc_id) AS tokenset_hash
       FROM documents
     ) GROUP BY 1
     """,

@@ -122,17 +122,38 @@ def compact_parquet(
     ``write_zordered`` for multi-dim keys).
 
     Sizing uses the on-disk byte total (what governs scan splits), not
-    row counts. The rewrite is one job: read -> repartition(n) ->
-    write to a tmp dir -> atomic directory swap (same convention as
-    ``StateTable``).
+    row counts — measured RECURSIVELY, so a Hive-partitioned layout
+    (``date=*/part-*.parquet`` — exactly the micro-batch layout the
+    small-files problem comes from) is sized correctly instead of
+    reading as 0 bytes and collapsing the whole table into one file.
+    Partitioned tables are compacted flat by design here; to preserve
+    the partition columns in the layout, pass them as ``sort_cols`` and
+    re-write with ``partitionBy`` upstream.
+
+    The rewrite is one job: read -> repartition(n) -> write to a tmp
+    dir -> atomic directory swap (same crash-safety convention as
+    ``StateTable``: stale tmp/bak from a crashed run are cleared first,
+    and a run that died between the two renames left ``.compact-bak``
+    as the only complete copy — restored here before compacting).
     """
     import glob
     import os
     import shutil
 
-    size = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    tmp = path.rstrip("/") + ".compact-tmp"
+    bak = path.rstrip("/") + ".compact-bak"
+    if not os.path.exists(path) and os.path.exists(bak):
+        os.rename(bak, path)  # recover the crashed swap's only copy
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(path):
+        shutil.rmtree(bak, ignore_errors=True)
+
+    def _files() -> list[str]:
+        return glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+
+    size = sum(os.path.getsize(f) for f in _files())
     n_files = max(1, -(-size // target_bytes))  # ceil
     df = spark.read.parquet(path)
     if sort_cols:
@@ -141,10 +162,8 @@ def compact_parquet(
         )
     else:
         df = df.repartition(n_files)
-    tmp = path.rstrip("/") + ".compact-tmp"
     df.write.mode("overwrite").parquet(tmp)
-    bak = path.rstrip("/") + ".compact-bak"
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak, ignore_errors=True)
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    return len(_files())

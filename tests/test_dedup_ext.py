@@ -234,3 +234,24 @@ def test_repeated_substring_spans_merging(spark):
         assert start == 6
         assert n == len(shared) + 2
         assert end == start + n - 1
+
+
+def test_exact_dedup_null_text_rows_are_singletons(spark):
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.dedup_ext import (
+        exact_dedup_groups,
+        tokenset_dedup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text=None),
+         Row(doc_id=3, text="same"), Row(doc_id=4, text="same")],
+        "doc_id long, text string",
+    )
+    for fn in (exact_dedup_groups, tokenset_dedup_groups):
+        out = fn(df, "doc_id", "text").collect()
+        by_canon = {r.canonical_id: r.n_copies for r in out}
+        # NULL-text docs must NOT merge into one duplicate family
+        assert by_canon.get(1) == 1 and by_canon.get(2) == 1
+        assert by_canon.get(3) == 2

@@ -520,3 +520,35 @@ def test_statetable_recovers_from_crashed_swap(spark, tmp_path):
     got = {(r.key, r.val) for r in st.read().collect()}
     assert got == {("k1", "v1"), ("k2", "v2")}
     assert not os.path.exists(path + ".bak")
+
+
+def test_pdf_and_base64_corruption_yield_sentinels_not_failures(spark):
+    from dissertation_data_pipeline_spark.operators import text_udf as tu
+
+    # corrupt PDF bytes: sentinel None, never an exception
+    assert tu.pdf_to_text(b"%PDF-1.4 truncated garbage") in (None, "")
+    # corrupt base64 payload flows through extract_documents as a row
+    docs = spark.createDataFrame(
+        [("B1", "text/html", "!!!not-base64!!!")],
+        "bill_id string, mime string, doc_b64 string",
+    )
+    out = {r.bill_id: r for r in tu.extract_documents(docs).collect()}
+    assert out["B1"].notes == "undecodable_payload"
+    assert out["B1"].normalized_text is None
+
+
+def test_compact_parquet_handles_partitioned_layout(spark, tmp_path):
+    import os
+
+    from dissertation_data_pipeline_spark.sources.layout import compact_parquet
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    path = str(tmp_path / "part_table")
+    load_table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "bucket", (F.col("o_orderkey") % 3).cast("int")
+    ).repartition(6).write.partitionBy("bucket").parquet(path)
+    before = spark.read.parquet(path).count()
+    n = compact_parquet(spark, path)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == before  # no rows lost
+    assert not os.path.exists(path + ".compact-bak")

@@ -152,7 +152,10 @@ def test_extract_documents_html_pdf_plain(spark):
     assert b2["original_format"] == "pdf" and b2["strikethrough_limitation_flag"]
 
     b3 = out["B3"]
-    assert b3["normalized_text"] == "plain text"  # \f + digit-line cleanup
+    # \f + digit-line cleanup; the trailing newline survives because the
+    # final trim is space-only — F.trim semantics, matching the engine
+    # twin exactly (verified: normalize_text_plain gives the same bytes)
+    assert b3["normalized_text"] == "plain text\n"
     assert b3["raw_word_count"] >= b3["normalized_word_count"]
 
     assert out["B4"]["notes"] == "no_text_available"

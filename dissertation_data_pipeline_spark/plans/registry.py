@@ -647,6 +647,16 @@ set_driver_priority(
         "ext_ann_ivf_trained_topk",
         "ext_embedding_near_dup",
         "ext_approx_count_distinct",
+        # -- 1b: the round-2-session additions (waves 5-7) — the newest
+        #        components need hard gate rows most; cheap at sf0.01 ---
+        "ext_merge_upsert",
+        "ext_cdc_apply",
+        "ext_incremental_agg",
+        "ext_pmi_collocations",
+        "ext_late_data_report",
+        "ext_source_overlap_sketch",
+        "ext_bpe_pair_counts",
+        "ext_udaf_label_medians",
         # -- 2: never-checked, cheap scalar / relational ------------------
         "p1_p2_conform_contract",
         "p3_p5_value_and_length_filters",

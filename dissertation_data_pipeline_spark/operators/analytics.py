@@ -231,3 +231,54 @@ def fuzzy_pairs_levenshtein(
         )
         .filter(F.col("distance") >= 0)
     )
+
+
+def grouped_weighted_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group WEIGHTED (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total weight — Spark has
+    ``median``/``percentile`` but no weighted form, and the operator is
+    a staple of survey/importance-weighted statistics.
+
+    Exact and deterministic: weights accumulate as int64 along the
+    documented total order (value ASC, tiebreak ASC), and the crossing
+    test ``2 * cumsum >= total`` is integer arithmetic — no engine can
+    disagree on the selected row. One window shuffle on the group key +
+    one aggregate; no joins (the total rides the same window with an
+    unbounded frame).
+
+    NULL values/weights are excluded (SQL aggregate convention);
+    negative weights are the caller's bug (the crossing test assumes a
+    monotone cumsum) and excluded likewise.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    order = [F.col(value_col).asc(), F.col(tiebreak_col).asc()]
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    scored = base.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum(F.col(weight_col).cast("long")).over(w_cum).alias("_cum"),
+        F.sum(F.col(weight_col).cast("long")).over(w_tot).alias("_tot"),
+    ).filter(2 * F.col("_cum") >= F.col("_tot"))
+    return (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("weighted_median"),
+            F.max("_tot").alias("total_weight"),
+        )
+    )

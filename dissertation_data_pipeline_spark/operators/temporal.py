@@ -329,3 +329,105 @@ def late_event_report(
             F.lit(0),
         ).alias("max_lateness_us"),
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_id: str,
+) -> DataFrame:
+    """Nearest as-of join: each left row gets the right row with the
+    smallest ABSOLUTE time difference on the same key (pandas
+    ``merge_asof(direction='nearest')``) — the alignment batch feature
+    stores use when sensor/label streams interleave both ways.
+
+    Tie discipline (total, partition-independent): smaller |delta|
+    wins; equal |delta| -> the EARLIER right event; same right
+    timestamp -> the smaller ``right_id``. Left rows whose key has no
+    right rows are dropped (inner semantics).
+
+    Plan: the union-tag trick run in BOTH directions — two windows over
+    one union, ZERO join operators, one shuffle on the key (the same
+    100 TB shape as ``asof_join``; a naive nearest via inequality join
+    would be a per-key cross product). The backward pass orders right
+    rows (ts ASC, id DESC) so ``last`` lands on the max-ts/min-id
+    candidate <= t; the forward pass does the mirror over ts DESC.
+
+    Output: key cols, ``left_ts``, left payload cols, ``nearest_id``,
+    ``delta_us`` (signed, right - left, exact int64 microseconds).
+    """
+    on = list(on)
+    lcols = [c for c in left.columns if c not in on and c != left_ts]
+    rstruct = F.struct(
+        F.col("_ts_us").alias("rt"), F.col("_rid").alias("rid")
+    )
+    l_tagged = left.select(
+        *on,
+        F.unix_micros(F.col(left_ts)).alias("_ts_us"),
+        F.col(left_ts).alias("_lts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(right.schema[right_id].dataType).alias("_rid"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.unix_micros(F.col(right_ts)).alias("_ts_us"),
+        F.lit(None).cast(left.schema[left_ts].dataType).alias("_lts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(right_id).alias("_rid"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    # same-timestamp right event is visible to both directions
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("_ts_us").asc(),
+            F.col("_side").asc(),
+            F.col("_rid").desc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("_ts_us").desc(),
+            F.col("_side").asc(),
+            F.col("_rid").desc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r_only = F.when(F.col("_side") == 0, rstruct)
+    back = F.last(r_only, ignorenulls=True).over(wb)
+    fwd = F.last(r_only, ignorenulls=True).over(wf)
+    # materialize the two window results FIRST, then choose from the
+    # column refs — choosing from the window expressions directly would
+    # re-plan (and re-run) each window per reference
+    db = F.col("_ts_us") - F.col("_back")["rt"]
+    df_ = F.col("_fwd")["rt"] - F.col("_ts_us")
+    chosen = (
+        F.when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        .when(df_ < db, F.col("_fwd"))
+        # strictly nearer back, or tie -> the earlier right event (back)
+        .otherwise(F.col("_back"))
+    )
+    return (
+        u.withColumn("_back", back)
+        .withColumn("_fwd", fwd)
+        .filter(F.col("_side") == 1)
+        .withColumn("_chosen", chosen)
+        .filter(F.col("_chosen").isNotNull())
+        .select(
+            *on,
+            F.col("_lts").alias(left_ts),
+            *lcols,
+            F.col("_chosen")["rid"].alias("nearest_id"),
+            (F.col("_chosen")["rt"] - F.col("_ts_us")).alias("delta_us"),
+        )
+    )

@@ -625,6 +625,7 @@ from dissertation_data_pipeline_spark.plans import queries_timeseries  # noqa: E
 from dissertation_data_pipeline_spark.plans import queries_wave4  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave5  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave6  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_wave8  # noqa: E402,F401
 
 # Gate-coverage policy for this round (see DRIVER_PRIORITY docstring):
 # 1. queries fixed since the last gate run (array serialization, BIGINT
@@ -657,6 +658,8 @@ set_driver_priority(
         "ext_source_overlap_sketch",
         "ext_bpe_pair_counts",
         "ext_udaf_label_medians",
+        "ext_asof_nearest",
+        "ext_weighted_median",
         # -- 2: never-checked, cheap scalar / relational ------------------
         "p1_p2_conform_contract",
         "p3_p5_value_and_length_filters",

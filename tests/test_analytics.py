@@ -252,3 +252,27 @@ def test_attribution_credits_only_preceding_touches(spark):
     assert [(r["touch_type"], r["n_purchases"], r["attributed_cents"]) for r in out] == [
         ("click", 1, 5000)
     ]
+
+
+def test_grouped_weighted_median_exact_crossing(spark):
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.analytics import (
+        grouped_weighted_median,
+    )
+
+    rows = [
+        # group a: values 1(w1), 2(w1), 10(w2) -> total 4, crossing at 2
+        Row(g="a", v=1, w=1, i=1), Row(g="a", v=2, w=1, i=2),
+        Row(g="a", v=10, w=2, i=3),
+        # group b: heavy low value dominates: 1(w5), 100(w1) -> median 1
+        Row(g="b", v=100, w=1, i=4), Row(g="b", v=1, w=5, i=5),
+        # NULLs and non-positive weights excluded
+        Row(g="a", v=None, w=9, i=6), Row(g="a", v=50, w=0, i=7),
+    ]
+    df = spark.createDataFrame(rows, "g string, v int, w int, i int")
+    got = {
+        r.g: (r.weighted_median, r.total_weight)
+        for r in grouped_weighted_median(df, ["g"], "v", "w", tiebreak_col="i").collect()
+    }
+    assert got == {"a": (2, 4), "b": (1, 6)}

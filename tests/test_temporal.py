@@ -220,3 +220,43 @@ def test_interval_join_rejects_colliding_column_names(spark):
             probe, iv, probe_ts="ts", start="s", end="e",
             bucket_seconds=60, on=["k"],
         )
+
+
+def test_asof_nearest_picks_closer_side_with_tie_rules(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            Row(eid=1, k=1, ts=t(10)),   # back@8 (d2) vs fwd@13 (d3) -> back
+            Row(eid=2, k=1, ts=t(12)),   # back@8 (d4) vs fwd@13 (d1) -> fwd
+            Row(eid=3, k=1, ts=t(30)),   # only back exists -> back
+            Row(eid=4, k=2, ts=t(5)),    # key with no right rows -> dropped
+            Row(eid=5, k=3, ts=t(10)),   # equidistant 8/12 -> earlier (8)
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=100, k=1, ts=t(8)),
+            Row(rid=101, k=1, ts=t(13)),
+            Row(rid=102, k=3, ts=t(8)),
+            Row(rid=103, k=3, ts=t(12)),
+        ]
+    )
+    out = {
+        r.eid: r
+        for r in asof_join_nearest(
+            left, right, ["k"], left_ts="ts", right_ts="ts", right_id="rid"
+        ).collect()
+    }
+    assert out[1].nearest_id == 100 and out[1].delta_us == -2_000_000
+    assert out[2].nearest_id == 101 and out[2].delta_us == 1_000_000
+    assert out[3].nearest_id == 101
+    assert 4 not in out  # no right rows for key 2
+    assert out[5].nearest_id == 102  # equidistant: earlier right wins

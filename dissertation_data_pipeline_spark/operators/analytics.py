@@ -256,7 +256,20 @@ def grouped_weighted_median(
     NULL values/weights are excluded (SQL aggregate convention);
     negative weights are the caller's bug (the crossing test assumes a
     monotone cumsum) and excluded likewise.
+
+    The weight column must be INTEGRAL (the int64-cumsum exactness
+    contract above). A double weight would be silently truncated by
+    the cast — a fractional weight in (0, 1) would pass a ``> 0``
+    filter yet contribute 0 — so non-integral weight types are
+    rejected eagerly at plan-build time instead.
     """
+    wtype = dict(df.dtypes)[weight_col]
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"grouped_weighted_median: weight column {weight_col!r} must "
+            f"be an integral type (got {wtype}); cast or round weights "
+            "explicitly so the int64 cumulative-sum contract is exact"
+        )
     base = df.filter(
         F.col(value_col).isNotNull()
         & F.col(weight_col).isNotNull()

@@ -205,25 +205,52 @@ def ivf_assign(
     rank_upto: int = 1,
 ) -> DataFrame:
     """Attach the ``rank_upto`` highest-affinity (cosine) cell ids to
-    each vector: broadcast-cross against the centroid table, per-vector
-    rank. Relational on purpose — the fold math matches the SQL oracle
-    bit-for-bit. (At 100 TB, inline the centroid literals into a
-    map-side argmax expression or a numpy pandas-UDF to skip the rank
-    shuffle; recall/results are unchanged.)"""
+    each vector — MAP-SIDE: the centroid table (a few dozen rows, the
+    coarse quantizer) is collected once at the driver and inlined as
+    literal arrays, so assignment is a per-row argmax expression with
+    ZERO shuffle — no crossJoin row blowup, no per-vector rank window.
+    The affinity math is the identical ``cosine_pre`` fold (float
+    centroid components widen to the same doubles as literals), so
+    results match the relational formulation and the SQL oracles
+    bit-for-bit; ties break on ascending cell_id exactly as before.
+
+    Scale: the per-row cost is n_cells folds — the same arithmetic the
+    crossJoin version paid, minus materializing corpus x n_cells rows
+    and shuffling them through a window. At 100 TB this is the only
+    formulation that survives: assignment stays inside the scan stage
+    and the corpus is never re-partitioned just to pick a cell."""
+    cent_rows = sorted(
+        centroids.select("cell_id", "centroid", "_kn").collect(),
+        key=lambda r: r["cell_id"],
+    )
     df = df.withColumn("_vn", l2_norm(vec_col))
-    scored = df.crossJoin(F.broadcast(centroids)).select(
+    # array<struct<_na: -affinity, cell_id>>: ascending struct sort ==
+    # (affinity DESC, cell_id ASC).  cosine_pre never yields NaN (zero
+    # norms guard to 0.0), so negation preserves the total order.
+    affs = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_pre(
+                        vec_col,
+                        F.array(*[F.lit(float(v)) for v in r["centroid"]]),
+                        F.col("_vn"),
+                        F.lit(float(r["_kn"])),
+                    )
+                ).alias("_na"),
+                F.lit(int(r["cell_id"])).alias("cell_id"),
+            )
+            for r in cent_rows
+        ]
+    )
+    return df.select(
         F.col(id_col),
         F.col(vec_col),
         F.col("_vn"),
-        F.col("cell_id"),
-        cosine_pre(vec_col, "centroid", F.col("_vn"), F.col("_kn")).alias("_aff"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_aff"), F.asc("cell_id"))
-    return (
-        scored.withColumn("_cr", F.row_number().over(w))
-        .filter(F.col("_cr") <= rank_upto)
-        .drop("_aff", "_cr")
-    )
+        F.explode(
+            F.slice(F.array_sort(affs), 1, rank_upto)
+        ).alias("_cell"),
+    ).select(id_col, vec_col, "_vn", F.col("_cell.cell_id").alias("cell_id"))
 
 
 def ivf_topk(

@@ -359,8 +359,16 @@ def asof_join_nearest(
 
     Output: key cols, ``left_ts``, left payload cols, ``nearest_id``,
     ``delta_us`` (signed, right - left, exact int64 microseconds).
+
+    NULL timestamps are excluded on both sides up front: a NULL ts has
+    no position on the time axis (its unix_micros would sort
+    arbitrarily in the union windows and could emit a match with NULL
+    delta), so those rows can never be matched — same convention as
+    the watermark/interval operators.
     """
     on = list(on)
+    left = left.filter(F.col(left_ts).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
     lcols = [c for c in left.columns if c not in on and c != left_ts]
     rstruct = F.struct(
         F.col("_ts_us").alias("rt"), F.col("_rid").alias("rid")

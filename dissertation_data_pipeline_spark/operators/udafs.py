@@ -44,6 +44,19 @@ def _dim_medians_udaf():
 
     @pandas_udf("array<double>")
     def dim_medians(vecs: pd.Series) -> list[float]:
+        # NULL embeddings are excluded (SQL aggregate convention —
+        # same as the sibling operators); a ragged group would
+        # otherwise surface as an opaque vstack broadcast error, so
+        # name the defect explicitly instead.
+        vecs = vecs.dropna()
+        if len(vecs) == 0:
+            return []
+        if len({len(v) for v in vecs}) > 1:
+            raise ValueError(
+                "label_dim_medians: ragged embedding lengths within a "
+                f"group (saw lengths {sorted({len(v) for v in vecs})}); "
+                "embeddings must share one dimensionality"
+            )
         mat = np.vstack(vecs.to_numpy()).astype(np.float64)
         return np.median(mat, axis=0).tolist()
 

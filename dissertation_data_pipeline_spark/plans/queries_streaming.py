@@ -117,7 +117,8 @@ def s_dedup_in_window(spark, sf_dir):
     """
     SELECT event_type,
            count(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events GROUP BY 1
     """,
 )

@@ -64,13 +64,15 @@ _SRC_NUM = "CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)"
     f"""
     WITH {_TOKS_CTE},
     per_tok AS (
-      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct_tokens,
              max(c) AS top_token_count
       FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
       GROUP BY 1
     ),
     per_big AS (
-      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             max(c) AS top_bigram_count
       FROM (SELECT doc_id, bigram, count(*) AS c FROM bigs GROUP BY 1, 2)
       GROUP BY 1
     )
@@ -128,7 +130,7 @@ def ext_gopher_quality_gate(spark, sf_dir):
       FROM t
     )
     SELECT source, CAST(floor(cum_excl / 512.0) AS BIGINT) AS seq_id,
-           count(*) AS n_docs, sum(n_tokens) AS seq_tokens,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM c GROUP BY 1, 2
     """,

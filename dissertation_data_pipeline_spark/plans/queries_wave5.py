@@ -63,7 +63,8 @@ from dissertation_data_pipeline_spark.tables import load_table
                 WHEN t_id IS NOT NULL THEN n_chars
                 ELSE u_n END AS n_chars
     FROM j
-    WHERE NOT (t_id IS NOT NULL AND u_id IS NOT NULL AND source = 'src0')
+    WHERE NOT (t_id IS NOT NULL AND u_id IS NOT NULL
+               AND COALESCE(source = 'src0', FALSE))
     """,
 )
 def ext_merge_upsert(spark, sf_dir):
@@ -124,7 +125,7 @@ def ext_merge_upsert(spark, sf_dir):
                 WHEN b_id IS NOT NULL THEN 'updated'
                 ELSE 'inserted' END AS change_status
     FROM j
-    WHERE NOT (c_id IS NOT NULL AND ch_type = 'error')
+    WHERE NOT (c_id IS NOT NULL AND COALESCE(ch_type = 'error', FALSE))
     """,
 )
 def ext_cdc_apply(spark, sf_dir):

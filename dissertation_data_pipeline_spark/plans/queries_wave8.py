@@ -87,7 +87,7 @@ def ext_asof_nearest(spark, sf_dir):
     )
     SELECT event_type,
            MIN(cents) AS weighted_median,
-           MAX(tot) AS total_weight
+           CAST(MAX(tot) AS BIGINT) AS total_weight
     FROM scored WHERE 2 * cum >= tot
     GROUP BY 1
     """,

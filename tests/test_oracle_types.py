@@ -1,0 +1,53 @@
+"""LIMIT-0 type audit of every registered oracle SQL in DuckDB.
+
+The driver's correctness gate canonicalizes oracle results through
+pandas; DuckDB integer types wider than int64 (HUGEINT / UHUGEINT —
+what an un-cast ``SUM(BIGINT)`` returns) coerce to object/float there
+and hash differently than Spark's int64, turning a bit-exact query
+into a red gate row (round-2 verdict: ext_weighted_median,
+ext_repetition_profile, ext_pack_sequences, s_json_props all failed
+for exactly this). This test makes that failure class impossible to
+ship: each oracle is planned with LIMIT 0 (no data read) and any
+HUGEINT/UHUGEINT output column fails the suite.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dissertation_data_pipeline_spark.plans.registry import QUERIES
+from dissertation_data_pipeline_spark.tables import TABLE_NAMES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: DuckDB logical types the gate's pandas canonicalizer cannot hash
+#: consistently with Spark's output.
+FORBIDDEN = {"HUGEINT", "UHUGEINT"}
+
+ORACLED = [n for n, q in QUERIES.items() if q.sql is not None]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_output_types_are_gate_safe(duck, name):
+    rel = duck.sql(f"SELECT * FROM ({QUERIES[name].sql}) LIMIT 0")
+    bad = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, (str(t).upper() for t in rel.types))
+        if any(f in t for f in FORBIDDEN)
+    ]
+    assert not bad, (
+        f"oracle for {name} emits gate-unsafe integer types {bad}; "
+        "wrap the aggregate in CAST(... AS BIGINT)"
+    )

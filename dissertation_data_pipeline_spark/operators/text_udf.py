@@ -8,8 +8,10 @@ filters — O-m2) and after (aggregates over decisions) stays native.
 Library gating: bs4 and pypdf may be absent. HTML falls back to a
 regex-based stripper (real, tested logic — the reference's own
 fallback at fetch_texts.py:33-35 is regex too). PDF without pypdf
-yields the reference's limitation sentinel rather than failing the
-job (normalize_corpus.py:209-213 records the same flag).
+falls back to a stdlib extractor (:func:`pdf_text_fallback` —
+zlib-inflated Flate/uncompressed text-object streams); only PDFs
+beyond that scope yield the reference's limitation sentinel
+(normalize_corpus.py:209-213 records the same flag).
 """
 
 from __future__ import annotations
@@ -78,15 +80,136 @@ def html_to_text(html: str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
-def pdf_to_text(data: bytes) -> str | None:
-    """U-f2 (text_processor.py:66-80): pypdf when present, else None —
-    the caller records the reference's PDF-limitation sentinel.
+#: object stream: dict .. stream\r?\n payload endstream (DOTALL; the
+#: non-greedy payload stops at the first endstream — fine for the
+#: simple single-stream-per-object PDFs this fallback targets)
+_PDF_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\s*endstream", re.S)
 
-    A CORRUPT payload also returns None (recorded with the same
-    sentinel): pypdf raises PdfReadError-class exceptions on truncated
-    bytes, and an uncaught per-row exception inside ``mapInPandas``
-    fails the whole job after retries — one bad document must not kill
-    a corpus extraction (the module's sentinel-not-crash contract)."""
+#: content-stream text tokens: literal/hex strings shown with Tj/',
+#: TJ arrays, and the line-advancing operators (newline heuristic)
+_PDF_LIT = rb"\((?:\\.|[^\\()])*\)"
+_PDF_HEX = rb"<[0-9A-Fa-f\s]*>"
+_PDF_TOKEN_RE = re.compile(
+    rb"(?P<lit>" + _PDF_LIT + rb")\s*(?:Tj|')"
+    rb"|(?P<hex>" + _PDF_HEX + rb")\s*(?:Tj|')"
+    rb"|\[(?P<arr>(?:" + _PDF_LIT + rb"|" + _PDF_HEX + rb"|[^\]])*)\]\s*TJ"
+    rb"|(?P<nl>T\*|-?[0-9.]+\s+-?[0-9.]+\s+(?:Td|TD))"
+)
+_PDF_ARR_STR_RE = re.compile(_PDF_LIT + rb"|" + _PDF_HEX)
+
+_PDF_ESCAPES = {
+    ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09, ord("b"): 0x08,
+    ord("f"): 0x0C, ord("("): 0x28, ord(")"): 0x29, ord("\\"): 0x5C,
+}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    """PDF literal-string body -> text: \\n-class escapes, up-to-3-digit
+    octal codes, and backslash line continuations (PDF 32000-1 §7.3.4.2).
+    Single-byte codes decode as Latin-1 — the identity mapping for the
+    ASCII/WinAnsi text simple generators emit (no font CMaps here)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c != 0x5C:  # not a backslash
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        if i >= len(raw):
+            break
+        e = raw[i]
+        if e in _PDF_ESCAPES:
+            out.append(_PDF_ESCAPES[e])
+            i += 1
+        elif 0x30 <= e <= 0x37:  # \ddd octal
+            j, val = i, 0
+            while j < len(raw) and j < i + 3 and 0x30 <= raw[j] <= 0x37:
+                val = val * 8 + raw[j] - 0x30
+                j += 1
+            out.append(val & 0xFF)
+            i = j
+        elif e in (0x0A, 0x0D):  # line continuation
+            i += 1
+            if e == 0x0D and i < len(raw) and raw[i] == 0x0A:
+                i += 1
+        else:  # unknown escape: the char stands for itself
+            out.append(e)
+            i += 1
+    return out.decode("latin-1")
+
+
+def _pdf_token_text(tok: bytes) -> str:
+    """One literal ``(...)`` or hex ``<...>`` string token -> text."""
+    if tok[:1] == b"(":
+        return _pdf_unescape(tok[1:-1])
+    h = re.sub(rb"\s", b"", tok[1:-1])
+    if len(h) % 2:  # odd nibble count: PDF pads with 0
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
+
+
+def pdf_text_fallback(data: bytes) -> str | None:
+    """Minimal stdlib PDF text extractor (no pypdf): walk every object
+    stream, inflate /FlateDecode payloads with zlib (uncompressed
+    streams pass through; any other /Filter is skipped), then pull the
+    text-showing operators (Tj, ', TJ arrays) out of the content,
+    emitting a newline at each line-advance operator (Td/TD/T*).
+
+    Honest scope — the same class of PDF the reference's corpus
+    actually contains (text-object streams with simple single-byte
+    encodings): no font CMap/ToUnicode resolution, no cross-reference
+    repair, no encryption. Returns the text when at least one text
+    chunk was found, else None so the caller records the reference's
+    PDF-limitation sentinel (normalize_corpus.py:209-213)."""
+    import zlib
+
+    if not data or not data.startswith(b"%PDF"):
+        return None
+    pieces: list[str] = []
+    for m in _PDF_STREAM_RE.finditer(data):
+        sdict, payload = m.group(1), m.group(2)
+        if b"/FlateDecode" in sdict:
+            try:
+                payload = zlib.decompress(payload)
+            except zlib.error:
+                continue
+        elif b"/Filter" in sdict:
+            continue  # unsupported codec (DCTDecode images etc.)
+        chunk: list[str] = []
+        for t in _PDF_TOKEN_RE.finditer(payload):
+            if t.group("nl") is not None:
+                if chunk and chunk[-1] != "\n":
+                    chunk.append("\n")
+            elif t.group("arr") is not None:
+                chunk.extend(
+                    _pdf_token_text(s.group(0))
+                    for s in _PDF_ARR_STR_RE.finditer(t.group("arr"))
+                )
+            else:
+                chunk.append(_pdf_token_text((t.group("lit") or t.group("hex"))))
+        text = "".join(chunk).strip()
+        if text:
+            pieces.append(text)
+    return "\n".join(pieces) if pieces else None
+
+
+def pdf_to_text(data: bytes) -> str | None:
+    """U-f2 (text_processor.py:66-80): pypdf when present, else the
+    stdlib :func:`pdf_text_fallback` extractor — the engine extracts
+    real text from Flate/uncompressed text-object PDFs with NO
+    third-party dependency; only PDFs beyond the fallback's scope
+    (exotic filters, CMap-encoded fonts) yield the limitation sentinel.
+
+    A CORRUPT payload returns None: pypdf raises PdfReadError-class
+    exceptions on truncated bytes, and an uncaught per-row exception
+    inside ``mapInPandas`` fails the whole job after retries — one bad
+    document must not kill a corpus extraction (the module's
+    sentinel-not-crash contract)."""
     try:
         from pypdf import PdfReader  # type: ignore
         import io
@@ -94,7 +217,10 @@ def pdf_to_text(data: bytes) -> str | None:
         reader = PdfReader(io.BytesIO(data))
         return "\n".join((page.extract_text() or "") for page in reader.pages)
     except ImportError:
-        return None
+        try:
+            return pdf_text_fallback(data)
+        except Exception:
+            return None
     except Exception:  # malformed PDF: sentinel, never a task failure
         return None
 

@@ -14,7 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from dissertation_data_pipeline_spark.schemas import conform
 
@@ -62,29 +62,35 @@ def read_parquet_evolving(
     return conform(df, schema) if schema is not None else df
 
 
-# S2 — Excel shim (legiscan_normalizer.py:137). Spark core has no xlsx
+# S2 — Excel scan (legiscan_normalizer.py:137). Spark core has no xlsx
 # reader; the reference's Excel inputs are dim-sized curation sheets, so
-# a driver-side pandas read -> createDataFrame is the honest mapping.
+# a driver-side read -> createDataFrame is the honest mapping. The codec
+# is the stdlib zip+SpreadsheetML reader (sources/xlsx.py) — no
+# openpyxl dependency, no gating.
 def read_excel(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
-    try:
-        import pandas as pd
+    from dissertation_data_pipeline_spark.sources import xlsx
 
-        pdf = pd.read_excel(path)  # needs openpyxl on the driver
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "Excel ingestion needs pandas+openpyxl on the driver; "
-            "convert the sheet to CSV for the distributed path"
-        ) from e
-    pdf.columns = [str(c) for c in pdf.columns]
-    # blank cells arrive as pandas NaN; stringified they'd become the
-    # literal 'nan' (a real-looking value no NULL-canonicalization can
-    # catch) — map to None BEFORE createDataFrame. An empty sheet has
-    # nothing to infer from, so it short-circuits to a typed empty
-    # frame (the module contract: production paths never infer schemas)
-    pdf = pdf.astype(object).where(pd.notna(pdf), None)
-    if len(pdf) == 0:
+    rows = xlsx.read_rows(path)
+    if not rows:
         return conform(spark.createDataFrame([], schema), schema)
-    return conform(spark.createDataFrame(pdf), schema)
+    header = [str(h) if h is not None else "" for h in rows[0]]
+    # stringify cells so one untyped createDataFrame covers every sheet
+    # (mixed int/str columns would break inference); conform() then
+    # casts to the contract types. Blank cells stay NULL — never the
+    # literal 'nan'/'None' (the module's NULL-canonicalization rule).
+    data = [
+        [
+            None
+            if v is None
+            else (str(v).lower() if isinstance(v, bool) else str(v))
+            for v in r
+        ]
+        for r in rows[1:]
+    ]
+    raw = spark.createDataFrame(
+        data, StructType([StructField(h, StringType(), True) for h in header])
+    )
+    return conform(raw, schema)
 
 
 # S5 — JSON-in-ZIP scan (legiscan_collector.py:241-251). ZIP is not a
@@ -209,29 +215,30 @@ def write_excel(
     width_cap: int = 50,
 ) -> None:
     """Write a small DataFrame to xlsx with the reference's column
-    sizing: width = min(max(cell length, header length), cap) + 2.
-    Needs pandas+openpyxl on the driver (same gate as ``read_excel``)."""
-    try:
-        import openpyxl.utils
-        import pandas as pd
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "Excel export needs pandas+openpyxl on the driver; "
-            "use write_table(fmt='csv') for the distributed path"
-        ) from e
-    pdf = df.toPandas()
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with pd.ExcelWriter(path, engine="openpyxl") as writer:
-        pdf.to_excel(writer, index=False, sheet_name=sheet_name)
-        if autosize:
-            ws = writer.sheets[sheet_name]
-            for idx, col in enumerate(pdf.columns, 1):
-                longest = max(
-                    int(pdf[col].astype(str).map(len).max()) if len(pdf) else 0,
+    sizing: width = min(max(cell length, header length), cap) + 2
+    (legiscan_normalizer.py:386-399). Stdlib codec (sources/xlsx.py) —
+    driver-side because callers hand in report-sized frames; the
+    distributed sink for data volumes is write_table(fmt='csv')."""
+    from dissertation_data_pipeline_spark.sources import xlsx
+
+    header = list(df.columns)
+    rows = [list(r) for r in df.collect()]
+    widths = None
+    if autosize:
+        widths = [
+            min(
+                max(
+                    max((len(str(r[i])) for r in rows), default=0),
                     len(str(col)),
-                )
-                letter = openpyxl.utils.get_column_letter(idx)
-                ws.column_dimensions[letter].width = min(longest, width_cap) + 2
+                ),
+                width_cap,
+            )
+            + 2
+            for i, col in enumerate(header)
+        ]
+    xlsx.write_rows(
+        path, [header] + rows, sheet_name=sheet_name, col_widths=widths
+    )
 
 
 # O3 — glob-latest artifact resolution (fetch_texts.py:55-59,

@@ -333,25 +333,82 @@ def test_load_table_events_restores_nanos_conf(spark, sf_dir):
     spark.conf.unset(key)
 
 
-def test_write_excel_gated_or_styled(spark, tmpd):
+def test_write_excel_styled_roundtrip(spark, tmpd):
+    """S2/K3 ungated: the stdlib xlsx codec writes the reference's
+    styled report sheet and reads it back — no openpyxl anywhere."""
+    from dissertation_data_pipeline_spark.sources import xlsx
+
     df = spark.createDataFrame(
         [("CO_HB1", "x" * 80), ("CO_HB22", "short")], "bill_id string, title string"
     )
     path = f"{tmpd}/out.xlsx"
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            sio.write_excel(df, path)
-        return
     sio.write_excel(df, path)
-    import openpyxl
+    rows = xlsx.read_rows(path)
+    assert rows[0] == ["bill_id", "title"]
+    assert sorted(r[0] for r in rows[1:]) == ["CO_HB1", "CO_HB22"]
+    # reference sizing: min(max(cell, header), 50) + 2
+    widths = xlsx.read_col_widths(path)
+    assert widths[1] == len("CO_HB22") + 2
+    assert widths[2] == 50 + 2
 
-    ws = openpyxl.load_workbook(path)["Bills"]
-    assert ws.max_row == 3  # header + 2 rows
-    # reference sizing: min(max_len, 50) + 2
-    assert ws.column_dimensions["A"].width == len("CO_HB22") + 2
-    assert ws.column_dimensions["B"].width == 50 + 2
+
+def test_read_excel_types_and_roundtrip(spark, tmpd):
+    """read_excel conforms a written sheet to a typed contract: ints,
+    doubles, booleans and NULL blanks all survive the string hop."""
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    src = spark.createDataFrame(
+        [("a", 1, 1.5, True), ("b", None, 2.25, False), (None, 3, None, None)],
+        "name string, n long, x double, flag boolean",
+    )
+    path = f"{tmpd}/typed.xlsx"
+    sio.write_excel(src, path, sheet_name="T")
+    schema = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("n", LongType()),
+            StructField("x", DoubleType()),
+            StructField("flag", BooleanType()),
+        ]
+    )
+    back = sio.read_excel(spark, path, schema)
+    assert back.schema == schema
+    got = sorted(
+        [tuple(r) for r in back.collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == [("a", 1, 1.5, True), ("b", None, 2.25, False),
+                   (None, 3, None, None)]
+
+
+def test_read_excel_shared_strings_and_sparse_rows(spark, tmpd):
+    """Foreign xlsx shapes the stdlib writer never emits: sharedStrings
+    cells and sparse rows addressed only by cell reference."""
+    import zipfile
+
+    from dissertation_data_pipeline_spark.sources import xlsx
+
+    path = f"{tmpd}/foreign.xlsx"
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="B2"><v>42</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        '<?xml version="1.0"?><sst xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3">'
+        "<si><t>k</t></si><si><t>v</t></si><si><t>zed</t></si></sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", shared)
+    assert xlsx.read_rows(path) == [["k", "v"], [None, 42], ["zed", None]]
 
 
 def test_wav_decoder_roundtrip():

@@ -717,6 +717,7 @@ def _blocked_intersections(
     block_cols: Sequence[str],
     *,
     ngram_words: int,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Shared inverted-index stage of the blocked pair operators:
     ``(block..., id_a, id_b, _inter, _na, _nb)`` for every in-block
@@ -727,12 +728,33 @@ def _blocked_intersections(
     repartitioned on (block, shingle) so posting lists co-locate and
     the quadratic term is bounded by posting-list length, never block
     size. Jaccard and containment are one extra division each on this
-    frame — any future shared-stage change (e.g. the stop-shingle cap
-    a 100 TB corpus needs) lands here once, for both operators.
+    frame.
+
+    ``max_df`` is the STOP-SHINGLE CAP — the 100 TB guard: a shingle
+    occurring in more than ``max_df`` documents of a block (boilerplate
+    headers, license banners, "all rights reserved") contributes a
+    posting list whose self-join is df^2 rows while carrying no
+    discriminative signal. With the cap, such shingles are dropped
+    from the postings BEFORE sizes and intersections, so similarity is
+    computed over the capped shingle universe on BOTH sides of every
+    ratio (set sizes shrink consistently with intersections — the
+    standard stop-word treatment, not a biased intersection trim).
+    Pair counts become bounded by sum(min(df, max_df)^2) regardless of
+    how pathological the corpus is. Dropped shingles are observable
+    via :func:`stop_shingle_report` — the cap is never silent.
     """
+    from pyspark.sql.window import Window
+
     post = shingle_postings(
         df, id_col, text_col, n=ngram_words, carry_cols=block_cols
     ).localCheckpoint()
+    if max_df is not None:
+        wdf = Window.partitionBy(*block_cols, "_shingle")
+        post = (
+            post.withColumn("_df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     postings = post.repartition(*block_cols, "_shingle")  # co-locate + spread
     a, b = postings.alias("a"), postings.alias("b")
@@ -756,6 +778,38 @@ def _blocked_intersections(
     return inter.join(sa, "id_a").join(sb, "id_b")
 
 
+def stop_shingle_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    *,
+    ngram_words: int = 3,
+    max_df: int,
+) -> DataFrame:
+    """The non-silent half of the stop-shingle cap: which shingles a
+    ``max_df`` cap drops per block and how much posting mass goes with
+    them — ``(block..., n_stop_shingles, dropped_postings,
+    total_postings, dropped_frac)``. Run (and log) this beside any
+    capped :func:`blocked_jaccard_pairs`/:func:`containment_pairs` so
+    a coverage bound is recorded, never assumed."""
+    post = shingle_postings(
+        df, id_col, text_col, n=ngram_words, carry_cols=block_cols
+    )
+    dfreq = post.groupBy(*block_cols, "_shingle").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    dropped = F.when(F.col("_df") > max_df, F.col("_df")).otherwise(F.lit(0))
+    return dfreq.groupBy(*block_cols).agg(
+        F.sum((F.col("_df") > max_df).cast("long")).alias("n_stop_shingles"),
+        F.sum(dropped).alias("dropped_postings"),
+        F.sum("_df").alias("total_postings"),
+        F.round(
+            F.sum(dropped).cast("double") / F.sum("_df").cast("double"), 6
+        ).alias("dropped_frac"),
+    )
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -764,6 +818,7 @@ def blocked_jaccard_pairs(
     *,
     ngram_words: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for all pairs *within each block*,
     computed by **inverted index** rather than a block-quadratic
@@ -780,13 +835,17 @@ def blocked_jaccard_pairs(
 
     Blocking keys (language, source, LSH bucket, ...) still bound the
     candidate space and are part of the output contract; the operator
-    intentionally requires them — at 100 TB you additionally want a
-    stop-shingle cap on pathological posting lists (df >> N/1000).
+    intentionally requires them. ``max_df`` additionally caps
+    pathological posting lists (the stop-shingle guard a 100 TB corpus
+    needs — see ``_blocked_intersections``); similarity is then over
+    the capped shingle universe, consistently on both sides of the
+    ratio.
     """
     assert block_cols, "blocked_jaccard_pairs requires blocking columns"
     assert threshold > 0, "zero-overlap pairs are not representable"
     out = _blocked_intersections(
-        df, id_col, text_col, block_cols, ngram_words=ngram_words
+        df, id_col, text_col, block_cols, ngram_words=ngram_words,
+        max_df=max_df,
     )
     union = F.col("_na") + F.col("_nb") - F.col("_inter")
     jac = F.round(F.col("_inter").cast("double") / union.cast("double"), 6)
@@ -804,6 +863,7 @@ def containment_pairs(
     *,
     ngram_words: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle-containment pairs within blocks: for each
     candidate pair, ``containment_a = |A∩B| / |A|`` (the fraction of
@@ -826,7 +886,8 @@ def containment_pairs(
     assert block_cols, "containment_pairs requires blocking columns"
     assert threshold > 0, "zero-overlap pairs are not representable"
     out = _blocked_intersections(
-        df, id_col, text_col, block_cols, ngram_words=ngram_words
+        df, id_col, text_col, block_cols, ngram_words=ngram_words,
+        max_df=max_df,
     )
     ca = F.round(F.col("_inter").cast("double") / F.col("_na").cast("double"), 6)
     cb = F.round(F.col("_inter").cast("double") / F.col("_nb").cast("double"), 6)

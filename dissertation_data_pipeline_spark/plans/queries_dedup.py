@@ -457,3 +457,98 @@ def ext_dedup_incremental(spark, sf_dir):
     index = batch_band_entries(corpus, "doc_id", "text")
     survivors, _ = dedup_incremental(inc, index, "doc_id", "text")
     return survivors.select("doc_id", "lang", "source")
+
+
+@register(
+    "ext_capped_jaccard_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks
+    ),
+    post AS (SELECT doc_id, lang, unnest(shingles) AS s FROM shl),
+    dfreq AS (SELECT lang, s, count(*) AS dfc FROM post GROUP BY 1, 2),
+    kept AS (
+      SELECT p.doc_id, p.lang, p.s
+      FROM post p JOIN dfreq d ON p.lang = d.lang AND p.s = d.s
+      WHERE d.dfc <= 10
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+    inter AS (
+      SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM kept a JOIN kept b
+        ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= 0.2
+    """,
+)
+def ext_capped_jaccard_pairs(spark, sf_dir):
+    """[EXT] blocked Jaccard WITH the stop-shingle cap (max_df=10):
+    shingles occurring in more than 10 documents of a language block
+    are dropped before set sizes and intersections — the 100 TB guard
+    against boilerplate posting lists whose self-join is df^2 rows.
+    The oracle implements the identical capped-universe rule, so the
+    gate verifies the cap's semantics, not just its existence."""
+    return dx.blocked_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["lang"],
+        threshold=0.2,
+        max_df=10,
+    )
+
+
+@register(
+    "ext_stop_shingle_report",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id, lang,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> array_to_string(t[i:i+2], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks
+    ),
+    post AS (SELECT doc_id, lang, unnest(shingles) AS s FROM shl),
+    dfreq AS (SELECT lang, s, count(*) AS dfc FROM post GROUP BY 1, 2)
+    SELECT lang,
+           CAST(sum(CASE WHEN dfc > 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_stop_shingles,
+           CAST(sum(CASE WHEN dfc > 10 THEN dfc ELSE 0 END) AS BIGINT)
+             AS dropped_postings,
+           CAST(sum(dfc) AS BIGINT) AS total_postings,
+           round(sum(CASE WHEN dfc > 10 THEN dfc ELSE 0 END)::DOUBLE
+                 / sum(dfc), 6) AS dropped_frac
+    FROM dfreq GROUP BY 1
+    """,
+)
+def ext_stop_shingle_report(spark, sf_dir):
+    """[EXT] the cap's audit twin: per-block stop-shingle count and
+    dropped posting mass under max_df=10 — 'no silent caps' as a
+    first-class, oracle-checked query."""
+    return dx.stop_shingle_report(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["lang"],
+        max_df=10,
+    )

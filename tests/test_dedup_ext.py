@@ -255,3 +255,52 @@ def test_exact_dedup_null_text_rows_are_singletons(spark):
         # NULL-text docs must NOT merge into one duplicate family
         assert by_canon.get(1) == 1 and by_canon.get(2) == 1
         assert by_canon.get(3) == 2
+
+
+def test_stop_shingle_cap_bounds_pathological_pairs(spark):
+    """The 100 TB guard: a boilerplate shingle shared by EVERY doc
+    makes the uncapped inverted index emit n^2/2 candidate pairs; with
+    max_df the boilerplate posting list is dropped and pair counts are
+    bounded by the true near-dup structure."""
+    n = 40
+    # every doc: the same license banner (one common 3-shingle source)
+    # + a unique tail; docs 2k/2k+1 additionally share a rare phrase
+    rows = []
+    for i in range(n):
+        rare = f"rare phrase number {i // 2} appears twice here"
+        rows.append((i, f"all rights reserved {rare} unique tail {i}", "en"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    uncapped = dx.blocked_jaccard_pairs(
+        df, "doc_id", "text", ["lang"], threshold=0.01
+    )
+    capped = dx.blocked_jaccard_pairs(
+        df, "doc_id", "text", ["lang"], threshold=0.01, max_df=5
+    )
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # boilerplate connects everything: ~n^2/2 pairs without the cap
+    assert n_uncapped >= (n * (n - 1)) // 2 // 2
+    # with the cap only the genuine rare-phrase partners remain
+    assert n_capped == n // 2
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(2 * k, 2 * k + 1) for k in range(n // 2)}
+
+
+def test_stop_shingle_report_accounts_dropped_mass(spark):
+    """No silent caps: the report quantifies exactly what max_df drops."""
+    rows = [
+        (i, "common common common banner text here plus word " + str(i), "en")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rep = dx.stop_shingle_report(
+        df, "doc_id", "text", ["lang"], max_df=5
+    ).collect()[0]
+    assert rep.n_stop_shingles > 0
+    assert rep.dropped_postings > 0
+    assert rep.total_postings > rep.dropped_postings
+    assert 0.0 < rep.dropped_frac < 1.0
+    # the accounting identity the log line relies on
+    assert rep.dropped_frac == round(
+        rep.dropped_postings / rep.total_postings, 6
+    )

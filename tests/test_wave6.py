@@ -13,6 +13,7 @@ from dissertation_data_pipeline_spark.operators.bpe import (
     EOW,
     bpe_segment,
     bpe_train,
+    bpe_train_batched,
 )
 from dissertation_data_pipeline_spark.operators.udafs import label_dim_medians
 
@@ -128,6 +129,48 @@ def test_bpe_train_randomized_parity(spark, seed):
     merges, _ = bpe_train(docs, num_merges=6)
     ref_merges, _ = _ref_bpe_train(texts, 6)
     assert merges == ref_merges
+
+
+def test_bpe_batched_batch1_is_exact_sequential(spark):
+    """batch=1 must reproduce the sequential trainer exactly (same
+    argmax, same tiebreak) — the parity anchor for the batched path."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+    )
+    seq_merges, _ = bpe_train(docs, num_merges=10)
+    bat_merges, _, rounds = bpe_train_batched(docs, num_merges=10, batch=1)
+    assert bat_merges == seq_merges
+    assert rounds == len(seq_merges)
+
+
+def test_bpe_batched_reduces_rounds(spark):
+    """The whole point: ~batch-fold fewer driver round-trips, and each
+    round's accepted pairs are pairwise symbol-disjoint."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(TEXTS)]
+    )
+    merges, words, rounds = bpe_train_batched(docs, num_merges=12, batch=4)
+    assert len(merges) == 12
+    assert rounds <= (12 + 3) // 4 + 2  # ~12/4 rounds, conflict slack
+    assert rounds < 12  # strictly fewer jobs than sequential
+    # final symbol table is consistent: every word re-joins to itself
+    for r in words.collect():
+        assert "".join(s for s in r.syms if s != EOW).replace(EOW, "") \
+            == r.word.replace(EOW, "")
+
+
+def test_bpe_batched_same_vocabulary_on_separated_corpus(spark):
+    """Well-separated frequencies over disjoint alphabets: batched BPE
+    learns the SAME merge set as sequential (order differs — sequential
+    cascades each word's (token, EOW) merge immediately; batching
+    defers it one round because every EOW pair shares the EOW symbol)
+    in strictly fewer driver round-trips."""
+    texts = ["ab"] * 40 + ["cd"] * 30 + ["ef"] * 20 + ["gh"] * 10
+    docs = spark.createDataFrame([Row(doc_id=0, text=" ".join(texts))])
+    seq_merges, _ = bpe_train(docs, num_merges=8)
+    bat_merges, _, rounds = bpe_train_batched(docs, num_merges=8, batch=8)
+    assert sorted(bat_merges) == sorted(seq_merges)
+    assert rounds < 8  # 5: chars round + one EOW merge per round
 
 
 def test_udaf_label_medians_exact(spark):

@@ -107,8 +107,11 @@ def target_encode_loo(
         df.join(F.broadcast(agg), category_col)
         .withColumn(
             "loo_target_mean",
-            (F.col("_s") - F.col(target_col)).cast("double")
-            / F.nullif(F.col("_c") - 1, F.lit(0)).cast("double"),
+            F.round(
+                (F.col("_s") - F.col(target_col)).cast("double")
+                / F.nullif(F.col("_c") - 1, F.lit(0)).cast("double"),
+                6,
+            ),
         )
         .drop("_s", "_c")
     )

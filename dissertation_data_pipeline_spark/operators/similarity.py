@@ -224,6 +224,16 @@ def ivf_assign(
         key=lambda r: r["cell_id"],
     )
     df = df.withColumn("_vn", l2_norm(vec_col))
+    if not cent_rows:
+        # empty centroid table (empty corpus): no cell can be assigned;
+        # return zero rows with the contract schema (a zero-element
+        # struct array literal would be VOID-typed and fail analysis)
+        return df.filter(F.lit(False)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_vn"),
+            F.lit(None).cast("int").alias("cell_id"),
+        )
     # array<struct<_na: -affinity, cell_id>>: ascending struct sort ==
     # (affinity DESC, cell_id ASC).  cosine_pre never yields NaN (zero
     # norms guard to 0.0), so negation preserves the total order.

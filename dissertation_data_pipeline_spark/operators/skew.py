@@ -135,8 +135,10 @@ def key_skew_report(df: DataFrame, key: Column | str, top: int = 10) -> DataFram
         .select(
             "key",
             "cnt",
-            (F.col("cnt") / F.col("_rows")).alias("share"),
-            (F.col("cnt") * F.col("_keys") / F.col("_rows")).alias("x_mean"),
+            F.round(F.col("cnt") / F.col("_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt") * F.col("_keys") / F.col("_rows"), 6
+            ).alias("x_mean"),
         )
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(top)

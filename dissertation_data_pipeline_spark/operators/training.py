@@ -110,9 +110,15 @@ def repetition_profile(
             id_col,
             "n_tokens",
             "n_distinct_tokens",
-            (F.col("n_distinct_tokens") / F.col("n_tokens")).alias("distinct_ratio"),
-            (F.col("top_token_count") / F.col("n_tokens")).alias("top_token_frac"),
-            (F.col("top_bigram_count") / F.col("n_bigrams")).alias("top_bigram_frac"),
+            # ratios rounded to 6dp: a single int/int IEEE division is
+            # engine-identical, but rounding every emitted DOUBLE ratio
+            # removes the whole cross-engine float class from the gate
+            F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6)
+            .alias("distinct_ratio"),
+            F.round(F.col("top_token_count") / F.col("n_tokens"), 6)
+            .alias("top_token_frac"),
+            F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6)
+            .alias("top_bigram_frac"),
         )
     )
 
@@ -136,7 +142,12 @@ def gopher_quality_gate(
     """
     text = F.col(text_col)
     n_tokens = F.size(F.split(text, " "))
-    mean_wl = F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_tokens
+    # rounded BEFORE the keep-predicate so the emitted value and the
+    # bounds test can never disagree (and the oracle applies the same
+    # round-then-compare order)
+    mean_wl = F.round(
+        F.length(F.replace(text, F.lit(" "), F.lit(""))) / n_tokens, 6
+    )
     padded = F.concat(F.lit(" "), text, F.lit(" "))
     stop_hits = sum(
         F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS

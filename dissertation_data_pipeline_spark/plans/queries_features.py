@@ -105,8 +105,8 @@ def ext_feature_hashing(spark, sf_dir):
       FROM documents GROUP BY 1
     )
     SELECT d.doc_id, d.source,
-           CAST(agg.s - d.n_chars AS DOUBLE)
-             / CAST(nullif(agg.c - 1, 0) AS DOUBLE) AS loo_target_mean
+           round(CAST(agg.s - d.n_chars AS DOUBLE)
+                 / CAST(nullif(agg.c - 1, 0) AS DOUBLE), 6) AS loo_target_mean
     FROM documents d JOIN agg USING (source)
     """,
 )
@@ -147,7 +147,7 @@ def _corr_sql() -> str:
         # then covariance/variances, then one sqrt — every input to a
         # float op is an exact-integer cast
         return (
-            f"(CAST(s{a}{b} AS DOUBLE) / CAST(n AS DOUBLE)"
+            f"round((CAST(s{a}{b} AS DOUBLE) / CAST(n AS DOUBLE)"
             f" - (CAST(s{a} AS DOUBLE) / CAST(n AS DOUBLE))"
             f" * (CAST(s{b} AS DOUBLE) / CAST(n AS DOUBLE)))"
             f" / sqrt("
@@ -156,7 +156,7 @@ def _corr_sql() -> str:
             f" * (CAST(s{a} AS DOUBLE) / CAST(n AS DOUBLE)))"
             f" * (CAST(s{b}{b} AS DOUBLE) / CAST(n AS DOUBLE)"
             f" - (CAST(s{b} AS DOUBLE) / CAST(n AS DOUBLE))"
-            f" * (CAST(s{b} AS DOUBLE) / CAST(n AS DOUBLE))))"
+            f" * (CAST(s{b} AS DOUBLE) / CAST(n AS DOUBLE)))), 6)"
         )
 
     arms = " UNION ALL ".join(
@@ -211,7 +211,7 @@ def ext_corr_matrix(spark, sf_dir):
         exy = F.col(f"s{a}{b}").cast("double") / n
         cov = exy - mean(a) * mean(b)
         var = lambda k: e2(k) - mean(k) * mean(k)  # noqa: E731
-        return cov / F.sqrt(var(a) * var(b))
+        return F.round(cov / F.sqrt(var(a) * var(b)), 6)
 
     rows = F.array(
         *[
@@ -386,8 +386,9 @@ def ext_table_profile(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT d.label_a, d.label_b,
-           CAST(d.num AS DOUBLE)
-             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos_sim
+           round(CAST(d.num AS DOUBLE)
+                 / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+             AS cos_sim
     FROM dots d
     JOIN norms na ON na.label = d.label_a
     JOIN norms nb ON nb.label = d.label_b
@@ -444,9 +445,10 @@ def ext_label_centroid_sim(spark, sf_dir):
         .select(
             "label_a",
             "label_b",
-            (
+            F.round(
                 F.col("num").cast("double")
-                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double"))
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -496,10 +498,10 @@ def ext_sql_surface(spark, sf_dir):
       FROM cents GROUP BY 1
     )
     SELECT c.event_id, c.event_type,
-           (CAST(c.v AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
-             / sqrt(CAST(m.s2 AS DOUBLE) / CAST(m.n AS DOUBLE)
-                    - (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
-                      * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))) AS z
+           round((CAST(c.v AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                 / sqrt(CAST(m.s2 AS DOUBLE) / CAST(m.n AS DOUBLE)
+                        - (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+                          * (CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))), 6) AS z
     FROM cents c JOIN m USING (event_type)
     """,
 )
@@ -527,7 +529,7 @@ def ext_zscore_scaler(spark, sf_dir):
     return cents.join(F.broadcast(m), "event_type").select(
         "event_id",
         "event_type",
-        ((F.col("v").cast("double") - mean) / F.sqrt(var)).alias("z"),
+        F.round((F.col("v").cast("double") - mean) / F.sqrt(var), 6).alias("z"),
     )
 
 

@@ -97,7 +97,8 @@ def ext_salted_two_phase_agg(spark, sf_dir):
     ), totals AS (
       SELECT sum(cnt) AS _rows, count(*) AS _keys FROM counts
     )
-    SELECT key, cnt, cnt / _rows AS share, cnt * _keys / _rows AS x_mean
+    SELECT key, cnt, round(cnt / _rows, 6) AS share,
+           round(cnt * _keys / _rows, 6) AS x_mean
     FROM counts, totals
     ORDER BY cnt DESC, key LIMIT 10
     """,

@@ -163,9 +163,9 @@ def ext_time_rollup(spark, sf_dir):
       FROM events
     )
     SELECT event_type,
-           quantile_cont(v, 0.25) / 100 AS p25,
-           quantile_cont(v, 0.5)  / 100 AS p50,
-           quantile_cont(v, 0.75) / 100 AS p75
+           round(quantile_cont(v, 0.25) / 100, 6) AS p25,
+           round(quantile_cont(v, 0.5)  / 100, 6) AS p50,
+           round(quantile_cont(v, 0.75) / 100, 6) AS p75
     FROM cents GROUP BY 1
     """,
 )
@@ -181,7 +181,7 @@ def ext_event_percentiles(spark, sf_dir):
     )
     agg = cents.groupBy("event_type").agg(
         *[
-            (F.percentile("v", F.lit(q)) / 100).alias(f"p{int(q * 100)}")
+            F.round(F.percentile("v", F.lit(q)) / 100, 6).alias(f"p{int(q * 100)}")
             for q in (0.25, 0.5, 0.75)
         ]
     )
@@ -327,7 +327,7 @@ def ext_range_window_hour(spark, sf_dir):
       FROM events
     )
     SELECT event_type,
-           quantile_cont(v, 0.5) / 100 AS exact_p50,
+           round(quantile_cont(v, 0.5) / 100, 6) AS exact_p50,
            abs(approx_quantile(v, 0.5) / 100.0 - quantile_cont(v, 0.5) / 100)
              <= greatest(0.05 * abs(quantile_cont(v, 0.5) / 100), 1.0) AS approx_within_5pct
     FROM cents GROUP BY 1
@@ -347,7 +347,7 @@ def ext_approx_percentile_bounded(spark, sf_dir):
     exact = F.percentile("v", F.lit(0.5)) / 100
     approx = F.percentile_approx("v", F.lit(0.5), F.lit(10000)).cast("double") / 100
     return cents.groupBy("event_type").agg(
-        exact.alias("exact_p50"),
+        F.round(exact, 6).alias("exact_p50"),
         (
             F.abs(approx - exact)
             <= F.greatest(0.05 * F.abs(exact), F.lit(1.0))

@@ -31,8 +31,10 @@ def _dec(col) -> F.Column:
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
                     * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -55,8 +57,10 @@ def tpch_q1_pricing_summary(spark, sf_dir):
         F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
         F.sum(disc_price).cast("double").alias("sum_disc_price"),
         F.sum(charge).cast("double").alias("sum_charge"),
-        (F.sum(_dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
-        (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / cnt, 6)
+        .alias("avg_qty"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / cnt, 6)
+        .alias("avg_disc"),
         cnt.alias("count_order"),
     )
 
@@ -284,13 +288,13 @@ def tpch_q10_returned_items(spark, sf_dir):
 @register(
     "tpch_q14_promo_effect",
     """
-    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT round(CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))
                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
            / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-           AS DOUBLE) AS promo_revenue_pct,
+           AS DOUBLE), 6) AS promo_revenue_pct,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -314,13 +318,14 @@ def tpch_q14_promo_effect(spark, sf_dir):
         F.lit(0).cast("decimal(18,2)")
     )
     return df.agg(
-        (
-            F.lit(100.0)
-            * F.sum(promo).cast("double")
-            / F.sum(disc).cast("double")
-        )
-        .cast("double")
-        .alias("promo_revenue_pct"),
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(disc).cast("double")
+            ).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

@@ -84,9 +84,9 @@ def tpch_q4_order_priority(spark, sf_dir):
     "tpch_q8_market_share",
     """
     SELECT o_year,
-           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol
+           round(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol
                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE) AS mkt_share,
+                / CAST(SUM(vol) AS DOUBLE) AS DOUBLE), 6) AS mkt_share,
            count(*) AS n_lines
     FROM (
       SELECT year(o_orderdate) AS o_year,
@@ -155,9 +155,11 @@ def tpch_q8_market_share(spark, sf_dir):
         F.col("supp_nation") == "NATION_1", F.col("vol")
     ).otherwise(F.lit(0).cast("decimal(18,2)"))
     return df.groupBy("o_year").agg(
-        (F.sum(nation_vol).cast("double") / F.sum("vol").cast("double"))
-        .cast("double")
-        .alias("mkt_share"),
+        F.round(
+            (F.sum(nation_vol).cast("double") / F.sum("vol").cast("double"))
+            .cast("double"),
+            6,
+        ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 

@@ -77,9 +77,9 @@ _SRC_NUM = "CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER)"
       GROUP BY 1
     )
     SELECT p.doc_id, n_tokens, n_distinct_tokens,
-           n_distinct_tokens / n_tokens AS distinct_ratio,
-           top_token_count / n_tokens AS top_token_frac,
-           top_bigram_count / n_bigrams AS top_bigram_frac
+           round(n_distinct_tokens / n_tokens, 6) AS distinct_ratio,
+           round(top_token_count / n_tokens, 6) AS top_token_frac,
+           round(top_bigram_count / n_bigrams, 6) AS top_bigram_frac
     FROM per_tok p LEFT JOIN per_big b ON p.doc_id = b.doc_id
     """,
 )
@@ -100,8 +100,8 @@ def ext_repetition_profile(spark, sf_dir):
     FROM (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
-             length(replace(text, ' ', '')) / len(string_split(text, ' '))
-               AS mean_word_len,
+             round(length(replace(text, ' ', ''))
+                   / len(string_split(text, ' ')), 6) AS mean_word_len,
              (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
               + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
               + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END

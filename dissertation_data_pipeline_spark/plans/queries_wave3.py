@@ -104,8 +104,8 @@ def ext_chunk_dedup_clean(spark, sf_dir):
     SELECT td.doc_id,
            CAST(SUM(td.c) AS BIGINT) AS n_tokens,
            CAST(SUM(td.c * corpus.freq) AS BIGINT) AS freq_sum,
-           CAST(SUM(td.c * corpus.freq) AS DOUBLE) / CAST(SUM(td.c) AS DOUBLE)
-             AS avg_tok_freq
+           round(CAST(SUM(td.c * corpus.freq) AS DOUBLE)
+                 / CAST(SUM(td.c) AS DOUBLE), 6) AS avg_tok_freq
     FROM td JOIN corpus USING (tok)
     GROUP BY 1
     """,
@@ -138,9 +138,10 @@ def ext_token_freq_quality(spark, sf_dir):
         .agg(
             F.sum("c").alias("n_tokens"),
             F.sum(F.col("c") * F.col("freq")).alias("freq_sum"),
-            (
+            F.round(
                 F.sum(F.col("c") * F.col("freq")).cast("double")
-                / F.sum("c").cast("double")
+                / F.sum("c").cast("double"),
+                6,
             ).alias("avg_tok_freq"),
         )
     )
@@ -331,15 +332,17 @@ def ext_histogram_equidepth(spark, sf_dir):
       FROM pts GROUP BY 1
     )
     SELECT event_type, n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_hour,
-           (CAST(sy AS DOUBLE)
-              - CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
-             / CAST(n AS DOUBLE) AS intercept_cents,
-           CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n * sxx - sx * sx AS DOUBLE)
-                * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+             AS slope_cents_per_hour,
+           round((CAST(sy AS DOUBLE)
+                    - CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept_cents,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 * CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
     FROM m
     """,
 )
@@ -383,12 +386,13 @@ def ext_group_linreg(spark, sf_dir):
     return m.select(
         "event_type",
         "n",
-        slope.alias("slope_cents_per_hour"),
-        (
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round(
             (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
+            / F.col("n").cast("double"),
+            6,
         ).alias("intercept_cents"),
-        (num * num / (den * deny)).alias("r2"),
+        F.round(num * num / (den * deny), 6).alias("r2"),
     )
 
 

@@ -193,3 +193,155 @@ class RestPagesDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> RestPagesStreamReader:
         return RestPagesStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# S7 — bulk-dataset source with hash-incremental skip
+# ---------------------------------------------------------------------------
+
+#: bulk-dataset record contract: each dataset unpacks to keyed payload
+#: rows, tagged with the dataset id + the listing's content hash (the
+#: hash is what downstream state recording persists — I1)
+DATASET_FEED_SCHEMA = (
+    "dataset_id string, content_hash string, record_id string, payload string"
+)
+
+
+def fetch_dataset_list(endpoint: str, transport=None) -> list[dict]:
+    """Transport: the dataset LISTING — ``[{dataset_id, content_hash}]``.
+
+    The reference's ``getDatasetList`` (legiscan_api.py:84-104) returns
+    per-session dataset descriptors whose ``dataset_hash`` is the
+    change-detection key. ``file://<dir>`` endpoints read
+    ``<dir>/datasets.json``; ``http(s)://`` endpoints GET
+    ``<endpoint>?op=list`` through the paced transport."""
+    if endpoint.startswith("file://"):
+        path = os.path.join(endpoint[len("file://"):], "datasets.json")
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+    if endpoint.startswith(("http://", "https://")):
+        from dissertation_data_pipeline_spark.sources.transport import (
+            http_transport,
+        )
+
+        t = transport if transport is not None else http_transport()
+        sep = "&" if "?" in endpoint else "?"
+        return t.get_json(f"{endpoint}{sep}op=list")
+    raise NotImplementedError(
+        "unsupported endpoint scheme; file:// and http(s):// transports "
+        "implement the fetch_dataset_list contract"
+    )
+
+
+def fetch_dataset(endpoint: str, dataset_id: str, transport=None) -> list[dict]:
+    """Transport: ONE dataset's records — ``[{record_id, payload}]``.
+
+    The reference's ``getDataset`` (legiscan_api.py:106-125) downloads
+    a per-session archive; the engine's unit of parallelism and of
+    retry is the dataset (one executor task re-fetches one dataset,
+    never the whole listing). ``file://`` reads
+    ``<dir>/dataset-<id>.json``; ``http(s)://`` GETs ``op=dataset``."""
+    if endpoint.startswith("file://"):
+        path = os.path.join(
+            endpoint[len("file://"):], f"dataset-{dataset_id}.json"
+        )
+        if not os.path.exists(path):
+            return []
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+    if endpoint.startswith(("http://", "https://")):
+        from dissertation_data_pipeline_spark.sources.transport import (
+            http_transport,
+        )
+
+        t = transport if transport is not None else http_transport()
+        sep = "&" if "?" in endpoint else "?"
+        return t.get_json(f"{endpoint}{sep}op=dataset&id={dataset_id}")
+    raise NotImplementedError(
+        "unsupported endpoint scheme; file:// and http(s):// transports "
+        "implement the fetch_dataset contract"
+    )
+
+
+def load_known_hashes(state_path: str) -> dict[str, str]:
+    """``{dataset_id: content_hash}`` recorded by a previous run (the
+    engine twin of legiscan_api.py:21-56's hash file). Missing file ==
+    first run == everything is new."""
+    if not state_path or not os.path.exists(state_path):
+        return {}
+    with open(state_path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def record_dataset_hashes(state_path: str, listing: list[dict]) -> None:
+    """Persist the listing's hashes AFTER a successful ingest —
+    write-tmp-then-rename so a crash mid-record never corrupts state
+    (same discipline as StateTable.upsert). Deliberately a separate
+    caller-driven step, NOT a side effect of the read: a failed
+    downstream write must leave the hashes unrecorded so the next run
+    re-ingests (at-least-once, converging on exactly-once via the
+    idempotent dataset payloads)."""
+    known = load_known_hashes(state_path)
+    known.update({d["dataset_id"]: d["content_hash"] for d in listing})
+    tmp = state_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(known, fh)
+    os.replace(tmp, state_path)
+
+
+class BulkDatasetsReader(DataSourceReader):
+    """Partition-per-CHANGED-dataset batch reader. The listing fetch
+    and the hash-skip happen at PLANNING time on the driver (one tiny
+    listing call — the reference does the same sequentially); dataset
+    payload fetches run in parallel on executors. A dataset whose
+    listed hash equals the recorded one produces NO partition at all:
+    skipped work is work the cluster never schedules."""
+
+    def __init__(self, options: dict) -> None:
+        self.endpoint = options.get("endpoint", "")
+        self.state_path = options.get("state_path", "")
+
+    def partitions(self) -> list[InputPartition]:
+        known = load_known_hashes(self.state_path)
+        parts = [
+            InputPartition((d["dataset_id"], d["content_hash"]))
+            for d in fetch_dataset_list(self.endpoint)
+            if known.get(d["dataset_id"]) != d["content_hash"]
+        ]
+        # everything up to date: the DataSource API requires >= 1
+        # partition (an empty list makes Spark schedule read(None)),
+        # so plan one explicit no-op partition
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None or partition.value is None:
+            return
+        ds_id, content_hash = partition.value
+        for rec in fetch_dataset(self.endpoint, ds_id):
+            yield (ds_id, content_hash, rec.get("record_id"), rec.get("payload"))
+
+
+class BulkDatasetsDataSource(DataSource):
+    """S7 as a first-class batch source::
+
+        spark.dataSource.register(BulkDatasetsDataSource)
+        df = (spark.read.format("bulk_datasets")
+              .option("endpoint", "file:///fixtures/legiscan")
+              .option("state_path", "/state/dataset_hashes.json")
+              .load())
+        ...   # transform + write
+        record_dataset_hashes("/state/dataset_hashes.json",
+                              fetch_dataset_list(endpoint))
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "bulk_datasets"
+
+    def schema(self) -> str:
+        return DATASET_FEED_SCHEMA
+
+    def reader(self, schema) -> BulkDatasetsReader:
+        return BulkDatasetsReader(self.options)

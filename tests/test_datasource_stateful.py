@@ -178,3 +178,82 @@ def test_rest_pages_stream_picks_up_new_pages(spark, tmp_path):
 
     counts = Counter(r["identifier"] for r in run().collect())
     assert counts["HB4"] == 1
+
+
+# --- S7: bulk-dataset batch source with hash-skip ------------------------
+
+def _write_datasets(root: str, datasets: dict[str, tuple[str, int]]) -> None:
+    """datasets: {dataset_id: (content_hash, n_records)}"""
+    os.makedirs(root, exist_ok=True)
+    listing = [
+        {"dataset_id": ds, "content_hash": h}
+        for ds, (h, _) in sorted(datasets.items())
+    ]
+    with open(os.path.join(root, "datasets.json"), "w") as fh:
+        json.dump(listing, fh)
+    for ds, (_, n) in datasets.items():
+        recs = [
+            {"record_id": f"{ds}-r{i}", "payload": f"payload-{ds}-{i}"}
+            for i in range(n)
+        ]
+        with open(os.path.join(root, f"dataset-{ds}.json"), "w") as fh:
+            json.dump(recs, fh)
+
+
+@pytest.mark.skipif(not HAVE_DATASOURCE_API, reason="needs pyspark>=4")
+def test_bulk_datasets_partition_per_dataset(spark, tmpdirs):
+    from dissertation_data_pipeline_spark.sources.datasource import (
+        BulkDatasetsDataSource,
+    )
+
+    _write_datasets(tmpdirs, {"s1": ("h1", 3), "s2": ("h2", 2)})
+    spark.dataSource.register(BulkDatasetsDataSource)
+    df = (
+        spark.read.format("bulk_datasets")
+        .option("endpoint", f"file://{tmpdirs}")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per dataset
+    rows = df.collect()
+    assert len(rows) == 5
+    got = {(r.dataset_id, r.record_id) for r in rows}
+    assert ("s1", "s1-r0") in got and ("s2", "s2-r1") in got
+    assert {r.content_hash for r in rows} == {"h1", "h2"}
+
+
+@pytest.mark.skipif(not HAVE_DATASOURCE_API, reason="needs pyspark>=4")
+def test_bulk_datasets_hash_skip_and_rerecord(spark, tmpdirs):
+    """I1/I3 through the batch source: unchanged datasets plan ZERO
+    partitions; a changed hash re-ingests exactly that dataset; after
+    record_dataset_hashes a rerun reads nothing."""
+    from dissertation_data_pipeline_spark.sources.datasource import (
+        BulkDatasetsDataSource,
+        fetch_dataset_list,
+        record_dataset_hashes,
+    )
+
+    feed = os.path.join(tmpdirs, "feed")
+    state = os.path.join(tmpdirs, "hashes.json")
+    _write_datasets(feed, {"s1": ("h1", 3), "s2": ("h2", 2)})
+    spark.dataSource.register(BulkDatasetsDataSource)
+
+    def read():
+        return (
+            spark.read.format("bulk_datasets")
+            .option("endpoint", f"file://{feed}")
+            .option("state_path", state)
+            .load()
+        )
+
+    # first run: everything is new
+    assert read().count() == 5
+    record_dataset_hashes(state, fetch_dataset_list(f"file://{feed}"))
+    # rerun with no upstream change: nothing is scheduled
+    assert read().count() == 0
+    # s2 publishes a new hash with one more record
+    _write_datasets(feed, {"s1": ("h1", 3), "s2": ("h2b", 3)})
+    changed = read()
+    assert changed.count() == 3
+    assert {r.dataset_id for r in changed.collect()} == {"s2"}
+    record_dataset_hashes(state, fetch_dataset_list(f"file://{feed}"))
+    assert read().count() == 0

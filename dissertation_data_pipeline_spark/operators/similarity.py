@@ -198,7 +198,7 @@ def ivf_centroids(
 
 def ivf_assign(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     *,
     id_col: str,
     vec_col: str,
@@ -215,45 +215,73 @@ def ivf_assign(
     bit-for-bit; ties break on ascending cell_id exactly as before.
 
     Scale: the per-row cost is n_cells folds — the same arithmetic the
-    crossJoin version paid, minus materializing corpus x n_cells rows
-    and shuffling them through a window. At 100 TB this is the only
-    formulation that survives: assignment stays inside the scan stage
-    and the corpus is never re-partitioned just to pick a cell."""
-    cent_rows = sorted(
-        centroids.select("cell_id", "centroid", "_kn").collect(),
-        key=lambda r: r["cell_id"],
-    )
+    old crossJoin-per-centroid version paid, minus materializing
+    corpus x n_cells rows and shuffling them through a window. At
+    100 TB this is the only formulation that survives: assignment
+    stays inside the scan stage and the corpus is never re-partitioned
+    just to pick a cell.
+
+    Two centroid transports, same math:
+
+    - **DataFrame** (default): the centroid table is aggregated into
+      ONE packed row (``collect_list`` of (cell_id, centroid, norm)
+      structs) and broadcast-crossJoined — fully lazy, no driver
+      round-trip, no extra Spark job, and the whole query stays one
+      fused job. This is the 1-row-broadcast pattern the rest of the
+      engine uses for scalar state.
+    - **list** (pre-collected rows): inlined as constant-folded
+      literal arrays — for callers that already hold the quantizer
+      driver-side (e.g. a trained codebook loaded from a file).
+    """
     df = df.withColumn("_vn", l2_norm(vec_col))
-    if not cent_rows:
-        # empty centroid table (empty corpus): no cell can be assigned;
-        # return zero rows with the contract schema (a zero-element
-        # struct array literal would be VOID-typed and fail analysis)
-        return df.filter(F.lit(False)).select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("_vn"),
-            F.lit(None).cast("int").alias("cell_id"),
+    if isinstance(centroids, list):
+        cent_rows = sorted(centroids, key=lambda r: r["cell_id"])
+        if not cent_rows:
+            # no cells exist; zero rows with the contract schema (a
+            # zero-element struct-array literal would be VOID-typed)
+            return df.filter(F.lit(False)).select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("_vn"),
+                F.lit(None).cast("int").alias("cell_id"),
+            )
+        packed_col = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["cell_id"])).alias("cell_id"),
+                    F.array(
+                        *[F.lit(float(v)) for v in r["centroid"]]
+                    ).alias("centroid"),
+                    F.lit(float(r["_kn"])).alias("_kn"),
+                )
+                for r in cent_rows
+            ]
         )
+        tagged = df.withColumn("_cents", packed_col)
+    else:
+        packed = centroids.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cell_id", "centroid", "_kn"))
+            ).alias("_cents")
+        )
+        tagged = df.crossJoin(F.broadcast(packed))
     # array<struct<_na: -affinity, cell_id>>: ascending struct sort ==
     # (affinity DESC, cell_id ASC).  cosine_pre never yields NaN (zero
-    # norms guard to 0.0), so negation preserves the total order.
-    affs = F.array(
-        *[
-            F.struct(
-                (
-                    -cosine_pre(
-                        vec_col,
-                        F.array(*[F.lit(float(v)) for v in r["centroid"]]),
-                        F.col("_vn"),
-                        F.lit(float(r["_kn"])),
-                    )
-                ).alias("_na"),
-                F.lit(int(r["cell_id"])).alias("cell_id"),
-            )
-            for r in cent_rows
-        ]
+    # norms guard to 0.0), so negation preserves the total order. An
+    # empty centroid table gives an empty _cents array -> explode
+    # yields zero rows, types intact.
+    affs = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                -cosine_pre(
+                    vec_col, c["centroid"], F.col("_vn"), c["_kn"]
+                )
+            ).alias("_na"),
+            c["cell_id"].alias("cell_id"),
+        ),
     )
-    return df.select(
+    return tagged.select(
         F.col(id_col),
         F.col(vec_col),
         F.col("_vn"),
@@ -280,6 +308,8 @@ def ivf_topk(
     vectors assigned to its ``n_probe`` nearest cells. Cells partition
     the corpus (each vector lives in exactly one), so no pair is scored
     twice and the probe set bounds read volume by n_probe/n_cells."""
+    # both assignments broadcast the same packed 1-row centroid
+    # aggregate; exchange reuse makes it one broadcast, zero collects
     cents = ivf_centroids(
         corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, n_cells=n_cells
     )
@@ -287,7 +317,8 @@ def ivf_topk(
         corpus, cents, id_col=corpus_id, vec_col=corpus_vec
     ).withColumnRenamed("_vn", "_cn")
     probes = ivf_assign(
-        queries, cents, id_col=query_id, vec_col=query_vec, rank_upto=n_probe
+        queries, cents, id_col=query_id, vec_col=query_vec,
+        rank_upto=n_probe,
     ).withColumnRenamed("_vn", "_qn")
     scored = _maybe_exclude_self(
         F.broadcast(probes).join(cells, "cell_id"),

@@ -250,6 +250,8 @@ def ext_ann_ivf_trained_topk(spark, sf_dir):
     The SSE-monotone Lloyd contract is additionally pinned in
     test_similarity_textanalysis."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # the refined centroids end in a localCheckpoint, so the packed
+    # 1-row broadcast both assignments share is computed once
     cents = sim.kmeans_refine(emb, sim.ivf_centroids(emb, n_cells=8), rounds=1)
     cells = sim.ivf_assign(
         emb, cents, id_col="vec_id", vec_col="embedding"

@@ -45,6 +45,7 @@ __all__ = [
     "pack_sequences",
     "uniform_hash_u32",
     "bigram_lm_scores",
+    "ccnet_perplexity_buckets",
     "stratified_sample",
     "domain_resample",
     "corpus_top_bigrams",
@@ -560,3 +561,46 @@ def pmi_collocations(
             F.round(F.log("_score"), 4).alias("pmi"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition (Wenzek et al. 2020
+    §4.3): within each language, rank documents by LM perplexity and
+    cut into ``n_buckets`` equal-frequency buckets — 'head' (lowest
+    perplexity, highest quality) is what the pipeline keeps for
+    training, 'tail' is dropped or down-weighted.
+
+    Composes :func:`bigram_lm_scores` (the corpus-as-LM score) with a
+    per-language ``ntile`` over the deterministic total order
+    (perplexity ASC — already rounded to 4dp by the scorer — then
+    ``id_col`` ASC, so ranking is engine-independent under ties).
+
+    Scale: scoring is the LM operator's pre-aggregated join-back; the
+    bucket pass is ONE window shuffle partitioned by language —
+    parallel across languages, no global sort. Documents with fewer
+    than two tokens have no LM score and are excluded, as in CCNet
+    (they carry no n-gram evidence either way).
+    """
+    labels = {1: "head", 2: "middle", 3: "tail"}
+    scores = bigram_lm_scores(df, id_col=id_col, text_col=text_col)
+    scored = df.select(id_col, lang_col).join(scores, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.asc("perplexity"), F.asc(id_col)
+    )
+    bucket = F.ntile(n_buckets).over(w)
+    out = scored.select(
+        F.col(id_col), F.col(lang_col), "perplexity",
+        bucket.alias("bucket"),
+    )
+    if n_buckets == 3:
+        name = F.element_at(
+            F.array(*[F.lit(labels[i]) for i in (1, 2, 3)]), F.col("bucket")
+        )
+        out = out.withColumn("bucket_name", name)
+    return out

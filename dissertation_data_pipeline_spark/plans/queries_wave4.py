@@ -314,3 +314,52 @@ def ext_repeated_substring_spans(spark, sf_dir):
         F.col("span_end").cast("long").alias("span_end"),
         F.col("span_chars").cast("long").alias("span_chars"),
     )
+
+
+@register(
+    "ext_ccnet_buckets",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(tk))) AS i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT count(DISTINCT w2) AS vocab FROM bg),
+    scored AS (
+      SELECT bg.doc_id,
+             ln((c12 + 1)::DOUBLE / (c1 + vocab)::DOUBLE) AS lp
+      FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v
+    ),
+    ppl AS (
+      SELECT doc_id, round(exp(-sum(lp) / count(*)), 4) AS perplexity
+      FROM scored GROUP BY 1
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, p.perplexity,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY p.perplexity ASC, d.doc_id ASC) AS bucket
+      FROM documents d JOIN ppl p ON p.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, perplexity, bucket,
+           (['head', 'middle', 'tail'])[bucket] AS bucket_name
+    FROM ranked
+    """,
+)
+def ext_ccnet_buckets(spark, sf_dir):
+    """[EXT] CCNet head/middle/tail corpus partition (Wenzek et al.
+    2020 §4.3): per-language equal-frequency perplexity buckets over
+    the corpus-trained bigram LM score — 'head' is the training-set
+    keep, 'tail' the drop. Deterministic: the ntile order is
+    (4dp-rounded perplexity ASC, doc_id ASC), a total order both
+    engines agree on. One window shuffle on the language key beyond
+    the LM scorer's plan."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        ccnet_perplexity_buckets,
+    )
+
+    return ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))

@@ -37,6 +37,10 @@ SAMPLE = [
     "ext_incremental_agg",         # full-outer merge of aggregates
     "ext_udaf_label_medians",      # grouped-agg pandas UDAF
     "ext_source_overlap_sketch",   # bottom-k sketches
+    # round 3 additions
+    "ext_capped_jaccard_pairs",    # stop-shingle df cap (window count)
+    "ext_weighted_median",         # int64 cumulative-weight crossing
+    "ext_ann_ivf_topk",            # packed-broadcast argmax assignment
 ]
 
 

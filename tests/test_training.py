@@ -263,3 +263,34 @@ def test_domain_resample_zero_copies_drops_row(spark):
     for r in domain_resample(df, F.col("w")).collect():
         got.setdefault(r.doc_id, []).append(r.copy_idx)
     assert got == {1: [1, 2, 3]}
+
+
+def test_ccnet_buckets_semantics(spark, sf_dir):
+    """Head bucket has the lowest perplexities; buckets are
+    equal-frequency per language (ntile contract: sizes differ by at
+    most 1); every scored doc lands in exactly one bucket."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        bigram_lm_scores,
+        ccnet_perplexity_buckets,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ccnet_perplexity_buckets(docs).collect()
+    n_scored = bigram_lm_scores(docs).count()
+    assert len(out) == n_scored  # every scored doc bucketed once
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        sizes = {}
+        for r in rows:
+            sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, lang
+        head_max = max(r.perplexity for r in rows if r.bucket == 1)
+        tail_min = min(r.perplexity for r in rows if r.bucket == 3)
+        assert head_max <= tail_min or abs(head_max - tail_min) < 1e-9
+        assert all(
+            {1: "head", 2: "middle", 3: "tail"}[r.bucket] == r.bucket_name
+            for r in rows
+        )

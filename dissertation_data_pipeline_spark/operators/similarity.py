@@ -335,6 +335,94 @@ def ivf_topk(
     return _rank_topk(scored, query_id, corpus_id, k)
 
 
+def write_ivf_partitioned(
+    corpus: DataFrame,
+    path: str,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    n_cells: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index AS A STORAGE LAYOUT: the corpus is
+    written partitioned by ``cell_id`` (one directory per coarse cell,
+    precomputed norms stored alongside the vectors) plus a sibling
+    ``centroids`` table holding the exact quantizer.
+
+    This is the claim every IVF docstring here makes, made executable:
+    at 100 TB the index IS the directory structure — a probe that
+    touches ``n_probe`` of ``n_cells`` cells becomes a planning-time
+    partition-pruned scan that never lists, opens, or reads the other
+    cells' files. No search service, no external index; the lakehouse
+    layout carries the recall/IO trade-off.
+    """
+    cents = ivf_centroids(
+        corpus, corpus_id=corpus_id, corpus_vec=corpus_vec, n_cells=n_cells
+    )
+    cells = ivf_assign(corpus, cents, id_col=corpus_id, vec_col=corpus_vec)
+    (
+        cells.withColumnRenamed("_vn", "norm")
+        .write.mode(mode)
+        .partitionBy("cell_id")
+        .parquet(f"{path}/cells")
+    )
+    cents.write.mode(mode).parquet(f"{path}/centroids")
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Probe a :func:`write_ivf_partitioned` layout: assign each query
+    its ``n_probe`` cells with the STORED centroids (so probe-side
+    assignment is bit-identical to the one that placed the corpus),
+    collect the tiny distinct probe-cell set, and scan ``cells/`` with
+    a ``cell_id IN (...)`` predicate — a partition filter, resolved at
+    planning time against the directory listing: unprobed cells
+    contribute zero files to the scan (asserted by test against the
+    physical plan's PartitionFilters).
+
+    The one driver action is the distinct probe-cell collect —
+    n_queries x n_probe values, the price of planning-time pruning
+    (the same move as dynamic partition pruning, done explicitly).
+    Results are identical to the in-memory :func:`ivf_topk` over the
+    same corpus — pinned by test."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    probes = ivf_assign(
+        queries, cents, id_col=query_id, vec_col=query_vec, rank_upto=n_probe
+    ).withColumnRenamed("_vn", "_qn")
+    probe_cells = [
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    ]
+    cells = (
+        spark.read.parquet(f"{path}/cells")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .withColumnRenamed("norm", "_cn")
+    )
+    scored = _maybe_exclude_self(
+        F.broadcast(probes).join(cells, "cell_id"),
+        query_id,
+        corpus_id,
+        exclude_self,
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+        ).alias("sim"),
+    )
+    return _rank_topk(scored, query_id, corpus_id, k)
+
+
 def l2_dist2(a: Column | str, b: Column | str) -> Column:
     """Squared L2 distance, strict left fold."""
     return _fold_sum(

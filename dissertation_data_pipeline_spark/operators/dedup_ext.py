@@ -748,6 +748,10 @@ def _blocked_intersections(
     post = shingle_postings(
         df, id_col, text_col, n=ngram_words, carry_cols=block_cols
     ).localCheckpoint()
+    # co-locate BEFORE the optional df-count window: the window's
+    # clustering requirement is exactly this hash partitioning, so the
+    # cap adds a sort but never a second Exchange on the posting rows
+    post = post.repartition(*block_cols, "_shingle")
     if max_df is not None:
         wdf = Window.partitionBy(*block_cols, "_shingle")
         post = (
@@ -756,7 +760,7 @@ def _blocked_intersections(
             .drop("_df")
         )
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    postings = post.repartition(*block_cols, "_shingle")  # co-locate + spread
+    postings = post
     a, b = postings.alias("a"), postings.alias("b")
     cond = (F.col("a._shingle") == F.col("b._shingle")) & (
         F.col("a._id") < F.col("b._id")
@@ -1133,7 +1137,15 @@ def repeated_substring_spans(
             ).alias("_pos"),
             "_s",
         )
-        .select("_id", "_pos", _md5(F.substring(F.col("_s"), F.col("_pos"), gram_chars)).alias("_g"))
+        # the gram itself is the grouping key: equality on the raw
+        # 15-char substring is exact (md5 would only approximate it),
+        # skips ~n_chars md5 computations per doc, and shuffles fewer
+        # bytes (15-char gram vs 32-char hex digest)
+        .select(
+            "_id",
+            "_pos",
+            F.substring(F.col("_s"), F.col("_pos"), gram_chars).alias("_g"),
+        )
     )
     freq = posts.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
     dup = (

@@ -272,7 +272,7 @@ def ext_bigram_lm_score(spark, sf_dir):
     "ext_repeated_substring_spans",
     r"""
     WITH posts AS (
-      SELECT doc_id, i AS pos, md5(substr(s, i, 15)) AS g
+      SELECT doc_id, i AS pos, substr(s, i, 15) AS g
       FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents),
            LATERAL (SELECT unnest(range(1, greatest(length(s) - 14, 0) + 1)) AS i)
     ),

@@ -177,6 +177,8 @@ def test_no_cartesian_products_in_registry(spark):
         # reuses pq_adc_scores); the re-rank stage joins equi on ids
         "ext_bigram_lm_score",  # 1-row vocabulary-size broadcast: the
         # smoothing denominator attaches to every scored bigram
+        "ext_ccnet_buckets",  # composes the bigram LM scorer, so it
+        # inherits the same 1-row vocabulary broadcast
         "ext_pmi_collocations",  # 1-row (T1, T2) corpus totals broadcast
         # onto the scored bigrams (same class as bm25/tfidf)
         "ext_source_overlap_sketch",  # the |groups|-row sketch table

@@ -82,8 +82,11 @@ def html_to_text(html: str) -> str:
 
 #: object stream: dict .. stream\r?\n payload endstream (DOTALL; the
 #: non-greedy payload stops at the first endstream — fine for the
-#: simple single-stream-per-object PDFs this fallback targets)
-_PDF_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\s*endstream", re.S)
+#: simple single-stream-per-object PDFs this fallback targets).
+#: At most ONE trailing EOL is stripped (the one the spec inserts
+#: before `endstream`): a greedy \s* would eat trailing 0x0A/0x0D
+#: bytes that belong to the Flate payload and corrupt ~1/128 streams.
+_PDF_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\n?endstream", re.S)
 
 #: content-stream text tokens: literal/hex strings shown with Tj/',
 #: TJ arrays, and the line-advancing operators (newline heuristic)

@@ -109,3 +109,26 @@ def test_extract_documents_pdf_now_extracts(spark):
     assert row["raw_text"] == "Hello World"
     assert not row["strikethrough_limitation_flag"] or row["notes"] is None
     assert row["notes"] is None
+
+
+def test_flate_payload_ending_in_eol_bytes_survives():
+    """Regression: a Flate payload whose final byte IS 0x0A must not
+    lose it to the pre-endstream EOL strip (a greedy whitespace strip
+    corrupts ~1/128 of compressed streams)."""
+    import zlib
+
+    # construct it deterministically: a zlib stream ENDS with the
+    # adler32 of the raw input, whose low byte is s1 = (1 + byte sum)
+    # mod 65521 — pick 4 printable pad bytes so the sum makes the last
+    # compressed byte 0x0A
+    base = SIMPLE + b" % "
+    need = (10 - 1 - sum(base)) % 256
+    t = need + 256 if need < 128 else need  # 4 bytes in [32,126] reach [128,504]
+    q, r = divmod(t, 4)
+    pad = [q + 1] * r + [q] * (4 - r)
+    assert sum(pad) == t and all(32 <= b <= 126 for b in pad), pad
+    content = base + bytes(pad)
+    comp = zlib.compress(content)
+    assert comp.endswith(b"\n"), comp[-4:]
+    pdf = make_pdf(content, compress=True)
+    assert tu.pdf_text_fallback(pdf) == "Hello World"

@@ -101,7 +101,12 @@ def _cell_value(c, shared: list[str]):
     if v is None or v.text is None:
         return None
     txt = v.text
-    return float(txt) if re.search(r"[.eE]", txt) else int(txt)
+    if t == "n":
+        return float(txt) if re.search(r"[.eE]", txt) else int(txt)
+    # non-numeric cell kinds this codec doesn't model (t="e" error
+    # cells, t="d" ISO dates): surface the raw text rather than crash
+    # on a numeric parse — conform() casts or NULLs it downstream
+    return txt
 
 
 def read_rows(path: str) -> list[list]:

@@ -612,3 +612,28 @@ def test_compact_parquet_handles_partitioned_layout(spark, tmp_path):
     assert n >= 1
     assert spark.read.parquet(path).count() == before  # no rows lost
     assert not os.path.exists(path + ".compact-bak")
+
+
+def test_read_excel_error_and_date_cells_surface_as_text(spark, tmpd):
+    """t=\"e\" error cells and t=\"d\" ISO dates are outside the codec's
+    numeric model — they must surface as text (conform casts or NULLs
+    them), never crash the numeric parse."""
+    import zipfile
+
+    from dissertation_data_pipeline_spark.sources import xlsx
+
+    path = f"{tmpd}/odd.xlsx"
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns='
+        '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>'
+        '<row r="2"><c r="A2" t="e"><v>#DIV/0!</v></c></row>'
+        '<row r="3"><c r="A3" t="d"><v>2023-05-01T00:00:00</v></c></row>'
+        '<row r="4"><c r="A4"><v>1E2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = xlsx.read_rows(path)
+    assert rows == [["k"], ["#DIV/0!"], ["2023-05-01T00:00:00"], [100.0]]

@@ -647,6 +647,7 @@ from dissertation_data_pipeline_spark.plans import queries_wave4  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_wave5  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave6  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave8  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E402,F401
 
 # Gate-coverage policy for ROUND 3 (see DRIVER_PRIORITY docstring).
 # The gate checks ~50 queries per round; 90/184 are green cumulatively
@@ -672,6 +673,11 @@ set_driver_priority(
         "fs5_title_case",
         "fs10_safe_filename",
         "o1_o5_sorted_frequency",
+        # -- 2b: fixture-backed gate rows for the T-only IO components
+        #        (S7 bulk DataSource, S2 stdlib xlsx, U-f2 PDF extract)
+        "s7_bulk_datasets_fixture",
+        "s2_excel_fixture",
+        "uf2_pdf_fixture",
         # -- 3: never-checked, streaming batch-twins ----------------------
         "s_tumbling_window",
         "s_session_window",
@@ -718,11 +724,10 @@ set_driver_priority(
         "ext_triangle_count",
         "ext_pagerank_transitions",
         "ext_curation_pipeline",
-        # -- 3: never-checked TPC-H representatives -----------------------
+        # -- 3: never-checked TPC-H representative (the other TPC-H
+        #        shapes are redundant-siblings of already-green money
+        #        aggregates; they drain in round 4) ----------------------
         "tpch_q1_pricing_summary",
-        "tpch_q6_forecast_revenue",
-        "tpch_q18_large_volume_customers",
-        "tpch_q13_customer_distribution",
         # ---- budget line: 50 entries above ------------------------------
     ]
 )

@@ -295,3 +295,70 @@ def grouped_weighted_median(
             F.max("_tot").alias("total_weight"),
         )
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    id_col: str,
+    window_rows: int = 4,
+) -> DataFrame:
+    """Per-key rolling ML features over the last ``window_rows`` events
+    (the standard feature-engineering block: lag, rolling mean/std,
+    exponentially-weighted mean) — in EXACT arithmetic, so every value
+    is bit-reproducible on any engine/partitioning:
+
+    - values are fixed to integer cents; rolling sums / sums-of-squares
+      are int64 window aggregates over ``ROWS window_rows-1 PRECEDING``;
+    - ``roll_mean`` / ``roll_std`` are single float ops over those
+      exact moments, rounded to 6dp (population std);
+    - ``ewma`` uses alpha = 1/2 over the bounded window, so the weights
+      are POWERS OF TWO: numerator and denominator are exact int64
+      sums of shifted cents (missing lags drop their term), and the
+      one float division is rounded to 6dp. An unbounded EWMA is a
+      sequential recurrence — this bounded form is the distributed
+      analog (window-local, no cross-row float accumulation).
+
+    One shuffle on the key; the order inside each key is the
+    (ts, id) total order.
+    """
+    cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
+    base = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(id_col),
+        cents.alias("_v"),
+    )
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    wlag = Window.partitionBy(key_col).orderBy(*order)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("_v").over(w)
+    s2 = F.sum(F.col("_v") * F.col("_v")).over(w)
+    mean = s.cast("double") / n.cast("double")
+    var = s2.cast("double") / n.cast("double") - mean * mean
+    # bounded EWMA, alpha=1/2: weight 2^(window_rows-1-lag); exact ints
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for lag in range(window_rows):
+        wt = 1 << (window_rows - 1 - lag)
+        v_l = F.col("_v") if lag == 0 else F.lag("_v", lag).over(wlag)
+        num = num + F.coalesce(v_l * wt, F.lit(0))
+        den = den + F.when(v_l.isNotNull(), F.lit(wt)).otherwise(0)
+    return base.select(
+        key_col,
+        ts_col,
+        id_col,
+        F.round(F.col("_v").cast("double") / 100, 6).alias("value"),
+        F.round(F.lag("_v", 1).over(wlag).cast("double") / 100, 6).alias("lag1"),
+        F.round(mean / 100, 6).alias("roll_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))) / 100, 6).alias("roll_std"),
+        F.round(num.cast("double") / den.cast("double") / 100, 6).alias("ewma"),
+    )

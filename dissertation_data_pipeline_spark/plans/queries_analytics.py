@@ -502,3 +502,57 @@ def ext_triangle_count(spark, sf_dir):
         F.col("a.l_partkey").alias("id_a"), F.col("b.l_partkey").alias("id_b")
     )
     return g.triangle_count(g.normalize_edges(pairs))
+
+
+@register(
+    "ext_rolling_features",
+    """
+    WITH cents AS (
+      SELECT user_id, ts, event_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), roll AS (
+      SELECT user_id, ts, event_id, v,
+             lag(v, 1) OVER w AS l1,
+             lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3,
+             CAST(count(*) OVER w4 AS BIGINT) AS n,
+             CAST(sum(v) OVER w4 AS BIGINT) AS s,
+             CAST(sum(v * v) OVER w4 AS BIGINT) AS s2
+      FROM cents
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, ts, event_id,
+           round(v::DOUBLE / 100, 6) AS value,
+           round(l1::DOUBLE / 100, 6) AS lag1,
+           round(s::DOUBLE / n / 100, 6) AS roll_mean,
+           round(sqrt(greatest(s2::DOUBLE / n
+                               - (s::DOUBLE / n) * (s::DOUBLE / n), 0))
+                 / 100, 6) AS roll_std,
+           round((v * 8 + COALESCE(l1 * 4, 0) + COALESCE(l2 * 2, 0)
+                  + COALESCE(l3, 0))::DOUBLE
+                 / (8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+                      + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+                      + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)
+                 / 100, 6) AS ewma
+    FROM roll
+    """,
+)
+def ext_rolling_features(spark, sf_dir):
+    """[EXT] per-user rolling ML features (lag, 4-row rolling mean /
+    population std from exact integer moments, bounded EWMA with
+    power-of-two weights) — the standard temporal feature block, in
+    the engine's exact-arithmetic discipline: every float output is a
+    bounded number of ops over bit-identical int64 inputs, rounded to
+    6dp. One shuffle on user_id; all windows share the (ts, event_id)
+    total order."""
+    from dissertation_data_pipeline_spark.operators.analytics import (
+        rolling_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return rolling_features(
+        ev, "user_id", "ts", "value", id_col="event_id", window_rows=4
+    )

@@ -276,3 +276,39 @@ def test_grouped_weighted_median_exact_crossing(spark):
         for r in grouped_weighted_median(df, ["g"], "v", "w", tiebreak_col="i").collect()
     }
     assert got == {"a": (2, 4), "b": (1, 6)}
+
+
+def test_rolling_features_semantics(spark):
+    from dissertation_data_pipeline_spark.operators.analytics import (
+        rolling_features,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (1, "2024-01-01 00:01:00", 2, 20.0),
+        (1, "2024-01-01 00:02:00", 3, 30.0),
+        (1, "2024-01-01 00:03:00", 4, 40.0),
+        (1, "2024-01-01 00:04:00", 5, 50.0),
+        (2, "2024-01-01 00:00:00", 6, 7.0),   # constant-series key
+        (2, "2024-01-01 00:01:00", 7, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r.event_id: r
+        for r in rolling_features(
+            df, "user_id", "ts", "value", id_col="event_id", window_rows=4
+        ).collect()
+    }
+    # first row of a key: no lag, window of itself
+    assert out[1].lag1 is None and out[1].roll_mean == 10.0
+    assert out[1].roll_std == 0.0 and out[1].ewma == 10.0
+    # full window at row 5: mean of 20..50, EWMA = (50*8+40*4+30*2+20)/15
+    assert out[5].lag1 == 40.0
+    assert out[5].roll_mean == 35.0
+    assert out[5].ewma == round((50 * 8 + 40 * 4 + 30 * 2 + 20) / 15, 6)
+    # population std of {20,30,40,50} = sqrt(125)
+    assert out[5].roll_std == round(125 ** 0.5, 6)
+    # constant series: zero std, ewma equals the value
+    assert out[7].roll_std == 0.0 and out[7].ewma == 7.0

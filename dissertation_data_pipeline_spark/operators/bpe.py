@@ -204,15 +204,21 @@ def bpe_train_batched(
         if not top:
             break
         used: set[str] = set()
+        produced: set[str] = set()
         picked: list[tuple[str, str, int]] = []
         for r in top:
             if len(picked) >= want:
                 break
             a, b = r["a"], r["b"]
-            if used & {a, b}:
+            # disjointness also covers STRING collisions: a merged
+            # token's text is its parts' concatenation, so a candidate
+            # whose symbol equals an accepted pair's product would see
+            # its count changed mid-round — defer it instead
+            if used & {a, b} or produced & {a, b}:
                 continue
             picked.append((a, b, int(r["cnt"])))
             used.update((a, b))
+            produced.add(a + b)
         merges.extend(picked)
         col: Column = F.col("syms")
         for a, b, _ in picked:

@@ -40,6 +40,11 @@ REPRESENTATIVES = [
     "ext_histogram_equidepth",
     "ext_group_linreg",
     "ext_zorder_values",
+    # round 3
+    "ext_capped_jaccard_pairs",
+    "ext_stop_shingle_report",
+    "ext_ccnet_buckets",
+    "ext_rolling_features",
 ]
 
 

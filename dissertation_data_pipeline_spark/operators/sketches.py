@@ -113,3 +113,92 @@ def sketch_overlap_pairs(sketches: DataFrame, group_col: str, *, k: int = 64) ->
             F.round(hits.cast("double") / F.size(merged), 6).alias("jaccard_est"),
         )
     )
+
+
+def count_min_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    depth: int = 4,
+    width: int = 256,
+    top_k: int = 10,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream, evaluated on its heavy hitters: build the depth x
+    width counter matrix with md5-derived bucket functions, then report
+    each true top-``top_k`` token's exact count beside its CMS
+    estimate (the min over rows).  The CMS one-sided guarantee —
+    estimate >= truth, over-count bounded by colliding mass — becomes
+    CHECKABLE output rather than a docstring claim.
+
+    Determinism: bucket ``d`` of a token is the first two hex digits
+    of ``md5(d || ':' || token)`` (0..255) — no RNG, identical in any
+    engine, so the sketch and therefore every estimate is a pure
+    function of the corpus (same discipline as the bottom-k sketches
+    above).
+
+    Scale (100 TB): the sketch is ``depth`` map-side-combinable
+    aggregations over the token long form, reducing the corpus to
+    depth*width int64 counters — mergeable across partitions, days, or
+    clusters by cell-wise addition, which is why CMS is the streaming
+    heavy-hitter structure. The probe stage joins ``top_k * depth``
+    rows against those counters: nothing here scales with corpus size
+    except the two aggregation passes.
+
+    Output: (token, true_cnt, est_cnt), est_cnt >= true_cnt always.
+    ``width`` must be 256 (two hex digits) — widening means taking
+    more digits in BOTH engines' bucket expressions.
+    """
+    assert width == 256, "bucket fn reads 2 hex digits; width is fixed at 256"
+    toks = (
+        df.select(F.explode(dx.tokens(text_col)).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    true_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = true_counts.orderBy(F.desc("true_cnt"), F.asc("tok")).limit(top_k)
+
+    def bucket(d: int, tok) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), tok)), 1, 2), 16, 10
+        ).cast("int")
+
+    posts = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        bucket(d, F.col("tok")).alias("b"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_db"),
+    ).select("tok", "_db.d", "_db.b")
+    cms = posts.groupBy("d", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = top.select(
+        "tok",
+        "true_cnt",
+        *[bucket(d, F.col("tok")).alias(f"_b{d}") for d in range(depth)],
+    )
+    probe_cells = probes.select(
+        "tok",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), F.col(f"_b{d}").alias("b")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_db"),
+    ).select("tok", "true_cnt", "_db.d", "_db.b")
+    return (
+        probe_cells.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+        .select("tok", "true_cnt", "est_cnt")
+    )

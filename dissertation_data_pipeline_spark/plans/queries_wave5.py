@@ -293,3 +293,57 @@ def ext_source_overlap_sketch(spark, sf_dir):
         k=64,
     )
     return sketch_overlap_pairs(sk, "source", k=64)
+
+
+_CMS_HEX = "0123456789abcdef"
+
+
+def _cms_bucket(tok_expr: str) -> str:
+    """DuckDB twin of the Spark bucket fn: first two hex digits of
+    md5(d || ':' || token) as an int in 0..255."""
+    h = f"md5(CAST(d AS VARCHAR) || ':' || {tok_expr})"
+    return (
+        f"((strpos('{_CMS_HEX}', substr({h}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_CMS_HEX}', substr({h}, 2, 1)) - 1))"
+    )
+
+
+@register(
+    "ext_count_min_hitters",
+    rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    nz AS (SELECT tok FROM toks WHERE length(tok) > 0),
+    tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+           FROM nz GROUP BY 1),
+    top AS (SELECT tok, true_cnt FROM tc
+            ORDER BY true_cnt DESC, tok ASC LIMIT 10),
+    posts AS (
+      SELECT tok, d, {_cms_bucket('tok')} AS b
+      FROM nz CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d)
+    ),
+    cms AS (SELECT d, b, CAST(count(*) AS BIGINT) AS cnt
+            FROM posts GROUP BY 1, 2),
+    probe AS (
+      SELECT t.tok, t.true_cnt, dd.d, {_cms_bucket('t.tok')} AS b
+      FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) dd
+    )
+    SELECT p.tok, p.true_cnt, CAST(min(c.cnt) AS BIGINT) AS est_cnt
+    FROM probe p JOIN cms c ON c.d = p.d AND c.b = p.b
+    GROUP BY 1, 2
+    """,
+)
+def ext_count_min_hitters(spark, sf_dir):
+    """[EXT] count-min sketch heavy hitters (Cormode & Muthukrishnan
+    2005): a 4x256 md5-bucketed counter matrix over the corpus token
+    stream, probed at the true top-10 tokens so the one-sided
+    estimate >= truth guarantee is gate-checked data, not prose. The
+    sketch is mergeable cell-wise — the streaming/distributed
+    heavy-hitter structure at any scale."""
+    from dissertation_data_pipeline_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    return count_min_heavy_hitters(load_table(spark, sf_dir, "documents"))

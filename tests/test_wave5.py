@@ -170,3 +170,61 @@ def test_bottomk_sketch_caps_at_k(spark):
     got = bottomk_sketches(docs, "g", "text", id_col="doc_id", k=8).collect()[0]
     assert len(got.sketch) == 8
     assert got.n_distinct == 498  # 500 tokens -> 498 word-3-grams
+
+
+def test_count_min_guarantee_and_mergeability(spark, sf_dir):
+    """CMS one-sided guarantee on real data (est >= truth for every
+    probed heavy hitter) and the property that makes it the streaming
+    structure: the sketch of a union is the cell-wise sum of the
+    parts' sketches."""
+    from dissertation_data_pipeline_spark.operators import dedup_ext as dx
+    from dissertation_data_pipeline_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = count_min_heavy_hitters(docs).collect()
+    assert len(out) == 10
+    assert all(r.est_cnt >= r.true_cnt for r in out)
+
+    # mergeability: split the corpus, build each half's counter matrix
+    # with the same bucket fns, and check cell-wise sums reproduce the
+    # full-corpus matrix
+    def matrix(df):
+        toks = df.select(F.explode(dx.tokens("text")).alias("tok")).filter(
+            F.length("tok") > 0
+        )
+        cells = toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{d}:"), F.col("tok"))),
+                                    1,
+                                    2,
+                                ),
+                                16,
+                                10,
+                            ).cast("int").alias("b"),
+                        )
+                        for d in range(4)
+                    ]
+                )
+            ).alias("_db")
+        )
+        rows = (
+            cells.groupBy("_db.d", "_db.b").count().collect()
+        )
+        return {(r.d, r.b): r["count"] for r in rows}
+
+    full = matrix(docs)
+    a = matrix(docs.filter(F.col("doc_id") % 2 == 0))
+    b = matrix(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = dict(a)
+    for k, v in b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full

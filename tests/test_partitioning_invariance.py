@@ -41,6 +41,9 @@ SAMPLE = [
     "ext_capped_jaccard_pairs",    # stop-shingle df cap (window count)
     "ext_weighted_median",         # int64 cumulative-weight crossing
     "ext_ann_ivf_topk",            # packed-broadcast argmax assignment
+    "ext_rolling_features",        # per-key lag/window feature block
+    "ext_count_min_hitters",       # md5-bucketed counter matrix
+    "ext_ccnet_buckets",           # per-lang ntile over LM perplexity
 ]
 
 

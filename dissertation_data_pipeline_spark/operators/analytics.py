@@ -326,7 +326,11 @@ def rolling_features(
     (ts, id) total order.
     """
     cents = (F.col(value_col).cast("decimal(18,2)") * 100).cast("long")
-    base = df.select(
+    # NULL-valued rows are excluded HERE, not left to callers: the
+    # moment windows count rows (n) but sum non-NULLs, so a NULL row
+    # would dilute roll_mean/roll_std and shift lag1/ewma frames —
+    # the exact-moment contract only holds over non-NULL values.
+    base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col),
         F.col(ts_col),
         F.col(id_col),

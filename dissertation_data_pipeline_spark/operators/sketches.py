@@ -149,7 +149,13 @@ def count_min_heavy_hitters(
     ``width`` must be 256 (two hex digits) — widening means taking
     more digits in BOTH engines' bucket expressions.
     """
-    assert width == 256, "bucket fn reads 2 hex digits; width is fixed at 256"
+    if width != 256:
+        # hard error, not assert: under ``python -O`` an assert is
+        # stripped and a non-256 width would silently hash md5 buckets
+        # that disagree with the 2-hex-digit oracle expression
+        raise ValueError(
+            "bucket fn reads 2 hex digits; width is fixed at 256"
+        )
     toks = (
         df.select(F.explode(dx.tokens(text_col)).alias("tok"))
         .filter(F.length("tok") > 0)

@@ -200,7 +200,12 @@ def scd2_history(
     A row opens a new interval when the attribute differs from the
     previous event's value (or is the key's first event); the interval
     closes when the next interval opens (open intervals get
-    ``is_current = 1`` and a far-future ``effective_to``).
+    ``is_current = 1`` and a NULL ``effective_to``).  NULL — not a
+    far-future sentinel like 9999-12-31 — marks the open interval:
+    sentinel timestamps overflow ns-resolution consumers (pandas
+    ``datetime64[ns]`` tops out at 2262-04-11) while NULL survives any
+    downstream representation; ``is_current`` carries the open flag
+    explicitly so consumers never test the sentinel.
 
     The reference's master-corpus merge keeps only the *latest* row per
     key (build_master_corpus.py:238-258 keep-best); SCD2 is the
@@ -236,9 +241,7 @@ def scd2_history(
             F.col(key_col),
             F.col(attr_col),
             F.col(ts_col).alias("effective_from"),
-            F.coalesce(
-                F.col("_next_ts"), F.lit("9999-12-31 00:00:00").cast("timestamp")
-            ).alias("effective_to"),
+            F.col("_next_ts").alias("effective_to"),
             F.when(F.col("_next_ts").isNull(), F.lit(1))
             .otherwise(F.lit(0))
             .alias("is_current"),

@@ -106,14 +106,18 @@ def s2_excel_fixture(spark, sf_dir):
     "uf2_pdf_fixture",
     """
     SELECT 'B1' AS bill_id,
-           'Colorado HB1 establishes school finance' ||
-           chr(10) || 'provisions for the 2023 fiscal year.' AS raw_text
+           'Colorado HB1 establishes school finance '
+           || 'provisions for the 2023 fiscal year.' AS raw_text
     """,
 )
 def uf2_pdf_fixture(spark, sf_dir):
     """U-f2 as a gate row: extract_documents (the mapInPandas decision
     stage) decodes the committed Flate text-object PDF; the oracle
-    states the expected extracted text literally."""
+    states the expected extracted text literally.  Extracted text is
+    whitespace-normalized on the Spark side so the row is
+    environment-independent: pdf_to_text prefers pypdf when installed,
+    and pypdf's line-break/layout whitespace differs from the stdlib
+    fallback while the token stream is identical."""
     import base64
 
     from dissertation_data_pipeline_spark.operators.text_udf import (
@@ -126,4 +130,9 @@ def uf2_pdf_fixture(spark, sf_dir):
         [("B1", "application/pdf", payload)],
         "bill_id string, mime string, doc_b64 string",
     )
-    return extract_documents(docs).select("bill_id", "raw_text")
+    return extract_documents(docs).select(
+        "bill_id",
+        F.regexp_replace(F.trim(F.col("raw_text")), r"\s+", " ").alias(
+            "raw_text"
+        ),
+    )

@@ -205,7 +205,7 @@ def ext_event_percentiles(spark, sf_dir):
       FROM ch
     )
     SELECT user_id, event_type, effective_from,
-           coalesce(next_ts, TIMESTAMP '9999-12-31') AS effective_to,
+           next_ts AS effective_to,
            CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
     FROM iv
     """,

@@ -39,15 +39,42 @@ def duck():
     con.close()
 
 
+def _too_wide_decimal(t: str) -> bool:
+    # DECIMAL with precision > 18 lands as a 128-bit value; pandas
+    # renders it as object/Decimal, hashing differently than Spark's
+    # double/decimal output (same canonicalizer family as HUGEINT).
+    if not t.startswith("DECIMAL("):
+        return False
+    precision = int(t[len("DECIMAL(") :].split(",")[0].rstrip(")"))
+    return precision > 18
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_oracle_output_types_are_gate_safe(duck, name):
     rel = duck.sql(f"SELECT * FROM ({QUERIES[name].sql}) LIMIT 0")
     bad = [
         f"{c}:{t}"
         for c, t in zip(rel.columns, (str(t).upper() for t in rel.types))
-        if any(f in t for f in FORBIDDEN)
+        if any(f in t for f in FORBIDDEN) or _too_wide_decimal(t)
     ]
     assert not bad, (
-        f"oracle for {name} emits gate-unsafe integer types {bad}; "
-        "wrap the aggregate in CAST(... AS BIGINT)"
+        f"oracle for {name} emits gate-unsafe types {bad}; "
+        "wrap the aggregate in CAST(... AS BIGINT) / DECIMAL(18,...)"
     )
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_values_survive_pandas_canonicalization(duck, name):
+    """Materialize each oracle through pandas exactly as the driver's
+    gate does.  Type-level audits (above) cannot catch value-range
+    failures: round 3 shipped a ``TIMESTAMP '9999-12-31'`` open-interval
+    sentinel that planned fine but crashed the gate's ``datetime64[ns]``
+    conversion (bounds end 2262-04-11).  Running ``.df()`` at sf0.001
+    reproduces any such crash locally before the driver sees it."""
+    try:
+        duck.sql(QUERIES[name].sql).df()
+    except Exception as e:  # noqa: BLE001 - any conversion error is a fail
+        pytest.fail(
+            f"oracle for {name} cannot be canonicalized through pandas "
+            f"(the driver gate's path): {type(e).__name__}: {e}"
+        )

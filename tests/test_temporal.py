@@ -156,7 +156,9 @@ def test_scd2_history_intervals(spark):
     # each interval closes where the next opens
     assert u1[0][3] == u1[1][1] and u1[1][3] == u1[2][1]
     assert [o[4] for o in u1] == [0, 0, 1]
-    assert out[-1][4] == 1 and "9999" in out[-1][3]
+    # open intervals are NULL-terminated (never a far-future sentinel:
+    # 9999-12-31 overflows pandas datetime64[ns] in downstream gates)
+    assert out[-1][4] == 1 and out[-1][3] == "None"
 
 
 def test_sessionize_gap_boundary(spark):

@@ -87,6 +87,14 @@ def main():
         try:
             rel = con.sql(sql)
             dcols = [c for c in rel.columns]
+            # The driver's gate canonicalizes DuckDB results through
+            # pandas (datetime64[ns]: bounds 1677-09-21..2262-04-11,
+            # HUGEINT -> object, ...).  Materialize via .df() FIRST so
+            # any conversion the driver would crash on crashes HERE
+            # (round 3 shipped a 9999-12-31 sentinel the fetchall()
+            # path happily accepted).  Values for hashing still come
+            # from fetchall() (Python-native, matches Spark collect()).
+            _ = con.sql(sql).df()
             drows = [tuple(r) for r in rel.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")

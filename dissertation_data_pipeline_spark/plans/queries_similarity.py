@@ -129,9 +129,12 @@ def ext_ann_lsh_topk(spark, sf_dir):
 _CENT_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
 
 
-@register(
-    "ext_ann_ivf_topk",
-    f"""
+#: IVF-Flat top-10 oracle — shared verbatim by the in-memory query
+#: (``ext_ann_ivf_topk``) and the partitioned-layout query
+#: (``ext_ann_ivf_partitioned_topk``): same centroids, same assignment,
+#: same probe set, so the storage-layout path must reproduce the
+#: in-memory result bit-for-bit.
+_IVF_TOPK_SQL = f"""
     WITH cents AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
              embedding AS centroid
@@ -166,8 +169,10 @@ _CENT_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
       FROM scored
     )
     SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("ext_ann_ivf_topk", _IVF_TOPK_SQL)
 def ext_ann_ivf_topk(spark, sf_dir):
     """[EXT] IVF-Flat approximate top-10: 8 md5-sampled coarse
     centroids, nearest-cell corpus assignment, 2-probe queries. The
@@ -178,6 +183,34 @@ def ext_ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2, exclude_self=True)
+
+
+@register("ext_ann_ivf_partitioned_topk", _IVF_TOPK_SQL)
+def ext_ann_ivf_partitioned_topk(spark, sf_dir):
+    """[EXT] the IVF index AS A STORAGE LAYOUT, end-to-end: write the
+    corpus partitioned by coarse cell (one directory per cell, stored
+    centroids + precomputed norms), then answer the same top-10 probes
+    by scanning ONLY the probed cell directories — planning-time
+    partition pruning, no search service. Oracled by the identical SQL
+    as the in-memory ``ext_ann_ivf_topk``: the layout path must agree
+    bit-for-bit. At 100 TB this is the ANN shape that matters — the
+    write is one-time corpus maintenance, each probe touches
+    n_probe/n_cells of the data and zero files elsewhere (the physical
+    plan's PartitionFilters, asserted by test)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    sim.write_ivf_partitioned(emb, path, n_cells=8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.ivf_topk_partitioned(
+        spark, path, queries, k=10, n_probe=2, exclude_self=True
+    )
 
 
 @register(

@@ -36,13 +36,18 @@ from pyspark.sql import functions as F
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,
-    key: str,
+    key: str | Sequence[str],
     *,
     update_set: Mapping[str, Column],
     insert_values: Mapping[str, Column] | None = None,
     delete_when: Column | None = None,
 ) -> DataFrame:
     """MERGE ``source`` INTO ``target`` ON ``key`` — one full-outer join.
+
+    ``key`` may be one column name or a sequence of names (composite
+    merge key, e.g. SCD2's ``(entity, effective_from)``); all key
+    columns join equi-wise and the non-null assumption below applies
+    to every one of them.
 
     Row fates (ANSI/Delta MERGE semantics):
 
@@ -64,15 +69,23 @@ def merge_upsert(
     output schema is exactly the target schema, so (given a key-unique
     source) the result can overwrite the target's storage location.
     """
+    keys = [key] if isinstance(key, str) else list(key)
     t, s = target.alias("t"), source.alias("s")
-    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
-    matched = F.col(f"t.{key}").isNotNull() & F.col(f"s.{key}").isNotNull()
-    target_only = F.col(f"s.{key}").isNull()
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+    joined = t.join(s, cond, "full_outer")
+    # Keys are non-null (contract above), so one representative column
+    # per side distinguishes the three fates after the full-outer join.
+    matched = (
+        F.col(f"t.{keys[0]}").isNotNull() & F.col(f"s.{keys[0]}").isNotNull()
+    )
+    target_only = F.col(f"s.{keys[0]}").isNull()
 
     if delete_when is not None:
         joined = joined.filter(~(matched & F.coalesce(delete_when, F.lit(False))))
     if insert_values is None:
-        joined = joined.filter(F.col(f"t.{key}").isNotNull())
+        joined = joined.filter(F.col(f"t.{keys[0]}").isNotNull())
 
     out = []
     for f in target.schema.fields:

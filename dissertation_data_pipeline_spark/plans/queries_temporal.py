@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from dissertation_data_pipeline_spark.operators.temporal import (
     asof_join,
     interval_join,
+    scd2_apply_batch,
     scd2_history,
     sessionize,
     time_rollup,
@@ -188,9 +189,12 @@ def ext_event_percentiles(spark, sf_dir):
     return agg
 
 
-@register(
-    "ext_scd2_history",
-    """
+#: Full-recompute SCD2 oracle over the whole events table. Shared by
+#: ``ext_scd2_history`` (batch build) and ``ext_cdc_scd2_pipeline``
+#: (incremental CDC maintenance): the incremental path must reproduce
+#: the batch recompute bit-for-bit, so both gate rows hold Spark to
+#: the identical SQL.
+_SCD2_FULL_SQL = """
     WITH c AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id
@@ -208,8 +212,10 @@ def ext_event_percentiles(spark, sf_dir):
            next_ts AS effective_to,
            CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
     FROM iv
-    """,
-)
+    """
+
+
+@register("ext_scd2_history", _SCD2_FULL_SQL)
 def ext_scd2_history(spark, sf_dir):
     """[EXT] SCD2 validity intervals: the user's event_type stream
     collapsed to change rows with effective_from/effective_to and an
@@ -221,6 +227,34 @@ def ext_scd2_history(spark, sf_dir):
         "event_type",
         "ts",
         tiebreak="event_id",
+    )
+
+
+@register("ext_cdc_scd2_pipeline", _SCD2_FULL_SQL)
+def ext_cdc_scd2_pipeline(spark, sf_dir):
+    """[EXT] lakehouse dimension maintenance end-to-end: the events at
+    or before 2024-01-16 are folded into an SCD2 history (the standing
+    dimension table), the events after it play the day's CDC batch,
+    and :func:`scd2_apply_batch` applies the batch through one MERGE
+    (seeded change detection -> close open intervals -> insert new
+    ones). The oracle is the FULL batch recompute over all events —
+    the gate therefore asserts incremental maintenance ≡ recompute,
+    the invariant that lets the 100 TB event log stay cold while the
+    nightly job touches only the history table and the batch."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    t0 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    hist0 = scd2_history(
+        e.filter(F.col("ts") <= t0),
+        "user_id",
+        "event_type",
+        "ts",
+        tiebreak="event_id",
+    )
+    batch = e.filter(F.col("ts") > t0)
+    return scd2_apply_batch(
+        hist0, batch, "user_id", "event_type", "ts", tiebreak="event_id"
     )
 
 

@@ -159,6 +159,8 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_ann_brute_topk",
         "ext_ann_ivf_topk",
         "ext_ann_ivf_trained_topk",  # same centroid broadcast as ivf_topk
+        "ext_ann_ivf_partitioned_topk",  # same packed 1-row centroid
+        # broadcast, probe-side (corpus side is the pruned layout scan)
         "ext_key_skew_report",
         "tpch_q22_idle_customers",
         "tpch_q11_important_stock",  # 1-row national stock total broadcast

@@ -262,3 +262,95 @@ def test_asof_nearest_picks_closer_side_with_tie_rules(spark):
     assert out[3].nearest_id == 101
     assert 4 not in out  # no right rows for key 2
     assert out[5].nearest_id == 102  # equidistant: earlier right wins
+
+
+def _scd2_case_frame(spark):
+    """Event stream covering every SCD2-apply edge: unchanged-across-
+    boundary attrs, NULL states on both sides of the cut, keys entirely
+    pre- or post-cutoff, and same-ts tiebreak rows."""
+    import datetime as dt
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        # user 1: change exactly at / repeated across any boundary
+        (1, "a", t(1), 1), (1, "a", t(2), 2), (1, "b", t(3), 3),
+        (1, "b", t(4), 4), (1, "a", t(5), 5),
+        # user 2: NULL states crossing boundaries (NULL->NULL collapse,
+        # a->NULL and NULL->a transitions)
+        (2, None, t(1), 6), (2, None, t(3), 7), (2, "x", t(4), 8),
+        (2, None, t(5), 9), (2, None, t(6), 10),
+        # user 3: entirely early (untouched history under late cutoffs)
+        (3, "z", t(1), 11),
+        # user 4: entirely late (insert-only new key under early cutoffs)
+        (4, "q", t(6), 12), (4, "r", t(7), 13),
+        # user 5: same-ts rows, tiebreak decides the change order
+        (5, "m", t(4), 14), (5, "n", t(4), 15), (5, "n", t(5), 16),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+
+
+def test_scd2_apply_batch_equals_recompute_at_every_cutoff(spark):
+    # The composition invariant the ext_cdc_scd2_pipeline gate row
+    # rests on: incremental CDC maintenance == full recompute, for ANY
+    # batch boundary (including empty-history and empty-batch cuts).
+    import datetime as dt
+
+    from dissertation_data_pipeline_spark.operators.temporal import (
+        scd2_apply_batch,
+        scd2_history,
+    )
+
+    e = _scd2_case_frame(spark)
+    full = scd2_history(
+        e, "user_id", "event_type", "ts", tiebreak="event_id"
+    )
+
+    def canon(df):
+        return sorted((tuple(map(str, r)) for r in df.collect()))
+
+    want = canon(full)
+    for hour in (0, 1, 3, 4, 5, 8):
+        t0 = dt.datetime(2024, 1, 1, hour, 30)
+        hist0 = scd2_history(
+            e.filter(F.col("ts") <= F.lit(t0)),
+            "user_id", "event_type", "ts", tiebreak="event_id",
+        )
+        got = scd2_apply_batch(
+            hist0,
+            e.filter(F.col("ts") > F.lit(t0)),
+            "user_id", "event_type", "ts", tiebreak="event_id",
+        )
+        assert canon(got) == want, f"cutoff {t0}"
+
+
+def test_merge_upsert_composite_key(spark):
+    from dissertation_data_pipeline_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+        "k long, sub string, v long",
+    )
+    source = spark.createDataFrame(
+        [(1, "b", 99), (2, "b", 77)],
+        "k long, sub string, v long",
+    )
+    out = sorted(
+        map(
+            tuple,
+            merge_upsert(
+                target,
+                source,
+                ["k", "sub"],
+                update_set={"v": F.col("s.v")},
+                insert_values={
+                    "k": F.col("s.k"),
+                    "sub": F.col("s.sub"),
+                    "v": F.col("s.v"),
+                },
+            ).collect(),
+        )
+    )
+    # (1,b) updated, (2,b) inserted, partial key matches NOT matched
+    assert out == [(1, "a", 10), (1, "b", 99), (2, "a", 30), (2, "b", 77)]

@@ -500,8 +500,14 @@ def ext_zorder_values(spark, sf_dir):
 )
 def ext_entity_resolution(spark, sf_dir):
     """[EXT] End-to-end entity resolution, the full composition:
-    (1) blocking + fuzzy match — ``fuzzy_pairs_levenshtein`` within
-    (brand, type) blocks, length-gap prefilter, edit distance <= 2;
+    (1) blocking + fuzzy match — ``fuzzy_resolution_edges`` within
+    (brand, type) blocks: exact-text groups collapse to min-id
+    representatives (rep->member star edges), only the DISTINCT texts
+    per block fuzzy-join (length-gap prefilter, edit distance <= 2) —
+    connectivity-equivalent to the full pair set but O(rows +
+    distinct-texts^2 per block), never quadratic in rows (the full
+    pair set grew 22x across the sf0.1 -> sf1 decade; this form is
+    ~linear);
     (2) cluster resolution — ``connected_components`` (two-level:
     union-find under the small-edge threshold, distributed min-label
     propagation with pointer jumping above it);
@@ -511,21 +517,22 @@ def ext_entity_resolution(spark, sf_dir):
     decimal rollup, and the member list serialized to a sorted CSV
     string (driver-hashable).
 
-    The oracle recomputes all three stages in SQL (recursive-CTE
-    fixpoint for the components) — so the *composition* is value-
-    checked, not just each stage. Scale: every quadratic term is
-    block-bounded, the cluster step switches to distributed propagation
-    past 2M edges, and the golden-record pass is one shuffle on
-    component_id."""
+    The oracle recomputes all three stages in SQL over the FULL
+    quadratic pair set (recursive-CTE fixpoint for the components) —
+    so the gate also value-checks the rep-edge contraction's
+    components-equivalence claim, not just each stage. Scale: the
+    quadratic term is bounded by distinct texts per block, the cluster
+    step switches to distributed propagation past 2M edges, and the
+    golden-record pass is one shuffle on component_id."""
     from dissertation_data_pipeline_spark.operators.analytics import (
-        fuzzy_pairs_levenshtein,
+        fuzzy_resolution_edges,
     )
     from dissertation_data_pipeline_spark.operators.clusters import (
         connected_components,
     )
 
     part = load_table(spark, sf_dir, "part")
-    pairs = fuzzy_pairs_levenshtein(
+    pairs = fuzzy_resolution_edges(
         part, "p_partkey", "p_name", ["p_brand", "p_type"], max_distance=2
     )
     comp = connected_components(pairs)

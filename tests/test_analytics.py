@@ -154,6 +154,52 @@ def test_fuzzy_pairs_are_within_blocks(spark):
     assert all(r["distance"] <= 4 and r["id_a"] < r["id_b"] for r in rows)
 
 
+def test_fuzzy_resolution_edges_components_equivalence(spark):
+    # The contraction's whole claim: connected components over the
+    # rep-star + rep-pair edge set == components over the full
+    # quadratic pair set, with the same node set (no-match rows
+    # excluded from both). Frame covers: dense exact-dup groups,
+    # cross-text chains through a rep, a singleton text with a fuzzy
+    # partner, and a no-match row that must appear in NEITHER.
+    from dissertation_data_pipeline_spark.operators.clusters import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # block A: 'cat' x3 (dup clique), 'cap' (chains to cat),
+            # 'dog' (no match within distance 1)
+            (1, "A", "cat"), (2, "A", "cat"), (3, "A", "cat"),
+            (4, "A", "cap"), (5, "A", "dog"),
+            # block B: same texts must NOT pair across blocks
+            (6, "B", "cat"), (7, "B", "cot"),
+            # block C: singleton clique of two identical no-neighbor
+            # texts (member edges only)
+            (8, "C", "zebra"), (9, "C", "zebra"),
+        ],
+        "id long, blk string, txt string",
+    )
+
+    def comps(pairs):
+        return {
+            (r["doc_id"], r["component_id"])
+            for r in connected_components(pairs).collect()
+        }
+
+    full = comps(
+        an.fuzzy_pairs_levenshtein(df, "id", "txt", ["blk"], max_distance=1)
+    )
+    contracted = comps(
+        an.fuzzy_resolution_edges(df, "id", "txt", ["blk"], max_distance=1)
+    )
+    assert contracted == full
+    assert full == {
+        (1, 1), (2, 1), (3, 1), (4, 1),   # cat-clique + cap via rep
+        (6, 6), (7, 6),                    # block B chain
+        (8, 8), (9, 8),                    # zebra dup clique
+    }  # id 5 (dog) matches nothing -> absent from both
+
+
 def test_tfidf_ranks_rare_terms_higher(spark):
     docs = spark.createDataFrame(
         [

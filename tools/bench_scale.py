@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Scale-trend bench: time a query set at several SFs, report growth.
+
+The per-round driver bench (bench.py) measures one SF; the 100 TB
+argument needs the *trend* — how per-query wall-clock grows across a
+data decade. This runner times the heavy families (pair-dedup,
+connected components, ANN/IVF layout probe, curation, graph) plus
+shuffle/agg controls at each given SF dir and emits a JSON file of
+per-query best-of-N timings and growth ratios vs the first SF.
+
+Usage:
+    python tools/bench_scale.py OUT.json DIR1 DIR2 [...]
+e.g.
+    python tools/bench_scale.py BENCH_SCALE.json \
+        /root/testdata/sf0.1 .localdata/sf1
+
+sf1 data comes from tools/gen_scale_data.py (same shape as the shipped
+testdata, 10x sf0.1; documented in BASELINE.md). Best-of-N (N=2) is
+used because run-to-run noise on this host is +-15-25%; a growth ratio
+read from best-of-N is robust for the >=2x calls that matter here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dissertation_data_pipeline_spark.plans.registry import QUERIES  # noqa: E402
+from dissertation_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: trend set — every scale-sensitive family, plus linear-scan controls
+TREND = [
+    # pair-dedup / near-dup
+    "ext_minhash_lsh_pairs", "ext_simhash_pairs",
+    "ext_blocked_jaccard_pairs", "ext_capped_jaccard_pairs",
+    "ext_containment_pairs", "ext_dup_ngram_fraction",
+    "ext_repeated_substring_spans", "ext_semantic_dedup",
+    "ext_dedup_exact", "ext_dedup_incremental",
+    # iterative graph / clustering
+    "ext_near_dup_components", "ext_triangle_count",
+    "ext_pagerank_transitions", "ext_entity_resolution",
+    # ANN / embeddings
+    "ext_ann_brute_topk", "ext_ann_ivf_topk",
+    "ext_ann_ivf_partitioned_topk", "ext_ann_pq_rerank",
+    "ext_embedding_near_dup",
+    # end-to-end compositions
+    "ext_curation_pipeline", "ext_cdc_scd2_pipeline",
+    # shuffle/agg/window controls (expected ~linear)
+    "flagship_corpus_rollup", "tpch_q1_pricing_summary",
+    "tpch_q9_product_profit", "tpch_q18_large_volume_customers",
+    "ext_sessionize_batch", "ext_scd2_history",
+    "ext_count_min_hitters", "ext_bpe_pair_counts",
+]
+
+REPS = 2
+
+
+def main() -> None:
+    out_path = sys.argv[1]
+    sf_dirs = sys.argv[2:]
+    spark = get_spark("ddp-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in TREND if n in QUERIES]
+    # Warmup on the smallest shipped SF: JVM, codegen, Python workers.
+    for n in names:
+        try:
+            QUERIES[n].fn(spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
+
+    result: dict[str, dict[str, float]] = {}
+    for sf_dir in sf_dirs:
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        timings: dict[str, float] = {}
+        for n in names:
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                QUERIES[n].fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[n] = round(best, 3)
+            print(f"{tag} {n}: {timings[n]}s", flush=True)
+        result[tag] = timings
+
+    base_tag = os.path.basename(sf_dirs[0].rstrip("/"))
+    ratios = {
+        tag: {
+            n: round(t[n] / max(result[base_tag][n], 1e-9), 2)
+            for n in names
+        }
+        for tag, t in result.items()
+        if tag != base_tag
+    }
+    with open(out_path, "w") as fh:
+        json.dump(
+            {"timings": result, "growth_vs_" + base_tag: ratios, "reps": REPS},
+            fh,
+            indent=1,
+        )
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -331,19 +331,26 @@ def ext_histogram_equidepth(spark, sf_dir):
              CAST(SUM(y * y) AS BIGINT) AS syy
       FROM pts GROUP BY 1
     )
+    , d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+      FROM m
+    )
     SELECT event_type, n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           round((nd * sxyd - sxd * syd)
+                 / (nd * sxxd - sxd * sxd), 6)
              AS slope_cents_per_hour,
-           round((CAST(sy AS DOUBLE)
-                    - CAST(n * sxy - sx * sy AS DOUBLE)
-                      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE), 6) AS intercept_cents,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 * CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
-    FROM m
+           round((syd
+                    - (nd * sxyd - sxd * syd)
+                      / (nd * sxxd - sxd * sxd) * sxd)
+                 / nd, 6) AS intercept_cents,
+           round((nd * sxyd - sxd * syd)
+                 * (nd * sxyd - sxd * syd)
+                 / ((nd * sxxd - sxd * sxd)
+                    * (nd * syyd - syd * syd)), 6) AS r2
+    FROM d
     """,
 )
 def ext_group_linreg(spark, sf_dir):
@@ -354,8 +361,12 @@ def ext_group_linreg(spark, sf_dir):
     distributed aggregation, map-side combined, order-invariant), then
     slope/intercept/r² are a handful of IEEE ops on identical exact
     integers — so a float regression result becomes value-hashable.
-    Magnitude audit: x<=720, y<2^23, n<=2e5 per group at sf0.1 keeps
-    every product far below 2^63 (n*Syy worst ~1e18).
+    Magnitude audit: x<=720, y<2^23 keep the int64 SUMS exact through
+    ~sf100 (Syy worst ~6e17 < 2^63), but the CROSS-PRODUCTS (n*Syy,
+    Sy*Sy) overflow int64 already at sf1 (n=2e5/group -> n*Syy ~1e20;
+    found by the round-4 sf1 oracle sweep), so both engines form them
+    in IEEE double: identical operands (exact int64 sums), identical
+    op shapes -> bit-identical rounding, hash-stable at any scale.
 
     This is the moment-sketch pattern every distributed ML system uses
     for closed-form estimators: one pass, six numbers per group, no
@@ -379,9 +390,13 @@ def ext_group_linreg(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxxd, sxyd, syyd = (
+        F.col(c).cast("double") for c in ("sxx", "sxy", "syy")
+    )
+    num = nd * sxyd - sxd * syd
+    den = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
     slope = num / den
     return m.select(
         "event_type",

@@ -85,16 +85,21 @@ def main():
             n_pass += 1
             continue
         try:
-            rel = con.sql(sql)
+            # Materialize the oracle ONCE into a temp table (lazy
+            # relations re-execute the full query per fetch, which
+            # doubles multi-minute oracles at sf>=1), then take both
+            # reads from it.  The .df() read mirrors the driver's gate,
+            # which canonicalizes DuckDB results through pandas
+            # (datetime64[ns]: bounds 1677-09-21..2262-04-11, HUGEINT
+            # -> object, ...) — so any conversion the driver would
+            # crash on crashes HERE (round 3 shipped a 9999-12-31
+            # sentinel the fetchall() path happily accepted).  Values
+            # for hashing still come from fetchall() (Python-native,
+            # matches Spark collect()).
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle AS {sql}")
+            rel = con.sql("SELECT * FROM _oracle")
             dcols = [c for c in rel.columns]
-            # The driver's gate canonicalizes DuckDB results through
-            # pandas (datetime64[ns]: bounds 1677-09-21..2262-04-11,
-            # HUGEINT -> object, ...).  Materialize via .df() FIRST so
-            # any conversion the driver would crash on crashes HERE
-            # (round 3 shipped a 9999-12-31 sentinel the fetchall()
-            # path happily accepted).  Values for hashing still come
-            # from fetchall() (Python-native, matches Spark collect()).
-            _ = con.sql(sql).df()
+            _ = con.sql("SELECT * FROM _oracle").df()
             drows = [tuple(r) for r in rel.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")

@@ -156,6 +156,16 @@ def interval_join(
     )
     pr = probe.withColumn("_bucket", bucket(probe_ts))
     icols = [c for c in intervals.columns if c not in on]
+    # Pin the join parallelism: a containment join's OUTPUT is
+    # |intervals-per-bucket| x |probes-per-bucket| per bucket — it can
+    # be 100x its shuffle INPUT (dense anchors), and AQE's
+    # input-byte-based partition coalescing would collapse the join to
+    # a handful of tasks and leave one straggler doing the explosion
+    # (measured: 479 s -> seconds at sf1).  An explicit numPartitions
+    # repartition is exempt from AQE coalescing, and the join reuses
+    # its distribution, so this costs no extra Exchange.
+    n_part = int(probe.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    pr = pr.repartition(n_part, *on, "_bucket")
     joined = pr.join(iv, on + ["_bucket"]).filter(
         (F.col(probe_ts) >= F.col(start)) & (F.col(probe_ts) < F.col(end))
     )

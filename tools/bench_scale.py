@@ -60,12 +60,20 @@ REPS = 2
 
 
 def main() -> None:
-    out_path = sys.argv[1]
-    sf_dirs = sys.argv[2:]
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    out_path = args[0]
+    sf_dirs = args[1:]
     spark = get_spark("ddp-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in TREND if n in QUERIES]
+    if only is not None:
+        names = [n for n in names if n in only]
     # Warmup on the smallest shipped SF: JVM, codegen, Python workers.
     for n in names:
         try:

@@ -36,6 +36,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dissertation_data_pipeline_spark.session import pinned_partitions
+
 
 def _dec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -204,12 +206,17 @@ def fuzzy_pairs_levenshtein(
     the join stage. Requires blocking columns — an unblocked corpus
     crossJoin is refused by design."""
     assert block_cols, "fuzzy_pairs_levenshtein requires blocking columns"
+    # Explicit numPartitions: without it AQE's input-byte coalescing is
+    # free to collapse the (small-input, output-exploding) block
+    # self-join to a handful of tasks, serializing the per-pair DP
+    # (measured 34 s -> 7 s at sf1 with 2.6 M emitted pairs).
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     side = df.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("_id"),
         F.col(text_col).alias("_txt"),
         F.length(text_col).alias("_len"),
-    ).repartition(*block_cols)
+    ).repartition(n_part, *block_cols)
     a, b = side.alias("a"), side.alias("b")
     # length gap is a lower bound on edit distance: prune candidate
     # pairs with integer compares before any DP matrix is touched

@@ -50,6 +50,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dissertation_data_pipeline_spark.session import pinned_partitions
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -387,7 +389,7 @@ def minhash_lsh_pairs(
     # broadcast join on ONE partition) and co-locates the self-join
     band_entries = minhash_band_entries(
         sig, bands=bands, rows_per_band=rows_per_band
-    ).repartition("band_idx", "band_key")
+    ).repartition(pinned_partitions(df), "band_idx", "band_key")
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -553,7 +555,7 @@ def _signature_pairs(base, max_hamming: int, bits: int) -> DataFrame:
             )
         ).alias("band"),
     ).select("_sh", "band.band_idx", "band.band_val").repartition(
-        "band_idx", "band_val"
+        pinned_partitions(base), "band_idx", "band_val"
     )
     return (
         sbands.selectExpr("band_idx", "band_val", "_sh as sh_a")
@@ -751,7 +753,7 @@ def _blocked_intersections(
     # co-locate BEFORE the optional df-count window: the window's
     # clustering requirement is exactly this hash partitioning, so the
     # cap adds a sort but never a second Exchange on the posting rows
-    post = post.repartition(*block_cols, "_shingle")
+    post = post.repartition(pinned_partitions(df), *block_cols, "_shingle")
     if max_df is not None:
         wdf = Window.partitionBy(*block_cols, "_shingle")
         post = (

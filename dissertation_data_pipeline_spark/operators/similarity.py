@@ -45,6 +45,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dissertation_data_pipeline_spark.session import pinned_partitions
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -152,7 +154,9 @@ def brute_force_topk(
     broadcast; the corpus is never re-shuffled for the scoring pass."""
     # spread the corpus scan: a small single-file read is one partition,
     # and a broadcast cross join inherits the probe side's parallelism
-    corpus = corpus.repartition(F.col(corpus_id)).withColumn(
+    corpus = corpus.repartition(
+        pinned_partitions(corpus), F.col(corpus_id)
+    ).withColumn(
         "_cn", l2_norm(corpus_vec)
     )
     queries = queries.withColumn("_qn", l2_norm(query_vec))
@@ -579,7 +583,7 @@ def hyperplane_lsh_topk(
     planes = hyperplanes(num_planes, dim)
     cb = (
         corpus.withColumn("_bucket", lsh_bucket(corpus_vec, planes))
-        .repartition("_bucket")
+        .repartition(pinned_partitions(corpus), "_bucket")
         .withColumn("_cn", l2_norm(corpus_vec))
     )
     qb = queries.withColumn("_bucket", lsh_bucket(query_vec, planes)).withColumn(
@@ -635,7 +639,9 @@ def semantic_dedup(
     # final survivor list); checkpoint so the crossJoin+rank runs once
     cells = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col), F.col(vec_col), F.col("_vn"), F.col("cell_id")
-    ).repartition("cell_id").localCheckpoint(eager=False)
+    ).repartition(
+        pinned_partitions(corpus), "cell_id"
+    ).localCheckpoint(eager=False)
     a = cells.select(
         "cell_id",
         F.col(id_col).alias("_a_id"),

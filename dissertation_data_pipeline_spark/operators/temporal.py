@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dissertation_data_pipeline_spark.session import pinned_partitions
+
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
 _PAYLOAD = "_asof_payload"
@@ -158,14 +160,11 @@ def interval_join(
     icols = [c for c in intervals.columns if c not in on]
     # Pin the join parallelism: a containment join's OUTPUT is
     # |intervals-per-bucket| x |probes-per-bucket| per bucket — it can
-    # be 100x its shuffle INPUT (dense anchors), and AQE's
-    # input-byte-based partition coalescing would collapse the join to
-    # a handful of tasks and leave one straggler doing the explosion
-    # (measured: 479 s -> seconds at sf1).  An explicit numPartitions
-    # repartition is exempt from AQE coalescing, and the join reuses
-    # its distribution, so this costs no extra Exchange.
-    n_part = int(probe.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    pr = pr.repartition(n_part, *on, "_bucket")
+    # be 100x its shuffle INPUT (dense anchors), and AQE would
+    # coalesce the join to a handful of tasks (see
+    # session.pinned_partitions; measured 479 s -> 2 s at sf1).  The
+    # join reuses this distribution, so it costs no extra Exchange.
+    pr = pr.repartition(pinned_partitions(probe), *on, "_bucket")
     joined = pr.join(iv, on + ["_bucket"]).filter(
         (F.col(probe_ts) >= F.col(start)) & (F.col(probe_ts) < F.col(end))
     )

@@ -10,6 +10,7 @@ from dissertation_data_pipeline_spark import functions as fx
 from dissertation_data_pipeline_spark.functions import is_missing
 from dissertation_data_pipeline_spark.operators import similarity as sim
 from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.session import pinned_partitions
 from dissertation_data_pipeline_spark.tables import load_table
 
 
@@ -172,7 +173,7 @@ def ext_embedding_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     planes = sim.hyperplanes(8, 64)
     b = emb.withColumn("_bucket", sim.lsh_bucket("embedding", planes)).repartition(
-        "_bucket"
+        pinned_partitions(emb), "_bucket"
     )
     a2, b2 = b.alias("a"), b.alias("b")
     pairs = (

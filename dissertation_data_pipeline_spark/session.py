@@ -93,6 +93,20 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def pinned_partitions(df) -> int:
+    """Partition count for EXPLICIT repartitions at pair-generating
+    joins.  ``df.repartition(cols)`` without a count is subject to
+    AQE's input-byte-based coalescing, which collapses small-input /
+    output-exploding stages (candidate-pair self-joins, containment
+    joins) to a handful of tasks and serializes the pair explosion —
+    the shuffle INPUT is tiny, the join OUTPUT is 100x it, and AQE
+    only sees the input (measured: 479 s -> 2 s on the sf1 interval
+    join, 34 s -> 8 s on sf1 fuzzy pairs).  An explicit count is
+    exempt from coalescing.  Reads the session's shuffle-partition
+    conf, so cluster deployments scale every site with one setting."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+
+
 def tune_session(spark: SparkSession, **confs: str) -> SparkSession:
     """Set runtime-mutable confs on an existing session (fluent helper)."""
     for k, v in confs.items():

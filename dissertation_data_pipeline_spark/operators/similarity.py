@@ -320,6 +320,13 @@ def ivf_topk(
     cells = ivf_assign(
         corpus, cents, id_col=corpus_id, vec_col=corpus_vec
     ).withColumnRenamed("_vn", "_cn")
+    # Spread the scoring: the probe side is broadcast, so the join
+    # needs NO co-partitioning — but it inherits the corpus scan's
+    # partitioning, and a compact corpus (one parquet row group) would
+    # run the whole scoring pass on one task.  Round-robin costs one
+    # narrow pass over the vectors and buys full-width scoring — the
+    # same spread the brute/LSH paths already pin.
+    cells = cells.repartition(pinned_partitions(corpus))
     probes = ivf_assign(
         queries, cents, id_col=query_id, vec_col=query_vec,
         rank_upto=n_probe,
@@ -465,6 +472,10 @@ def kmeans_refine(
     than silently vanishing, so downstream n_probe/n_cells sizing and
     cell-id joins stay valid.
     """
+    # one round-robin spread before the rounds: a compact corpus (one
+    # parquet row group) would otherwise run every per-round
+    # assign+posexplode (|corpus| x dims rows) on one task
+    corpus = corpus.repartition(pinned_partitions(corpus))
     for _ in range(rounds):
         assigned = (
             corpus.crossJoin(F.broadcast(centroids))

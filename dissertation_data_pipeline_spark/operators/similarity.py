@@ -765,6 +765,10 @@ def pq_codes(
         sub_dim=sub_dim, n_codes=n_codes, code_col="code_id", sub_col="s",
     )
     subs = F.array(*[F.lit(s) for s in range(n_sub)])
+    # spread the encode pass: the argmin join against the broadcast
+    # codebook inherits the corpus scan's partitioning, and a compact
+    # corpus (one parquet row group) would encode on one task
+    df = df.repartition(pinned_partitions(df))
     vx = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -862,6 +866,12 @@ def pq_adc_scores(
         "code",
         F.floor(d2 * F.lit(1_000_000_000_000)).cast("long").alias("qd"),
     )
+    # spread the ADC join: its OUTPUT is |codes| x |queries| while its
+    # inputs are small (AQE would coalesce to a couple of tasks and
+    # serialize the explosion — see session.pinned_partitions).  The
+    # lookup table is broadcast, so the join needs no co-partitioning:
+    # round-robin gives a perfectly even spread.
+    codes = codes.repartition(pinned_partitions(codes))
     scored = codes.join(lut, ["subspace", "code"])
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id))

@@ -81,6 +81,17 @@ def main() -> None:
         except Exception:
             pass
 
+    def clear_persisted() -> None:
+        # localCheckpoint()s persist RDD blocks for the life of the
+        # session; across 29 queries x 2 reps x 3 scales they pile up
+        # in the shared local-mode JVM until an sf10 broadcast build
+        # dies with "Not enough memory".  Drop them between queries —
+        # a real deployment runs one query per job, not 170.
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)
+
     result: dict[str, dict[str, float]] = {}
     for sf_dir in sf_dirs:
         tag = os.path.basename(sf_dir.rstrip("/"))
@@ -88,6 +99,7 @@ def main() -> None:
         for n in names:
             best = float("inf")
             for _ in range(REPS):
+                clear_persisted()
                 t0 = time.perf_counter()
                 QUERIES[n].fn(spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)

@@ -183,12 +183,19 @@ def ext_simhash_values(spark, sf_dir):
     """,
 )
 def ext_simhash_pairs(spark, sf_dir):
-    """[EXT] SimHash near-dup pairs: 4x12-bit band candidates + Hamming
-    <= 3 verification. Banding with max_hamming+1 bands is recall-exact
-    by pigeonhole, so the oracle is the brute-force O(n^2) Hamming join
-    — banding must not (and does not) change the result set."""
+    """[EXT] SimHash near-dup pairs: banded candidates + Hamming <= 3
+    verification. The band scheme auto-selects by corpus size (see
+    ``_auto_n_blocks``): the classic 4x12-bit one-block-key tables on
+    small corpora, the Manku et al. 2007 multi-block scheme (6 blocks,
+    C(6,3)=20 tables keyed on 24 bits) at >= 20k docs, where the wider
+    keys suppress the quadratically-growing random band collisions
+    (measured sf10/500k docs: 70 -> 10.5 s). Any scheme with more
+    blocks than the radius is recall-exact by pigeonhole, so the oracle
+    is the brute-force O(n^2) Hamming join — banding must not (and does
+    not) change the result set."""
     return dx.simhash_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3,
     )
 
 
@@ -228,7 +235,8 @@ def ext_near_dup_components(spark, sf_dir):
     )
 
     edges = dx.simhash_component_edges(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3,
     )
     return connected_components(edges)
 

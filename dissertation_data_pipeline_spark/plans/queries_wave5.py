@@ -347,3 +347,71 @@ def ext_count_min_hitters(spark, sf_dir):
     )
 
     return count_min_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_hll_distinct",
+    r"""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents
+    ),
+    dist AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
+    hx AS (SELECT source, md5(tok) AS h FROM dist),
+    parts AS (
+      SELECT source,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) AS j,
+             substr(h, 3, 12) AS tail,
+             length(regexp_extract(substr(h, 3, 12), '^(0*)', 1)) AS z
+      FROM hx
+    ),
+    rho AS (
+      SELECT source, j,
+             CASE WHEN z = 12 THEN 49
+                  ELSE z * 4
+                       + CASE substr(tail, z + 1, 1)
+                           WHEN '1' THEN 3
+                           WHEN '2' THEN 2 WHEN '3' THEN 2
+                           WHEN '4' THEN 1 WHEN '5' THEN 1
+                           WHEN '6' THEN 1 WHEN '7' THEN 1
+                           ELSE 0 END
+                       + 1 END AS rho
+      FROM parts
+    ),
+    regs AS (SELECT source, j, max(rho) AS r FROM rho GROUP BY 1, 2),
+    per_group AS (
+      SELECT source,
+             CAST(sum(CAST(1 AS BIGINT) << (49 - r))
+                  + (256 - count(*)) * (CAST(1 AS BIGINT) << 49)
+                  AS BIGINT) AS reg_sum,
+             CAST(256 - count(*) AS BIGINT) AS zero_regs
+      FROM regs GROUP BY 1
+    ),
+    exact AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+              FROM dist GROUP BY 1)
+    SELECT p.source, e.n_exact, p.reg_sum, p.zero_regs,
+           round(CASE WHEN (2.6499581405668102e+19 / CAST(p.reg_sum AS DOUBLE)) <= 640.0
+                           AND p.zero_regs > 0
+                      THEN 256.0 * ln(256.0 / CAST(p.zero_regs AS DOUBLE))
+                      ELSE 2.6499581405668102e+19 / CAST(p.reg_sum AS DOUBLE)
+                 END, 4) AS hll_est
+    FROM per_group p JOIN exact e USING (source)
+    """,
+)
+def ext_hll_distinct(spark, sf_dir):
+    """[EXT] HyperLogLog distinct-token count per source (Flajolet et
+    al. 2007) reported beside the exact distinct count: 256
+    md5-addressed registers, rho from integer/string ops only, the
+    harmonic denominator formed as an exact int64 sum so partition
+    order cannot perturb it. Mergeable by cell-wise max — the
+    distributed distinct-count structure; the register-state column
+    (reg_sum) keeps the sketch itself, not just the estimate, under
+    the gate."""
+    from dissertation_data_pipeline_spark.operators.sketches import (
+        hll_distinct_by_group,
+    )
+
+    return hll_distinct_by_group(
+        load_table(spark, sf_dir, "documents"), "source"
+    )

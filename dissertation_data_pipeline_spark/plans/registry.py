@@ -691,6 +691,7 @@ set_driver_priority(
         # -- 2: new this round --------------------------------------------
         "ext_ann_ivf_partitioned_topk",
         "ext_cdc_scd2_pipeline",
+        "ext_hll_distinct",
         # -- 3: round-3 newcomers (registered after r3's sample) ----------
         "ext_capped_jaccard_pairs",
         "ext_stop_shingle_report",

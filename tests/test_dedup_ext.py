@@ -304,3 +304,59 @@ def test_stop_shingle_report_accounts_dropped_mass(spark):
     assert rep.dropped_frac == round(
         rep.dropped_postings / rep.total_postings, 6
     )
+
+
+def test_simhash_multiblock_banding_equals_legacy(spark, sf_dir):
+    """Recall proof in data: the C(6,3) 24-bit-key block scheme and the
+    legacy 4x12-bit one-block scheme must produce the IDENTICAL pair
+    set (both are pigeonhole-exact; the refinement only removes random
+    band collisions from the candidate stage)."""
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(400)
+    legacy = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dx.simhash_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    }
+    refined = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dx.simhash_pairs(
+            d, "doc_id", "text", max_hamming=3, n_blocks=6
+        ).collect()
+    }
+    assert refined == legacy
+    assert legacy  # non-vacuous: the corpus ships near-dups
+
+
+def test_signature_pairs_multiblock_synthetic_radius(spark):
+    """Synthetic signatures at every Hamming distance 0..6 from a base:
+    the refined scheme keeps exactly the <= max_hamming ones."""
+    base_sig = int("5a5a5a5a5a5a", 16)
+    rows, sig = [], base_sig
+    for i in range(7):  # flip one more bit each step: distance i
+        rows.append((i, sig))
+        sig ^= 1 << (i * 7)
+    df = spark.createDataFrame(rows, "_id long, _sh long")
+    out = {
+        (r.sh_a, r.sh_b)
+        for r in dx._signature_pairs(df, 3, 48, 6).collect()
+    }
+    sigs = dict(rows)
+    for i in range(1, 7):
+        a, b = sorted((sigs[0], sigs[i]))
+        dist = bin(sigs[0] ^ sigs[i]).count("1")
+        assert ((a, b) in out) == (dist <= 3), (i, dist)
+
+
+def test_auto_n_blocks_threshold(spark):
+    """Scheme auto-selection: classic d+1 blocks below the corpus-size
+    threshold, 6-block multi-table at/above it; never multi-block when
+    6 doesn't divide the signature width or doesn't exceed the radius."""
+    small = spark.range(10).selectExpr("id as _id", "id as _sh")
+    assert dx._auto_n_blocks(small, 3, 48) == 4
+    big = spark.range(dx._MULTIBLOCK_MIN_ROWS).selectExpr(
+        "id as _id", "id as _sh"
+    )
+    assert dx._auto_n_blocks(big, 3, 48) == 6
+    assert dx._auto_n_blocks(big, 3, 64) == 4  # 64 % 6 != 0
+    assert dx._auto_n_blocks(big, 5, 48) == 6  # 6 > 5 still valid

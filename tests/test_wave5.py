@@ -228,3 +228,85 @@ def test_count_min_guarantee_and_mergeability(spark, sf_dir):
     for k, v in b.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def _py_rho(hexstr: str) -> int:
+    """Reference rho: 1 + leading zero bits of the 48-bit tail."""
+    tail = hexstr[2:14]
+    v = int(tail, 16)
+    if v == 0:
+        return 49
+    return 48 - v.bit_length() + 1
+
+
+def test_hll_rho_matches_bitwise_reference(spark):
+    """The string-ops rho expression equals the arithmetic definition
+    (1 + leading-zero bits) for tokens covering every nibble class."""
+    import hashlib
+
+    from dissertation_data_pipeline_spark.operators.sketches import _hll_rho
+
+    toks = [f"tok{i}" for i in range(200)]
+    df = spark.createDataFrame([Row(tok=t) for t in toks])
+    out = {
+        r.tok: r.rho
+        for r in df.select(
+            "tok", _hll_rho(F.substring(F.md5("tok"), 3, 12)).alias("rho")
+        ).collect()
+    }
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        assert out[t] == _py_rho(h), (t, h)
+
+
+def test_hll_estimate_accuracy_and_exactness_columns(spark, sf_dir):
+    """HLL-256 typical error is 1.04/sqrt(256) ~ 6.5%; assert every
+    per-source estimate lands within 4 sigma (26%) of the exact count
+    it is reported beside."""
+    from dissertation_data_pipeline_spark.operators.sketches import (
+        hll_distinct_by_group,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = hll_distinct_by_group(docs, "source").collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact > 0
+        assert abs(r.hll_est - r.n_exact) / r.n_exact < 0.26, r
+
+
+def test_hll_registers_merge_by_cellwise_max(spark, sf_dir):
+    """The property that makes HLL the distributed structure: the
+    union's register vector is the cell-wise max of the parts'."""
+    from dissertation_data_pipeline_spark.operators import dedup_ext as dx
+    from dissertation_data_pipeline_spark.operators.sketches import _hll_rho
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def registers(df):
+        toks = (
+            df.select(F.explode(dx.tokens("text")).alias("tok"))
+            .filter(F.length("tok") > 0)
+            .distinct()
+        )
+        h = F.md5(F.col("tok"))
+        rows = (
+            toks.select(
+                F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("j"),
+                _hll_rho(F.substring(h, 3, 12)).alias("rho"),
+            )
+            .groupBy("j")
+            .agg(F.max("rho").alias("r"))
+            .collect()
+        )
+        return {r.j: r.r for r in rows}
+
+    full = registers(docs)
+    a = registers(docs.filter(F.col("doc_id") % 2 == 0))
+    b = registers(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = dict(a)
+    for j, r in b.items():
+        merged[j] = max(merged.get(j, 0), r)
+    assert merged == full

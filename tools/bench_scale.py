@@ -54,6 +54,7 @@ TREND = [
     "tpch_q9_product_profit", "tpch_q18_large_volume_customers",
     "ext_sessionize_batch", "ext_scd2_history",
     "ext_count_min_hitters", "ext_bpe_pair_counts",
+    "ext_hll_distinct",
 ]
 
 REPS = 2

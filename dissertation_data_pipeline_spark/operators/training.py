@@ -604,3 +604,46 @@ def ccnet_perplexity_buckets(
         )
         out = out.withColumn("bucket_name", name)
     return out
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic training-shard assignment with per-shard budget
+    stats — the step that turns a curated corpus into the fixed file
+    layout a training run consumes (shard = stable function of the
+    document id, never of row order, so re-running the pipeline or
+    resizing the cluster cannot reshuffle documents between shards;
+    reference's file-per-row sink at write_documents is the
+    single-machine ancestor, SURVEY K6).
+
+    ``shard = uniform_hash_u32(id) % n_shards`` (md5-derived — engine-
+    portable, uniform, skew-free by construction). Output one row per
+    shard: document count, total whitespace-token budget, and the
+    largest single document, so imbalance is gate-checked output
+    rather than a claim (with a uniform hash, shard token totals
+    concentrate tightly around mean for any corpus without a single
+    dominant document).
+
+    Scale (100 TB): one map-side-combinable aggregation on a uniform
+    16-way (or 10k-way) key — no skew possible, no window, no join;
+    the actual shard WRITE is ``df.repartition(n_shards, shard)
+    .write.partitionBy('shard')``, reusing the same column.
+    """
+    n_tok = F.size(corpus_tokens(text_col)).cast("long")
+    return (
+        df.select(
+            (uniform_hash_u32(F.col(id_col)) % n_shards).alias("shard"),
+            n_tok.alias("_nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.max("_nt").alias("max_doc_tokens"),
+        )
+    )

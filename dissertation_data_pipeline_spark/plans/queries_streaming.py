@@ -131,3 +131,76 @@ def s_json_props(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
     )
+
+
+@register(
+    "s_stateful_profile",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts,
+           CAST(count(DISTINCT event_type) AS INT) AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def s_stateful_profile(spark, sf_dir):
+    """[EXT] applyInPandasWithState running profile, gate-checked
+    through REAL stream execution — not a batch stand-in: the events
+    table is staged as a 2-file directory, drained with
+    Trigger.AvailableNow under maxFilesPerTrigger=1 (so per-key state
+    genuinely carries across micro-batches), and the memory sink's
+    update-mode emissions are reduced to the final state per key.
+
+    The reduction is exact, not heuristic: every emitted column is
+    monotone per key across a key's emissions (n_events strictly
+    increases, last_ts and n_event_types are running max/set-size), so
+    ``groupBy(user_id).max(...)`` IS the final state, independent of
+    how the file split scattered a key's rows across batches. That
+    order-independence is also why a plain batch GROUP BY is a valid
+    oracle for a stateful streaming operator. ``value_sum`` is
+    deliberately NOT in the gate projection: the operator accumulates
+    it in float across arbitrary batch boundaries, and float addition
+    order is not engine-portable (it stays pytest-covered).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now_to_memory,
+    )
+    from dissertation_data_pipeline_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="ddp_stateful_gate_")
+    try:
+        src = os.path.join(work, "src")
+        events.repartition(2).write.parquet(src)
+        stream = read_events_stream(
+            spark, src, events.schema, max_files_per_trigger=1
+        )
+        sink = run_available_now_to_memory(
+            stream,
+            # evict=False: a finite AvailableNow drain must terminate —
+            # ProcessingTimeTimeout keeps shouldRunAnotherBatch true and
+            # the trigger spins empty state-cleanup batches forever.
+            lambda s: running_user_profile(s, evict=False),
+            "s_stateful_profile_sink",
+            os.path.join(work, "ckpt"),
+            output_mode="update",
+        )
+        # The memory sink holds its rows in the driver; the staged
+        # files and checkpoint are dead weight once the query drains.
+        final = sink.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts").alias("last_ts"),
+            F.max("n_event_types").cast("int").alias("n_event_types"),
+        )
+        # materialize before the rmtree below (the memory sink itself
+        # lives in driver memory, but don't rely on that detail)
+        return final.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -415,3 +415,39 @@ def ext_hll_distinct(spark, sf_dir):
     return hll_distinct_by_group(
         load_table(spark, sf_dir, "documents"), "source"
     )
+
+
+from dissertation_data_pipeline_spark.plans.queries_training import _H_EXPR
+
+
+@register(
+    "ext_shard_assignment",
+    rf"""
+    WITH t AS (
+      SELECT CAST(({_H_EXPR}) % 16 AS BIGINT) AS shard,
+             CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                  AS BIGINT) AS nt
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS total_tokens,
+           CAST(max(nt) AS BIGINT) AS max_doc_tokens
+    FROM t GROUP BY shard
+    """,
+)
+def ext_shard_assignment(spark, sf_dir):
+    """[EXT] Deterministic training-shard assignment (see
+    :func:`operators.training.shard_assignment`): shard =
+    md5-hash(doc_id) % 16, per-shard document count / token budget /
+    largest doc. The assignment is a pure function of the document id
+    — identical under any partitioning, cluster size, or re-run — and
+    the oracle recomputes it from scratch in SQL, so determinism is
+    gate-verified, not claimed."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        shard_assignment,
+    )
+
+    return shard_assignment(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n_shards=16
+    )

@@ -692,6 +692,8 @@ set_driver_priority(
         "ext_ann_ivf_partitioned_topk",
         "ext_cdc_scd2_pipeline",
         "ext_hll_distinct",
+        "s_stateful_profile",
+        "ext_shard_assignment",
         # -- 3: round-3 newcomers (registered after r3's sample) ----------
         "ext_capped_jaccard_pairs",
         "ext_stop_shingle_report",

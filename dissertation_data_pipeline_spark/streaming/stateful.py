@@ -61,52 +61,72 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _update_profile(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    if state.exists:
-        n, vsum, last_us, type_csv = state.get
-        types = set(type_csv.split(",")) if type_csv else set()
-    else:
-        n, vsum, last_us, types = 0, 0.0, 0, set()
+def _make_update_profile(evict: bool):
+    def _update_profile(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, vsum, last_us, type_csv = state.get
+            types = set(type_csv.split(",")) if type_csv else set()
+        else:
+            n, vsum, last_us, types = 0, 0.0, 0, set()
 
-    for pdf in batches:
-        n += len(pdf)
-        vsum += float(pdf["value"].fillna(0.0).sum())
-        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-        last_us = max(last_us, int(ts_us.max()))
-        types.update(pdf["event_type"].dropna().unique().tolist())
+        for pdf in batches:
+            n += len(pdf)
+            vsum += float(pdf["value"].fillna(0.0).sum())
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            last_us = max(last_us, int(ts_us.max()))
+            types.update(pdf["event_type"].dropna().unique().tolist())
 
-    state.update((n, vsum, last_us, ",".join(sorted(types))))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "value_sum": [vsum],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
-            "n_event_types": [len(types)],
-        }
-    )
+        state.update((n, vsum, last_us, ",".join(sorted(types))))
+        if evict:
+            state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value_sum": [vsum],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "n_event_types": [len(types)],
+            }
+        )
+
+    return _update_profile
 
 
-def running_user_profile(events: DataFrame) -> DataFrame:
+def running_user_profile(events: DataFrame, *, evict: bool = True) -> DataFrame:
     """Attach the stateful profile operator to a streaming events frame
-    (columns: user_id, ts, event_type, value). Output mode: update."""
+    (columns: user_id, ts, event_type, value). Output mode: update.
+
+    ``evict=True`` (continuous streams) bounds the state store with a
+    processing-time idle timeout — the 100 TB sizing knob. Pass
+    ``evict=False`` for finite ``Trigger.AvailableNow`` drains:
+    ProcessingTimeTimeout makes ``shouldRunAnotherBatch`` permanently
+    true (processing time always advances, so a timeout could always
+    fire), and an AvailableNow run then never terminates — it spins
+    empty "cleaning up state" micro-batches forever after the data is
+    drained. A drain-everything run has no idle keys to evict, so
+    NoTimeout loses nothing and lets the trigger actually complete.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if evict
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         events.select("user_id", "ts", "event_type", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_profile,
+            _make_update_profile(evict),
             outputStructType=PROFILE_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )

@@ -93,8 +93,11 @@ def test_running_user_profile_accumulates_across_batches(spark, sf_dir, tmpdirs)
     events.repartition(3).write.parquet(src)  # 3 files -> up to 3 batches
 
     stream = read_events_stream(spark, src, events.schema, watermark_delay="10 hours")
+    # evict=False so the AvailableNow drain self-terminates (with the
+    # ProcessingTimeTimeout eviction variant the trigger spins empty
+    # state-cleanup batches forever — see running_user_profile's doc).
     q = (
-        running_user_profile(stream)
+        running_user_profile(stream, evict=False)
         .writeStream.format("memory")
         .queryName("profiles")
         .outputMode("update")
@@ -102,9 +105,8 @@ def test_running_user_profile_accumulates_across_batches(spark, sf_dir, tmpdirs)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    if q.isActive:
-        q.stop()
+    finished = q.awaitTermination(180)
+    assert finished, "AvailableNow drain did not terminate"
 
     # update-mode memory sink: the LAST row per user is the final state
     final = (
@@ -257,3 +259,20 @@ def test_bulk_datasets_hash_skip_and_rerecord(spark, tmpdirs):
     assert {r.dataset_id for r in changed.collect()} == {"s2"}
     record_dataset_hashes(state, fetch_dataset_list(f"file://{feed}"))
     assert read().count() == 0
+
+
+def test_running_user_profile_evict_variant_sets_processing_timeout():
+    """The continuous-stream variant keeps the state-bounding
+    ProcessingTimeTimeout; the drain variant uses NoTimeout (plan-level
+    check — the eviction itself needs an hour of idle processing time)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from dissertation_data_pipeline_spark.streaming import stateful
+
+    assert GroupStateTimeout.ProcessingTimeTimeout
+    # the factory threads `evict` into both the timeout conf and the
+    # per-key update fn's setTimeoutDuration call
+    fn_evict = stateful._make_update_profile(True)
+    fn_drain = stateful._make_update_profile(False)
+    assert fn_evict.__closure__[0].cell_contents is True
+    assert fn_drain.__closure__[0].cell_contents is False

@@ -310,3 +310,51 @@ def test_hll_registers_merge_by_cellwise_max(spark, sf_dir):
     for j, r in b.items():
         merged[j] = max(merged.get(j, 0), r)
     assert merged == full
+
+
+def test_shard_assignment_deterministic_and_balanced(spark, sf_dir):
+    """Sharding is a pure function of doc_id (identical result under
+    a different partitioning) and md5-uniform (every shard populated;
+    token budgets within a loose band of the mean at 5k docs)."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        shard_assignment,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.shard: (r.n_docs, r.total_tokens, r.max_doc_tokens)
+         for r in shard_assignment(docs).collect()}
+    b = {r.shard: (r.n_docs, r.total_tokens, r.max_doc_tokens)
+         for r in shard_assignment(docs.repartition(7)).collect()}
+    assert a == b
+    assert set(a) == set(range(16))
+    n_total = docs.count()
+    assert sum(v[0] for v in a.values()) == n_total
+    mean_docs = n_total / 16
+    for shard, (n_docs, _, _) in a.items():
+        assert abs(n_docs - mean_docs) / mean_docs < 0.5, (shard, n_docs)
+
+
+def test_stateful_profile_gate_query_matches_batch(spark, sf_dir):
+    """The real-streaming gate query (staged files + AvailableNow +
+    update-sink monotone-max reduction) equals the batch aggregate —
+    the exact claim its DuckDB oracle states."""
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.last_ts, r.n_event_types)
+        for r in QUERIES["s_stateful_profile"].fn(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exp = {
+        r.user_id: (r.n_events, r.last_ts, r.n_event_types)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.countDistinct("event_type").cast("int").alias("n_event_types"),
+        )
+        .collect()
+    }
+    assert got == exp

@@ -529,7 +529,7 @@ def simhash_signatures(
     return counts.select("_id", sig_expr.alias("_sh"))
 
 
-#: Corpus size (signature rows) above which the C(6,3) multi-block
+#: Corpus size (document rows) above which the C(6,3) multi-block
 #: scheme beats the classic (d+1)-block one.  The quadratic
 #: random-collision term the wider keys suppress needs a big corpus to
 #: matter: measured (warm, interleaved reps) 5k docs: 2.7 s classic vs
@@ -537,17 +537,37 @@ def simhash_signatures(
 #: 70.1 -> 10.5 s.  Crossover sits between 5k and 50k; 20k splits it.
 _MULTIBLOCK_MIN_ROWS = 20_000
 
+#: Bytes-per-document divisor when the input plan exposes only
+#: sizeInBytes (a parquet scan: exact matched-file bytes).  Measured
+#: ~119 B/doc compressed on the documents table; 100 keeps the rows
+#: estimate conservative-high, and the crossover band above is a full
+#: decade wide, so 2-3x slop cannot cross it from the wrong side.
+_APPROX_DOC_BYTES = 100
 
-def _auto_n_blocks(base, max_hamming: int, bits: int) -> int:
+
+def _auto_n_blocks(df, max_hamming: int, bits: int) -> int:
     """Pick the banding scheme by corpus size (recall-exact either
     way, so this changes cost only, never results): the classic
-    ``d+1``-block scheme below ``_MULTIBLOCK_MIN_ROWS`` signature
-    rows, the 6-block/C(6,3)-table scheme above.  ``base`` is always
-    localCheckpoint()'d by the callers, so the count() is a cheap
-    cached-partition scan, not a recompute."""
-    if bits % 6 == 0 and 6 > max_hamming and base.count() >= _MULTIBLOCK_MIN_ROWS:
-        return 6
-    return max_hamming + 1
+    ``d+1``-block scheme below ``_MULTIBLOCK_MIN_ROWS`` input rows,
+    the 6-block/C(6,3)-table scheme at/above.
+
+    The size probe is planning-time Catalyst statistics — zero jobs,
+    zero actions (an earlier version ran ``count()`` on the signature
+    checkpoint; that extra ~0.2 s sync is pure overhead at bench
+    scale and the decision never needed exactness).  ``rowCount`` when
+    the plan provides it (Range, CBO), else ``sizeInBytes`` (exact
+    file bytes for a parquet scan) over ``_APPROX_DOC_BYTES``.  Plans
+    whose stats are unknown report Long.Max and pick the multi-block
+    scheme — the scale-safe direction, identical results."""
+    if bits % 6 != 0 or 6 <= max_hamming:
+        return max_hamming + 1
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = stats.rowCount()
+    if rc.isDefined():
+        est_rows = int(str(rc.get()))
+    else:
+        est_rows = int(str(stats.sizeInBytes())) // _APPROX_DOC_BYTES
+    return 6 if est_rows >= _MULTIBLOCK_MIN_ROWS else max_hamming + 1
 
 
 def _signature_pairs(
@@ -654,7 +674,7 @@ def simhash_pairs(
     # re-evaluates the token-posting aggregation per consumer otherwise)
     base = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint()
     if n_blocks is None:
-        n_blocks = _auto_n_blocks(base, max_hamming, bits)
+        n_blocks = _auto_n_blocks(df, max_hamming, bits)
     sig_pairs = _signature_pairs(base, max_hamming, bits, n_blocks)
     ma = base.select(F.col("_id").alias("_ida"), F.col("_sh").alias("sh_a"))
     mb = base.select(F.col("_id").alias("_idb"), F.col("_sh").alias("sh_b"))
@@ -725,7 +745,7 @@ def simhash_component_edges(
     # then all graph construction runs on contracted data.
     base = simhash_signatures(df, id_col, text_col, bits=bits).localCheckpoint()
     if n_blocks is None:
-        n_blocks = _auto_n_blocks(base, max_hamming, bits)
+        n_blocks = _auto_n_blocks(df, max_hamming, bits)
     groups = (
         base.groupBy("_sh")
         .agg(F.min("_id").alias("_gid"), F.count(F.lit(1)).alias("_gsize"))

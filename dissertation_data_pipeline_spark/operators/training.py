@@ -647,3 +647,119 @@ def shard_assignment(
             F.max("_nt").alias("max_doc_tokens"),
         )
     )
+
+
+def hashed_classifier_weights(spark, *, dim: int = 4096) -> DataFrame:
+    """Deterministic stand-in for a trained linear-classifier weight
+    table: one row per feature bucket, integer milli-weight in
+    [-1000, 1000] derived from md5 so Spark and an oracle engine can
+    both recompute it exactly. In production this frame is the
+    classifier's learned weights loaded from a model file — same size
+    (``dim`` rows, broadcastable), same join shape; only the values
+    change.
+    """
+    return spark.range(dim).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            (
+                uniform_hash_u32(
+                    F.concat(F.col("id").cast("string"), F.lit(":w"))
+                )
+                % 2001
+            )
+            - 1000
+        ).alias("weight_milli"),
+    )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    dim: int = 4096,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """fastText-style linear classifier inference over hashed
+    bag-of-words features — the classifier-based quality-filter step
+    (GPT-3/CCNet style: score every document against a small trained
+    model, keep the positives). The reference's keyword OR-filter
+    (build_corpus.py's theme tagging) is the rule-based ancestor;
+    this is its learned-model successor with the same relational
+    shape.
+
+    Per document: tokenize, hash each token into ``dim`` buckets,
+    broadcast-join the bucket->weight table, sum. All arithmetic is
+    int64 (milli-weights), so the score is bit-identical on any
+    engine, partitioning, or summation order — no float-accumulation
+    drift through the gate. ``keep = score_milli > 0`` is the filter
+    decision.
+
+    Scale (100 TB): explode -> modulo -> **broadcast** hash join (the
+    weight table is O(dim) ~ KBs; never a shuffle side) -> one
+    map-side-combinable groupBy on the document key. One Exchange
+    total, whole-stage codegen throughout; the model swap
+    (hash-derived -> trained weights) changes no plan edges.
+    """
+    toks = token_long_form(df, id_col, text_col)
+    feats = toks.select(
+        F.col(id_col),
+        (uniform_hash_u32(F.col("tok")) % dim).cast("int").alias("bucket"),
+    )
+    w = (
+        weights
+        if weights is not None
+        else hashed_classifier_weights(df.sparkSession, dim=dim)
+    )
+    return (
+        feats.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("weight_milli").alias("score_milli"),
+        )
+        .withColumn("keep", F.col("score_milli") > 0)
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "lang",
+    *,
+    budget: int = 100_000,
+) -> DataFrame:
+    """Temperature-based multilingual mixture planning (XLM-R /
+    multilingual-pretraining style): resampling shares proportional to
+    ``n_g ** alpha`` flatten a head-heavy language distribution so
+    low-resource groups are not drowned out. Emits, per group: exact
+    document count, natural share, temperature share, and the integer
+    document budget ``round(budget * temp_share_exact)``.
+
+    alpha is fixed at 0.5 and computed as ``sqrt`` — deliberately:
+    IEEE-754 requires sqrt to be correctly rounded, so every engine
+    produces the identical double, while ``pow(x, 0.3)`` carries
+    engine-specific ulp error. Shares are rounded to 6dp for the gate
+    (the repo-wide ratio-output convention); the only cross-engine
+    looseness left is agg-order ulps in the share denominator, far
+    below the rounding grain.
+
+    Scale (100 TB): one map-side-combinable count per group, a 1-row
+    total broadcast back over the O(groups) frame — no data-sized
+    shuffle at all; the expensive step (executing the mixture) is
+    downstream `domain_resample`/`stratified_sample`, which consume
+    this plan.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    sqrt_n = F.sqrt(F.col("n_docs").cast("double"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("_n"), F.sum(sqrt_n).alias("_z")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col(group_col),
+        F.col("n_docs"),
+        F.round(F.col("n_docs") / F.col("_n"), 6).alias("natural_share"),
+        F.round(sqrt_n / F.col("_z"), 6).alias("temp_share"),
+        F.round(F.lit(float(budget)) * sqrt_n / F.col("_z"), 0)
+        .cast("long")
+        .alias("target_docs"),
+    )

@@ -451,3 +451,90 @@ def ext_shard_assignment(spark, sf_dir):
     return shard_assignment(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n_shards=16
     )
+
+
+def _h32(expr: str) -> str:
+    """DuckDB twin of operators.training.uniform_hash_u32 for an
+    arbitrary VARCHAR expression: md5-hex first 8 digits -> uint32 as
+    explicit digit arithmetic (DuckDB has no conv())."""
+    return " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(md5({expr}), "
+        f"{i + 1}, 1)) - 1) AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@register(
+    "ext_classifier_quality_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, ({_h32("tok")}) % 4096 AS bucket FROM toks
+    ),
+    w AS (
+      SELECT b AS bucket,
+             (({_h32("CAST(b AS VARCHAR) || ':w'")}) % 2001) - 1000
+               AS weight_milli
+      FROM range(4096) t(b)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(weight_milli) AS BIGINT) AS score_milli
+      FROM feats JOIN w USING (bucket) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, score_milli, score_milli > 0 AS keep
+    FROM agg
+    """,
+)
+def ext_classifier_quality_filter(spark, sf_dir):
+    """[EXT] fastText-style hashed linear classifier inference (see
+    :func:`operators.training.hashed_classifier_score`): the
+    classifier-based quality-filter step. Integer milli-weight
+    arithmetic end to end, so the oracle match is exact, not
+    float-tolerant; the weight table is recomputed identically by both
+    engines from md5."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        hashed_classifier_score,
+    )
+
+    return hashed_classifier_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", dim=4096
+    )
+
+
+@register(
+    "ext_temperature_mixture",
+    """
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS _n,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) AS _z
+      FROM counts
+    )
+    SELECT lang, n_docs,
+           round(CAST(n_docs AS DOUBLE) / _n, 6) AS natural_share,
+           round(sqrt(CAST(n_docs AS DOUBLE)) / _z, 6) AS temp_share,
+           CAST(round(100000.0 * sqrt(CAST(n_docs AS DOUBLE)) / _z, 0)
+                AS BIGINT) AS target_docs
+    FROM counts, tot
+    """,
+)
+def ext_temperature_mixture(spark, sf_dir):
+    """[EXT] Temperature (alpha=0.5) multilingual mixture planning (see
+    :func:`operators.training.temperature_mixture`): per-language
+    natural vs flattened sampling shares and integer document budgets.
+    sqrt is IEEE-exact on both engines (pow is not) — that is why the
+    temperature is 0.5 and not a config float."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(
+        load_table(spark, sf_dir, "documents"), "lang", budget=100_000
+    )

@@ -348,15 +348,28 @@ def test_signature_pairs_multiblock_synthetic_radius(spark):
         assert ((a, b) in out) == (dist <= 3), (i, dist)
 
 
-def test_auto_n_blocks_threshold(spark):
-    """Scheme auto-selection: classic d+1 blocks below the corpus-size
-    threshold, 6-block multi-table at/above it; never multi-block when
-    6 doesn't divide the signature width or doesn't exceed the radius."""
-    small = spark.range(10).selectExpr("id as _id", "id as _sh")
+def test_auto_n_blocks_threshold(spark, sf_dir):
+    """Scheme auto-selection from PLANNING-TIME stats (zero jobs):
+    classic d+1 blocks below the corpus-size threshold, 6-block
+    multi-table at/above it; never multi-block when 6 doesn't divide
+    the signature width or doesn't exceed the radius."""
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    # rowCount path: a bare Range leaf carries an exact row count
+    small = spark.range(10)
     assert dx._auto_n_blocks(small, 3, 48) == 4
-    big = spark.range(dx._MULTIBLOCK_MIN_ROWS).selectExpr(
-        "id as _id", "id as _sh"
-    )
+    big = spark.range(dx._MULTIBLOCK_MIN_ROWS)
     assert dx._auto_n_blocks(big, 3, 48) == 6
     assert dx._auto_n_blocks(big, 3, 64) == 4  # 64 % 6 != 0
     assert dx._auto_n_blocks(big, 5, 48) == 6  # 6 > 5 still valid
+    # sizeInBytes path: a Project drops rowCount in size-only stats
+    # estimation, so the decision falls back to bytes / _APPROX_DOC_BYTES
+    small_proj = spark.range(10).selectExpr("id as _id", "id as _sh")
+    assert dx._auto_n_blocks(small_proj, 3, 48) == 4
+    big_bytes = spark.range(
+        dx._MULTIBLOCK_MIN_ROWS * dx._APPROX_DOC_BYTES // 8
+    ).selectExpr("id as _id", "id as _sh")
+    assert dx._auto_n_blocks(big_bytes, 3, 48) == 6
+    # parquet-scan path: exact matched-file bytes (the gate-query shape)
+    docs = load_table(spark, sf_dir, "documents")
+    assert dx._auto_n_blocks(docs, 3, 48) == 4  # ~60 KB at sf0.01

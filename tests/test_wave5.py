@@ -358,3 +358,88 @@ def test_stateful_profile_gate_query_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_hashed_classifier_score_exact_and_partition_invariant(spark):
+    """Integer milli-weight scoring is bit-exact: a hand-computed md5
+    score on a 2-doc frame matches, and any repartitioning produces the
+    identical result (the portability claim its oracle states)."""
+    import hashlib
+
+    from dissertation_data_pipeline_spark.operators.training import (
+        hashed_classifier_score,
+    )
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], ["doc_id", "text"]
+    )
+
+    def expected(text: str) -> tuple[int, int]:
+        toks = text.split(" ")
+        score = sum(
+            (h32(f"{h32(t) % 4096}:w") % 2001) - 1000 for t in toks
+        )
+        return len(toks), score
+
+    got = {
+        r.doc_id: (r.n_tokens, r.score_milli, r.keep)
+        for r in hashed_classifier_score(docs).collect()
+    }
+    for doc_id, text in [(1, "alpha beta alpha"), (2, "gamma")]:
+        n, s = expected(text)
+        assert got[doc_id] == (n, s, s > 0), (doc_id, got[doc_id], (n, s))
+
+    re_got = {
+        r.doc_id: (r.n_tokens, r.score_milli, r.keep)
+        for r in hashed_classifier_score(docs.repartition(5)).collect()
+    }
+    assert re_got == got
+
+
+def test_hashed_classifier_broadcasts_weights(spark, sf_dir):
+    """The weight table must enter as a broadcast join — a shuffle on
+    the exploded token stream would be the 100 TB killer."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        hashed_classifier_score,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    plan = hashed_classifier_score(
+        load_table(spark, sf_dir, "documents")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mixture_flattens_the_head(spark, sf_dir):
+    """Temperature alpha=0.5 moves mass from the head language to the
+    tail: head temp_share < natural_share, tail temp_share >
+    natural_share; shares each sum to ~1 and integer budgets sum to
+    ~the requested budget (rounding slack only)."""
+    from dissertation_data_pipeline_spark.operators.training import (
+        temperature_mixture,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = temperature_mixture(docs, "lang", budget=100_000).collect()
+    by_lang = {r.lang: r for r in rows}
+    head = max(rows, key=lambda r: r.n_docs)
+    tail = min(rows, key=lambda r: r.n_docs)
+    assert head.temp_share < head.natural_share
+    assert tail.temp_share > tail.natural_share
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.target_docs for r in rows) - 100_000) <= len(rows)
+    # deterministic under repartition
+    again = {
+        r.lang: r for r in temperature_mixture(
+            docs.repartition(9), "lang", budget=100_000
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in again.items()} == {
+        k: tuple(v) for k, v in by_lang.items()
+    }

@@ -20,6 +20,7 @@ import base64
 import re
 from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -361,3 +362,30 @@ def decisions_from_extraction(extracted: DataFrame) -> DataFrame:
         ).otherwise(F.lit(0.0)).alias("words_removed_pct"),
         F.current_timestamp().alias("normalization_timestamp"),
     )
+
+
+def normalize_unicode_nfc(df: DataFrame, text_col: str, out_col: str) -> DataFrame:
+    """Unicode NFC normalization as an Arrow-batched pandas UDF —
+    the canonicalization step every text-curation pipeline runs
+    before hashing, dedup, or tokenization (C4/CCNet style): without
+    it, a composed "é" (U+00E9) and its decomposed twin
+    (e + U+0301) hash apart and dedup misses the pair.
+
+    stdlib ``unicodedata`` (always present — no library gate), batched
+    through Arrow like the other decoders here; NULL passes through.
+    Spark has no native NFC expression, so this is a genuine
+    UDF-boundary per SURVEY §2.10's rule — but it is a narrow,
+    shuffle-free map that fuses scan-side: at 100 TB it adds one
+    Python stage per scan partition and never moves data.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

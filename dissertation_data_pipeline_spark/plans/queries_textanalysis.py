@@ -196,3 +196,42 @@ def ext_pii_redaction(spark, sf_dir):
         F.md5(r["redacted"]).alias("redacted_md5"),
         F.length(r["redacted"]).cast("long").alias("redacted_len"),
     )
+
+
+@register(
+    "ext_unicode_nfc",
+    """
+    WITH raws AS (
+      SELECT doc_id, text || 'e' || chr(769) || ' a' || chr(778) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+           length(raw) != length(nfc_normalize(raw)) AS changed
+    FROM raws
+    """,
+)
+def ext_unicode_nfc(spark, sf_dir):
+    """[EXT] Unicode NFC canonicalization (see
+    :func:`operators.text_udf.normalize_unicode_nfc`) — gate-proven
+    against DuckDB's ``nfc_normalize``. Every document gets a
+    decomposed suffix (e+U+0301, a+U+030A) appended so the
+    normalization demonstrably composes (codepoint length shrinks by
+    2) rather than passing ASCII through untouched; lengths are exact
+    ints, so the comparison is bit-strict."""
+    from dissertation_data_pipeline_spark.operators.text_udf import (
+        normalize_unicode_nfc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("é å")).alias("raw"),
+    )
+    out = normalize_unicode_nfc(docs, "raw", "norm")
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length("norm").cast("long").alias("len_nfc"),
+        (F.length("raw") != F.length("norm")).alias("changed"),
+    )

@@ -696,6 +696,7 @@ set_driver_priority(
         "ext_shard_assignment",
         "ext_classifier_quality_filter",
         "ext_temperature_mixture",
+        "ext_unicode_nfc",
         # -- 3: round-3 newcomers (registered after r3's sample) ----------
         "ext_capped_jaccard_pairs",
         "ext_stop_shingle_report",

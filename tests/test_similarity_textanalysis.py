@@ -295,3 +295,36 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path):
     scan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in scan
     assert spark.read.parquet(f"{path}/cells").count() == emb.count()
+
+
+def test_normalize_unicode_nfc_composes_and_passes_null(spark):
+    """NFC: composed and decomposed spellings converge to the same
+    string (the hash-before-dedup property the operator exists for);
+    already-NFC text is a fixed point; NULL passes through."""
+    from dissertation_data_pipeline_spark.operators.text_udf import (
+        normalize_unicode_nfc,
+    )
+
+    rows = [
+        (1, "café"),              # composed é
+        (2, "café"),             # decomposed e + U+0301
+        (3, "plain ascii"),
+        (4, None),
+        (5, "Ångström"),   # Å and ö decomposed
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r.id: r.n
+        for r in normalize_unicode_nfc(df, "t", "n").collect()
+    }
+    assert out[1] == out[2] == "café"
+    assert out[3] == "plain ascii"
+    assert out[4] is None
+    assert out[5] == "Ångström"
+    # idempotent: a second pass changes nothing
+    df2 = spark.createDataFrame([(k, v) for k, v in out.items()], ["id", "t"])
+    again = {
+        r.id: r.n
+        for r in normalize_unicode_nfc(df2, "t", "n").collect()
+    }
+    assert again == out

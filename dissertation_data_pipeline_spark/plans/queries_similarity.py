@@ -543,3 +543,104 @@ def ext_ann_pq_adc_topk(spark, sf_dir):
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "adc", "rank")
     )
+
+
+@register(
+    "ext_ann_recall_at_10",
+    f"""
+    WITH bq AS (
+      SELECT vec_id AS query_id, embedding AS query_vec
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    bscored AS (
+      SELECT bq.query_id, c.vec_id,
+             round({_cos('bq.query_vec', 'c.embedding')}, 6) AS sim
+      FROM bq JOIN embeddings c ON bq.query_id <> c.vec_id
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM bscored) WHERE rank <= 10
+    ),
+    cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 8
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, k.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_cos('c.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings c, cents k) WHERE cr = 1
+    ),
+    probes AS (
+      SELECT query_id, query_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS query_vec, k.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings q, cents k WHERE {_QUERY_PRED}) WHERE cr <= 2
+    ),
+    iscored AS (
+      SELECT p.query_id, c.vec_id,
+             round({_cos('p.query_vec', 'c.embedding')}, 6) AS sim
+      FROM probes p JOIN cells c USING (cell_id)
+      WHERE p.query_id <> c.vec_id
+    ),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rank
+        FROM iscored) WHERE rank <= 10
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+           round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 6) AS recall
+    FROM brute b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY b.query_id
+    """,
+)
+def ext_ann_recall_at_10(spark, sf_dir):
+    """[EXT] ANN evaluation harness: per-query recall@10 of the 2-probe
+    IVF search against the exact brute-force ground truth — the metric
+    that decides n_probe/n_cells in production, computed as a query
+    instead of a notebook. Both legs are the already-gate-verified
+    bit-exact pipelines, so recall itself is oracle-checked (n_hits is
+    an int; recall = n_hits/10 is the same double on every engine).
+
+    Scale (100 TB): ground truth is computed over the SAMPLED query
+    set only (the standard eval protocol) — the brute leg is
+    |queries| x corpus, the IVF leg is the production plan, the final
+    join is O(k x |queries|) rows. Tuning recall happens at this
+    sample size no matter how big the corpus is."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = sim.brute_force_topk(queries, emb, k=10, exclude_self=True).select(
+        "query_id", "vec_id"
+    )
+    ivf = (
+        sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2, exclude_self=True)
+        .select("query_id", "vec_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6),
+        )
+    )

@@ -697,6 +697,7 @@ set_driver_priority(
         "ext_classifier_quality_filter",
         "ext_temperature_mixture",
         "ext_unicode_nfc",
+        "ext_ann_recall_at_10",
         # -- 3: round-3 newcomers (registered after r3's sample) ----------
         "ext_capped_jaccard_pairs",
         "ext_stop_shingle_report",

@@ -44,6 +44,11 @@ SAMPLE = [
     "ext_rolling_features",        # per-key lag/window feature block
     "ext_count_min_hitters",       # md5-bucketed counter matrix
     "ext_ccnet_buckets",           # per-lang ntile over LM perplexity
+    # round 4 additions
+    "ext_shard_assignment",        # md5 shard hash + budget sums
+    "ext_classifier_quality_filter",  # int64 milli-score broadcast join
+    "ext_temperature_mixture",     # sqrt shares + 1-row total broadcast
+    "ext_unicode_nfc",             # pandas-UDF NFC map (narrow)
 ]
 
 

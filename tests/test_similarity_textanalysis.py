@@ -328,3 +328,37 @@ def test_normalize_unicode_nfc_composes_and_passes_null(spark):
         for r in normalize_unicode_nfc(df2, "t", "n").collect()
     }
     assert again == out
+
+
+def test_recall_at_10_full_probe_is_exact(spark, sf_dir):
+    """recall@10 harness sanity: probing ALL cells degenerates IVF to
+    brute force — recall must be exactly 1.0 for every query; and the
+    registered 2-probe query emits n_true=10 with 0 <= n_hits <= 10."""
+    from pyspark.sql import functions as F
+
+    from dissertation_data_pipeline_spark.operators import similarity as sim
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(
+            queries, emb, k=10, exclude_self=True
+        ).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id)
+        for r in sim.ivf_topk(
+            queries, emb, k=10, n_cells=8, n_probe=8, exclude_self=True
+        ).collect()
+    }
+    assert full == brute
+
+    rows = QUERIES["ext_ann_recall_at_10"].fn(spark, sf_dir).collect()
+    assert rows and all(r.n_true == 10 for r in rows)
+    assert all(0 <= r.n_hits <= 10 for r in rows)
+    assert all(abs(r.recall - r.n_hits / 10) < 1e-9 for r in rows)

@@ -11,6 +11,7 @@ periodic cache flush (legiscan_enricher.py:553-555).
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -115,3 +116,35 @@ def run_foreach_batch_upsert(
             f"prefix of the stream"
         )
     return state.read()
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Run streaming queries under the RocksDB state store provider —
+    the 100 TB state backend: per-key state lives off-heap/on-disk in
+    per-partition RocksDB instances with incremental checkpointing,
+    so store size is bounded by disk, not executor heap (the default
+    HDFSBackedStateStoreProvider keeps every key in an in-memory map,
+    which caps stateful operators at heap size). Results are
+    provider-independent (pinned by test); only the storage engine
+    changes. Restores the previous provider on exit, so test sessions
+    are not left reconfigured."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield spark
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -276,3 +276,50 @@ def test_running_user_profile_evict_variant_sets_processing_timeout():
     fn_drain = stateful._make_update_profile(False)
     assert fn_evict.__closure__[0].cell_contents is True
     assert fn_drain.__closure__[0].cell_contents is False
+
+
+def test_stateful_profile_identical_under_rocksdb(spark, sf_dir, tmpdirs):
+    """Provider independence: the same multi-batch stateful drain under
+    the RocksDB state store (the bounded-by-disk 100 TB backend) yields
+    exactly the HDFS-backed result — only the storage engine differs."""
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state_store,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    src = f"{tmpdirs}/src"
+    events.repartition(3).write.parquet(src)
+
+    def drain(tag: str):
+        stream = read_events_stream(
+            spark, src, events.schema, watermark_delay="10 hours"
+        )
+        q = (
+            running_user_profile(stream, evict=False)
+            .writeStream.format("memory")
+            .queryName(f"profiles_{tag}")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdirs}/ckpt_{tag}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return {
+            r.user_id: (r.n_events, r.n_event_types)
+            for r in spark.table(f"profiles_{tag}")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("n_event_types").alias("n_event_types"),
+            )
+            .collect()
+        }
+
+    base = drain("hdfs")
+    with rocksdb_state_store(spark) as s:
+        assert s.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        ) == ROCKSDB_PROVIDER
+        rocks = drain("rocks")
+    assert rocks == base

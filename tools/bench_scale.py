@@ -55,6 +55,13 @@ TREND = [
     "ext_sessionize_batch", "ext_scd2_history",
     "ext_count_min_hitters", "ext_bpe_pair_counts",
     "ext_hll_distinct",
+    # round-4 additions: classifier filter (explode+broadcast),
+    # mixture planning (pure agg), NFC (narrow pandas-UDF map), shard
+    # stats (uniform-hash agg), ANN eval (brute leg = |q| x corpus),
+    # real-streaming stateful drain
+    "ext_classifier_quality_filter", "ext_temperature_mixture",
+    "ext_unicode_nfc", "ext_shard_assignment",
+    "ext_ann_recall_at_10", "s_stateful_profile",
 ]
 
 REPS = 2

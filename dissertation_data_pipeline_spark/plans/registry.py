@@ -672,17 +672,21 @@ from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E40
 # Cumulative driver-green after r3: 139/193 (r1 u r2 u r3, recorded in
 # GREEN_PRIOR_ROUNDS above; greens sort last).  Candidates for this
 # round's ~50-slot sample: the one red (ext_scd2_history, sentinel
-# fixed), 2 new queries, and the 53 never-checked.  That is 56 - 1
-# overlap = 55 names for 50 slots, so the 5 most redundant TPC-H
-# money-aggregate siblings are deferred to round 5 -- each has an
-# already-green or this-round-sampled plan-shape twin:
+# fixed), the round-4 newcomers (partitioned IVF, CDC+SCD2, HLL,
+# stateful-stream profile, shard assignment, classifier filter,
+# temperature mixture, Unicode NFC, ANN recall — all locally
+# gate-mirror green at sf0.01), the 5 round-3 newcomers, and the
+# never-checked stragglers.  The list below now holds ~59 names for
+# 50 slots: the tail TPC-H entries (q16..q22 region) plus the 5 most
+# redundant TPC-H money-aggregate siblings drain in round 5 -- each
+# has an already-green or this-round-sampled plan-shape twin:
 #   tpch_q3_shipping_priority   (join+agg+top-k: q5/q18 sampled)
 #   tpch_q6_forecast_revenue    (pure filter+agg: q1 green r3)
 #   tpch_q10_returned_items     (multi-join agg: q5/q7 sampled)
 #   tpch_q12_late_lines_by_status (CASE-count join: q4/q19 sampled)
 #   tpch_q14_promo_effect       (conditional ratio: q19 sampled)
-# They are not listed below, so they sort right after slot 50
-# (registration order, still ahead of all greens) and drain in r5.
+# Those 5 are not listed below, so they sort right after the list
+# (registration order, still ahead of all greens).
 set_driver_priority(
     [
         # -- 1: status-must-flip (r3's only red; 9999-12-31 sentinel

@@ -1,0 +1,152 @@
+"""Wave 9 — the IVF-PQ composition (the 100 TB ANN query path).
+
+Round-4 scale sweeps measured exhaustive PQ-ADC retrieval
+(``ext_ann_pq_rerank``) at >40 min at sf10: its lookup join is
+O(corpus x queries) by construction (3.2e9 rows there), which is the
+documented cost of the *exhaustive baseline* — the same reason
+``ext_ann_brute_topk`` exists as a yardstick rather than a query path.
+What production indexes actually run is the composition in this wave:
+coarse-quantizer pruning (IVF) in front of code-distance ranking (PQ)
+in front of a point-lookup exact re-rank — Jégou et al. 2011's IVFADC.
+Each stage already exists here (``ivf_centroids``/``ivf_assign``,
+``pq_codes``, the re-rank tail of ``ext_ann_pq_rerank``); this wave
+wires them into one gate-checked query whose per-query work is bounded
+by n_probe/n_cells of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dissertation_data_pipeline_spark.operators import similarity as sim
+from dissertation_data_pipeline_spark.plans.queries_similarity import (
+    _CENT_ORDER,
+    _D2,
+    _QUERY_PRED,
+    _cos,
+)
+from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
+
+# per-subspace squared L2 between an 8-wide slice of a query vector and
+# a codebook subcentroid — the same strict left fold as the engine
+_SUB_D2 = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 9), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+    "* ({a}[i]::DOUBLE - {b}[i]::DOUBLE))), (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "ext_ann_ivfpq_rerank",
+    f"""
+    WITH coarse AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 32
+    ),
+    cells AS MATERIALIZED (
+      SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, k.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_cos('c.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings c, coarse k) WHERE cr = 1
+    ),
+    probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, k.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos('q.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings q, coarse k WHERE {_QUERY_PRED}) WHERE cr <= 2
+    ),
+    pqcents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS code_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 16
+    ),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT code_id, s, centroid[(s*8+1):(s*8+8)] AS subc FROM pqcents, subs
+    ),
+    codes AS MATERIALIZED (
+      SELECT vec_id, s, code_id FROM (
+        SELECT vx.vec_id, vx.s, cb.code_id,
+               row_number() OVER (PARTITION BY vx.vec_id, vx.s ORDER BY
+                 {_SUB_D2.format(a='subv', b='subc')} ASC,
+                 cb.code_id ASC) AS rn
+        FROM (SELECT vec_id, s, embedding[(s*8+1):(s*8+8)] AS subv
+              FROM embeddings, subs) vx
+        JOIN cb USING (s)
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT p.query_id, p.cell_id, cb.s, cb.code_id,
+             CAST(floor(
+               {_SUB_D2.format(a="q.embedding[(cb.s*8+1):(cb.s*8+8)]", b="subc")}
+               * 1000000000000) AS BIGINT) AS qd
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.query_id
+      CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT lut.query_id, codes.vec_id, CAST(SUM(lut.qd) AS BIGINT) AS adc
+      FROM codes
+      JOIN cells USING (vec_id)
+      JOIN lut ON lut.cell_id = cells.cell_id
+              AND lut.s = codes.s AND lut.code_id = codes.code_id
+      WHERE codes.vec_id <> lut.query_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc ASC, vec_id ASC) AS rk
+        FROM scored) WHERE rk <= 20
+    ),
+    rr AS (
+      SELECT s.query_id, s.vec_id,
+             CAST(floor({_D2.format(a='q.embedding', b='c.embedding')}
+                        * 1000000000000) AS BIGINT) AS exact_pd
+      FROM short s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings c ON c.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, exact_pd, rank FROM (
+      SELECT query_id, vec_id, exact_pd,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY exact_pd ASC, vec_id ASC) AS rank
+      FROM rr
+    ) WHERE rank <= 5
+    """,
+)
+def ext_ann_ivfpq_rerank(spark, sf_dir):
+    """[EXT] IVF-PQ two-stage retrieval (Jégou et al. 2011 IVFADC —
+    the composition production vector indexes run): 32 coarse cells
+    prune each query to its 2 nearest cells, PQ asymmetric code
+    distances shortlist the top-20 of ONLY those cells' vectors, and
+    the 20 survivors are re-ranked against true vectors with exact L2
+    into a top-5.
+
+    The per-query ADC work is n_probe/n_cells (1/16) of the
+    exhaustive ``ext_ann_pq_rerank``; at 100 TB the cells are the
+    partition layout (``write_ivf_partitioned``), so pruning is a
+    planning-time partition filter and the exact stage is a
+    shortlist-sized point lookup. Determinism matches the exhaustive
+    path: integer picodistance ADC sums, full (adc, id) and
+    (exact_pd, id) tiebreaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return sim.ivfpq_rerank_topk(
+        q,
+        emb,
+        n_cells=32,
+        n_probe=2,
+        shortlist=20,
+        k=5,
+        exclude_self=True,
+    )

@@ -666,6 +666,7 @@ from dissertation_data_pipeline_spark.plans import queries_wave4  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_wave5  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave6  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave8  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_wave9  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E402,F401
 
 # Gate-coverage policy for ROUND 4 (see DRIVER_PRIORITY docstring).
@@ -702,6 +703,11 @@ set_driver_priority(
         "ext_temperature_mixture",
         "ext_unicode_nfc",
         "ext_ann_recall_at_10",
+        "ext_ann_ivfpq_rerank",
+        # containment switched to the capped shingle universe this
+        # round (max_df=16, both sides) — its r1 green predates the
+        # semantics change, so it must be re-sampled
+        "ext_containment_pairs",
         # -- 3: round-3 newcomers (registered after r3's sample) ----------
         "ext_capped_jaccard_pairs",
         "ext_stop_shingle_report",
@@ -751,8 +757,10 @@ set_driver_priority(
         "tpch_q16_part_supplier_variety",
         "tpch_q17_small_qty_revenue",
         "tpch_q18_large_volume_customers",
-        "tpch_q19_disc_revenue_or",
-        "tpch_q22_idle_customers",
+        # q19 (CASE-OR predicate join) and q22 (anti-join + scalar agg)
+        # moved to the round-5 drain to fund ext_ann_ivfpq_rerank and
+        # the containment re-sample; their plan-shape twins (q4, j3)
+        # are green.
         # ---- budget line: 50 entries above ------------------------------
     ]
 )

@@ -177,6 +177,16 @@ def test_no_cartesian_products_in_registry(spark):
         # IS the PQ-ADC operator (same class as the IVF centroid pass)
         "ext_ann_pq_rerank",  # same codebook broadcast (shortlist stage
         # reuses pq_adc_scores); the re-rank stage joins equi on ids
+        "ext_ann_recall_at_10",  # composes the two allowed legs it
+        # evaluates: brute (query-set broadcast) and IVF (centroid
+        # broadcast); the recall join itself is equi on (query, vec)
+        "ext_temperature_mixture",  # 1-row (total, sqrt-mass) aggregate
+        # broadcast onto the per-language counts (same class as q22)
+        "ext_ann_ivfpq_rerank",  # composes BOTH allowed classes: the
+        # packed 1-row coarse-centroid broadcast (corpus + query
+        # assignment, as ivf_topk) and the 128-row codebook broadcast
+        # (lookup tables, as pq_adc_topk); the pruned ADC join itself
+        # is equi on (cell_id, subspace, code)
         "ext_bigram_lm_score",  # 1-row vocabulary-size broadcast: the
         # smoothing denominator attaches to every scored bigram
         "ext_ccnet_buckets",  # composes the bigram LM scorer, so it

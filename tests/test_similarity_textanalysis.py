@@ -362,3 +362,57 @@ def test_recall_at_10_full_probe_is_exact(spark, sf_dir):
     assert rows and all(r.n_true == 10 for r in rows)
     assert all(0 <= r.n_hits <= 10 for r in rows)
     assert all(abs(r.recall - r.n_hits / 10) < 1e-9 for r in rows)
+
+
+def test_ivfpq_rerank_contract_and_candidates_from_probed_cells(spark, sf_dir):
+    """IVF-PQ composition: dense per-query ranks, no self-matches,
+    exact_pd agrees with a recomputed strict-fold L2, and every
+    returned candidate lives in one of its query's probed cells —
+    the pruning actually constrains the result set."""
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = sim.ivfpq_rerank_topk(
+        q, emb, n_cells=4, n_probe=2, shortlist=10, k=3, exclude_self=True
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["vec_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == q.count()
+    for rs in by_q.values():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        # rank order IS exact_pd order (ties broken by vec_id)
+        srt = sorted(rs, key=lambda x: (x["exact_pd"], x["vec_id"]))
+        assert [x["vec_id"] for x in srt] == [
+            x["vec_id"] for x in sorted(rs, key=lambda x: x["rank"])
+        ]
+    # candidate cells ⊆ probed cells per query
+    cents = sim.ivf_centroids(emb, n_cells=4)
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in sim.ivf_assign(
+            emb, cents, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    probes = {}
+    for r in sim.ivf_assign(
+        q, cents, id_col="query_id", vec_col="qv", rank_upto=2
+    ).collect():
+        probes.setdefault(r["query_id"], set()).add(r["cell_id"])
+    for r in rows:
+        assert cells[r["vec_id"]] in probes[r["query_id"]]
+    # exact_pd is the floored-picodistance strict-fold L2
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    import math
+
+    for r in rows[:10]:
+        acc = 0.0
+        for x, y in zip(vecs[r["query_id"]], vecs[r["vec_id"]]):
+            acc += (float(x) - float(y)) * (float(x) - float(y))
+        assert r["exact_pd"] == math.floor(acc * 1_000_000_000_000)

@@ -212,7 +212,14 @@ def ext_ann_pq_rerank(spark, sf_dir):
     Exactness: shortlist membership is decided on exact-integer ADC
     picodistances with a full tiebreak; re-rank distances are
     strict-fold doubles floored to integer picodistance units —
-    bit-identical in both engines before any comparison."""
+    bit-identical in both engines before any comparison.
+
+    Scale status: the shortlist stage here is EXHAUSTIVE ADC —
+    O(corpus x queries) by construction (measured >40 min at sf10),
+    the PQ analog of ``ext_ann_brute_topk``'s yardstick role. The
+    production-shaped path is ``ext_ann_ivfpq_rerank``
+    (queries_wave9), which bounds the ADC stage to n_probe/n_cells
+    of the corpus via coarse-cell pruning."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")

@@ -46,7 +46,7 @@ TREND = [
     # ANN / embeddings
     "ext_ann_brute_topk", "ext_ann_ivf_topk",
     "ext_ann_ivf_partitioned_topk", "ext_ann_pq_rerank",
-    "ext_embedding_near_dup",
+    "ext_ann_ivfpq_rerank", "ext_embedding_near_dup",
     # end-to-end compositions
     "ext_curation_pipeline", "ext_cdc_scd2_pipeline",
     # shuffle/agg/window controls (expected ~linear)
@@ -73,6 +73,18 @@ def main() -> None:
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    # --skip-at TAG:a,b,c  — omit named queries at one SF tag only.
+    # Exists for the documented-quadratic yardsticks (exhaustive
+    # brute/PQ-ADC, the recall eval's brute leg): at sf10 they are
+    # O(corpus x queries) BY CONSTRUCTION (>40 min measured) and the
+    # trend point would measure the yardstick, not the engine.  Their
+    # scale-path twins (ivf / ivfpq) stay in the trend at every SF.
+    skip_at: dict[str, set[str]] = {}
+    while "--skip-at" in args:
+        i = args.index("--skip-at")
+        tag, _, names_csv = args[i + 1].partition(":")
+        skip_at.setdefault(tag, set()).update(names_csv.split(","))
         del args[i : i + 2]
     out_path = args[0]
     sf_dirs = args[1:]
@@ -105,6 +117,9 @@ def main() -> None:
         tag = os.path.basename(sf_dir.rstrip("/"))
         timings: dict[str, float] = {}
         for n in names:
+            if n in skip_at.get(tag, ()):
+                print(f"{tag} {n}: skipped (quadratic yardstick)", flush=True)
+                continue
             best = float("inf")
             for _ in range(REPS):
                 clear_persisted()
@@ -120,6 +135,7 @@ def main() -> None:
         tag: {
             n: round(t[n] / max(result[base_tag][n], 1e-9), 2)
             for n in names
+            if n in t and n in result[base_tag]
         }
         for tag, t in result.items()
         if tag != base_tag

@@ -744,30 +744,43 @@ def pq_codes(
     Codebooks here are md5-sampled corpus vectors sliced per subspace
     (the same deterministic no-training sampling as ``ivf_centroids``;
     a Lloyd refinement per subspace would slot in exactly like the
-    trained-IVF variant). Assignment is relational — subspace-exploded
-    rows against a broadcast (n_sub x n_codes)-row codebook, strict
-    left-fold L2 so the oracle matches bit-for-bit, per-(vector,
-    subspace) rank with a deterministic tiebreak.
+    trained-IVF variant). Assignment is MAP-SIDE, same pattern as
+    ``ivf_assign``: the whole codebook (n_sub x n_codes rows) is
+    packed into ONE sorted array row and broadcast, and each
+    subspace-exploded vector row picks its nearest code with an
+    ``array_sort`` over per-candidate strict-left-fold L2 structs —
+    (d2 ASC, code_id ASC), the identical total order the relational
+    rank used, so values and tiebreaks match the SQL oracle
+    bit-for-bit. The former per-(vector, subspace) rank window (an
+    Exchange + sort over rows x n_sub x n_codes scored candidates) is
+    gone; encoding never leaves the scan stage.
 
     Returns (id, subspace, code, d2). Long form on purpose: the
     downstream consumer (asymmetric-distance scoring, code histogram
     balance checks) groups/joins by subspace or code — the same
     long-form argument as ``feature_hash_long``.
 
-    Scale: the codebook is n_sub*n_codes rows (broadcast — always);
-    the exploded frame is rows x n_sub, scanned once; the only shuffle
-    is the per-(id, subspace) rank window, and at 100 TB the rank
-    collapses into a map-side argmin over broadcast codebook literals
-    exactly as ``ivf_assign`` documents.
+    Scale: the packed codebook is one row (broadcast — always); the
+    exploded frame is rows x n_sub, scanned once, zero shuffles —
+    at 100 TB encoding rides the corpus scan exactly as the cell
+    assignment does.
     """
     cb = _pq_codebook(
         df, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
         sub_dim=sub_dim, n_codes=n_codes, code_col="code_id", sub_col="s",
     )
+    # one packed row, sorted by (s, code_id): subspace s's candidates
+    # are the contiguous slice [s*n_codes+1, n_codes] — O(1) access,
+    # no per-row filtering
+    packed = cb.agg(
+        F.array_sort(F.collect_list(F.struct("s", "code_id", "subc"))).alias(
+            "_cb"
+        )
+    )
     subs = F.array(*[F.lit(s) for s in range(n_sub)])
-    # spread the encode pass: the argmin join against the broadcast
-    # codebook inherits the corpus scan's partitioning, and a compact
-    # corpus (one parquet row group) would encode on one task
+    # spread the encode pass: the argmin inherits the corpus scan's
+    # partitioning, and a compact corpus (one parquet row group) would
+    # encode on one task
     df = df.repartition(pinned_partitions(df))
     vx = df.select(
         F.col(id_col).alias("_id"),
@@ -778,30 +791,38 @@ def pq_codes(
         "s",
         F.slice(F.col("_v"), F.col("s") * sub_dim + 1, sub_dim).alias("subv"),
     )
-    diff2 = F.zip_with(
-        F.col("subv"),
-        F.col("subc"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    scored = vx.join(F.broadcast(cb), "s").select(
-        "_id",
-        "s",
-        "code_id",
-        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x).alias("d2"),
-    )
-    w = Window.partitionBy("_id", "s").orderBy(
-        F.asc("d2"), F.asc("code_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("s").alias("subspace"),
-            F.col("code_id").alias("code"),
-            F.round("d2", 6).alias("d2"),
+    tagged = vx.crossJoin(F.broadcast(packed))
+    cands = F.slice(F.col("_cb"), F.col("s") * n_codes + 1, n_codes)
+
+    def cand_d2(c: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("subv"),
+                c["subc"],
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+
+    affs = F.transform(
+        cands,
+        lambda c: F.struct(
+            cand_d2(c).alias("d2"), c["code_id"].alias("code_id")
+        ),
+    )
+    # unpack in a second projection: _best is referenced twice, so
+    # CollapseProject keeps the projections apart and the 16-candidate
+    # fold runs once per row
+    best = tagged.select(
+        "_id", "s", F.element_at(F.array_sort(affs), 1).alias("_best")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("s").alias("subspace"),
+        F.col("_best.code_id").alias("code"),
+        F.round("_best.d2", 6).alias("d2"),
     )
 
 

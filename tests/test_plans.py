@@ -172,6 +172,8 @@ def test_no_cartesian_products_in_registry(spark):
         "ext_histogram_equidepth",
         "ext_negative_sampling",  # 1-row corpus-count broadcast
         "ext_time_gap_fill",  # 1-row hour-bounds broadcast onto the grid
+        "ext_ann_pq_codes",  # packed 1-row codebook broadcast for the
+        # map-side argmin encode (same class as ivf_topk's centroids)
         "ext_ann_pq_adc_topk",  # 128-row codebook broadcast: every query
         # scores every codebook entry to build its lookup table — that
         # IS the PQ-ADC operator (same class as the IVF centroid pass)

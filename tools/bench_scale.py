@@ -86,6 +86,16 @@ def main() -> None:
         tag, _, names_csv = args[i + 1].partition(":")
         skip_at.setdefault(tag, set()).update(names_csv.split(","))
         del args[i : i + 2]
+    # --merge: fold this run's timings into an existing OUT.json and
+    # recompute ratios.  Exists so each SF can run in a FRESH process:
+    # one long-lived local JVM accumulating 35 queries x 2 reps x 3
+    # scales dies building sf10 broadcasts (driver "Not enough memory
+    # to build and broadcast", GC-lagged torrent blocks) — per-SF
+    # isolation is also the honest measurement (a real deployment does
+    # not run 200 unrelated queries in one driver before yours).
+    merge = "--merge" in args
+    if merge:
+        args.remove("--merge")
     out_path = args[0]
     sf_dirs = args[1:]
     spark = get_spark("ddp-bench-scale")
@@ -130,19 +140,40 @@ def main() -> None:
             print(f"{tag} {n}: {timings[n]}s", flush=True)
         result[tag] = timings
 
-    base_tag = os.path.basename(sf_dirs[0].rstrip("/"))
+    extra = {}
+    if merge and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        merged = {k: dict(v) for k, v in prior.get("timings", {}).items()}
+        for tag, t in result.items():
+            merged.setdefault(tag, {}).update(t)
+        result = merged
+        extra = {
+            k: v
+            for k, v in prior.items()
+            if k not in ("timings", "reps") and not k.startswith("growth_vs_")
+        }
+    base_tag = (
+        "sf0.1" if "sf0.1" in result
+        else os.path.basename(sf_dirs[0].rstrip("/"))
+    )
     ratios = {
         tag: {
             n: round(t[n] / max(result[base_tag][n], 1e-9), 2)
-            for n in names
-            if n in t and n in result[base_tag]
+            for n in t
+            if n in result[base_tag]
         }
         for tag, t in result.items()
         if tag != base_tag
     }
     with open(out_path, "w") as fh:
         json.dump(
-            {"timings": result, "growth_vs_" + base_tag: ratios, "reps": REPS},
+            {
+                "timings": result,
+                "growth_vs_" + base_tag: ratios,
+                "reps": REPS,
+                **extra,
+            },
             fh,
             indent=1,
         )

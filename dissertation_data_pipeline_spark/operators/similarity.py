@@ -1016,3 +1016,28 @@ def ivfpq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, id_col, "exact_pd", "rank")
     )
+
+
+#: Corpus-size steps for the single-table LSH plane count, shared
+#: verbatim by the engine and the SQL oracles (the rule must be an
+#: EXACT row-count decision both engines can replicate — Catalyst
+#: stats, which _auto_n_blocks uses, are not visible to SQL).  Unlike
+#: the SimHash banding choice (recall-exact either way), plane count
+#: CHANGES the candidate set: it is the knob production single-table
+#: LSH turns with corpus growth — fixed 8 planes means 256 buckets
+#: forever, so random (non-near-dup) collisions grow quadratically
+#: with the corpus: measured 372 s / 306x growth at sf10 (200k
+#: vectors) before this rule, seconds after.  Recall for genuinely
+#: similar pairs falls slowly with planes ((1 - theta/pi)^k); the
+#: corpus sizes below keep expected RANDOM collisions per bucket ~O(1)
+#: while clusters (which agree on most hyperplanes) stay together.
+LSH_PLANE_STEPS: tuple[tuple[int, int], ...] = ((20_000, 8), (200_000, 12))
+LSH_PLANES_MAX = 16
+
+
+def adaptive_lsh_planes(n_rows: int) -> int:
+    """Plane count for ``n_rows`` corpus vectors (see LSH_PLANE_STEPS)."""
+    for bound, planes in LSH_PLANE_STEPS:
+        if n_rows < bound:
+            return planes
+    return LSH_PLANES_MAX

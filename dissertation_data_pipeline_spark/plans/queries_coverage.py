@@ -140,14 +140,31 @@ def fs9_state_code(spark, sf_dir):
 
 
 def _near_dup_sql() -> str:
+    from dissertation_data_pipeline_spark.operators.similarity import (
+        LSH_PLANE_STEPS,
+        LSH_PLANES_MAX,
+    )
     from dissertation_data_pipeline_spark.plans.queries_similarity import (
         _bucket_sql,
         _cos,
     )
 
+    # the identical corpus-size -> plane-count rule as
+    # similarity.adaptive_lsh_planes, as an exact-count CASE: each
+    # branch inlines that plane count's full bucket expression
+    branches = "".join(
+        f"""
+           WHEN (SELECT c FROM n) < {bound}
+             THEN {_bucket_sql('embedding', planes)}"""
+        for bound, planes in LSH_PLANE_STEPS
+    )
     return f"""
-    WITH corpus AS MATERIALIZED (
-      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+    WITH n AS (SELECT count(*) AS c FROM embeddings),
+    corpus AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             CASE {branches}
+               ELSE {_bucket_sql('embedding', LSH_PLANES_MAX)}
+             END AS bucket
       FROM embeddings
     )
     SELECT id_a, id_b, cos FROM (
@@ -169,11 +186,23 @@ def ext_embedding_near_dup(spark, sf_dir):
     embeddings are near-orthogonal random vectors (max pair cosine
     ~0.5), so the registered query uses threshold 0.3 to push real
     pairs through the candidate->verify path instead of vacuously
-    matching on an empty set; production near-dup would use ~0.99."""
+    matching on an empty set; production near-dup would use ~0.99.
+
+    The plane count is SIZE-ADAPTIVE (adaptive_lsh_planes; the exact
+    same row-count rule in the oracle's CASE): fixed 8 planes means
+    256 buckets forever, so random (non-similar) collisions grow
+    quadratically with the corpus — measured 372 s at sf10 (200k
+    vectors) with 8 planes vs seconds with the rule's 16. Unchanged
+    at every gate scale (sf0.001-0.1 are all < 20k vectors -> 8
+    planes, bit-identical to the fixed-plane formulation). Norms are
+    precomputed per vector (cosine_pre): re-folding them per pair
+    multiplied the HOF work by pairs/vectors."""
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = sim.hyperplanes(8, 64)
-    b = emb.withColumn("_bucket", sim.lsh_bucket("embedding", planes)).repartition(
-        pinned_partitions(emb), "_bucket"
+    planes = sim.hyperplanes(sim.adaptive_lsh_planes(emb.count()), 64)
+    b = (
+        emb.withColumn("_bucket", sim.lsh_bucket("embedding", planes))
+        .withColumn("_n", sim.l2_norm("embedding"))
+        .repartition(pinned_partitions(emb), "_bucket")
     )
     a2, b2 = b.alias("a"), b.alias("b")
     pairs = (
@@ -185,7 +214,15 @@ def ext_embedding_near_dup(spark, sf_dir):
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(sim.cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cos"),
+            F.round(
+                sim.cosine_pre(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    F.col("a._n"),
+                    F.col("b._n"),
+                ),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.3)
     )

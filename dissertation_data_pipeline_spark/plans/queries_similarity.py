@@ -76,11 +76,11 @@ def ext_ann_brute_topk(spark, sf_dir):
     return sim.brute_force_topk(queries, emb, k=10, exclude_self=True)
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, n_planes: int = 8) -> str:
     """Bucket id as explicit nested arithmetic (no lambda/list work in
     the inner loop — a per-row list literal inside a lambda is O(n^2)
     in DuckDB). The left-fold order matches Spark's ``F.aggregate``."""
-    planes = sim.hyperplanes(8, 64)
+    planes = sim.hyperplanes(n_planes, 64)
     bits = []
     for j, plane in enumerate(planes):
         proj = "0.0"

@@ -416,3 +416,30 @@ def test_ivfpq_rerank_contract_and_candidates_from_probed_cells(spark, sf_dir):
         for x, y in zip(vecs[r["query_id"]], vecs[r["vec_id"]]):
             acc += (float(x) - float(y)) * (float(x) - float(y))
         assert r["exact_pd"] == math.floor(acc * 1_000_000_000_000)
+
+
+def test_adaptive_lsh_planes_rule_and_bucket_consistency(spark):
+    """The corpus-size -> plane-count rule is exact and shared with the
+    oracle CASE; below the first step the buckets are bit-identical to
+    the historical fixed-8-plane formulation (gate scales unchanged)."""
+    assert sim.adaptive_lsh_planes(0) == 8
+    assert sim.adaptive_lsh_planes(19_999) == 8
+    assert sim.adaptive_lsh_planes(20_000) == 12
+    assert sim.adaptive_lsh_planes(199_999) == 12
+    assert sim.adaptive_lsh_planes(200_000) == 16
+    # a 16-plane bucket's low 8 bits are exactly the 8-plane bucket
+    # (plane j is the same md5-derived row regardless of how many
+    # planes follow it)
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(64)]) for i in range(20)],
+        "vec_id int, embedding array<float>",
+    )
+    b8 = df.select(
+        "vec_id", sim.lsh_bucket("embedding", sim.hyperplanes(8, 64)).alias("b")
+    ).collect()
+    b16 = df.select(
+        "vec_id", sim.lsh_bucket("embedding", sim.hyperplanes(16, 64)).alias("b")
+    ).collect()
+    m8 = {r["vec_id"]: r["b"] for r in b8}
+    for r in b16:
+        assert r["b"] % 256 == m8[r["vec_id"]]

@@ -818,10 +818,15 @@ def pq_codes(
     best = tagged.select(
         "_id", "s", F.element_at(F.array_sort(affs), 1).alias("_best")
     )
+    # coalesce makes `code` PROVABLY non-null, so downstream equi-joins
+    # on it do not push an isnotnull(<the whole argmin expression>)
+    # null-filter below this projection and evaluate the fold twice
+    # per row.  -1 is unreachable: a non-empty corpus yields >= 1
+    # codebook entry per subspace, and an empty corpus yields no rows.
     return best.select(
         F.col("_id").alias(id_col),
         F.col("s").alias("subspace"),
-        F.col("_best.code_id").alias("code"),
+        F.coalesce(F.col("_best.code_id"), F.lit(-1)).alias("code"),
         F.round("_best.d2", 6).alias("d2"),
     )
 
@@ -893,7 +898,14 @@ def pq_adc_scores(
     # lookup table is broadcast, so the join needs no co-partitioning:
     # round-robin gives a perfectly even spread.
     codes = codes.repartition(pinned_partitions(codes))
-    scored = codes.join(lut, ["subspace", "code"])
+    # the LUT is ALWAYS the broadcast side (n_queries x n_sub x
+    # n_codes rows).  The hint is load-bearing since the map-side
+    # pq_codes rewrite: the codes plan now descends from a packed
+    # 1-row codebook crossJoin, whose size estimate makes the planner
+    # broadcast the ENTIRE encoded corpus (BuildLeft) instead —
+    # measured 4.9 -> 14.3 s on the sf1 rerank, and a guaranteed OOM
+    # at real corpus sizes.
+    scored = codes.join(F.broadcast(lut), ["subspace", "code"])
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id))
     return scored.groupBy(query_id, id_col).agg(F.sum("qd").alias("adc"))

@@ -1,4 +1,5 @@
-"""Wave 9 — the IVF-PQ composition (the 100 TB ANN query path).
+"""Wave 9 — the IVF-PQ composition (the 100 TB ANN query path), plus
+URL canonicalization (the crawl pipeline's zeroth dedup tier).
 
 Round-4 scale sweeps measured exhaustive PQ-ADC retrieval
 (``ext_ann_pq_rerank``) at >40 min at sf10: its lookup join is
@@ -149,4 +150,104 @@ def ext_ann_ivfpq_rerank(spark, sf_dir):
         shortlist=20,
         k=5,
         exclude_self=True,
+    )
+
+
+def _url_variants_sql() -> str:
+    """Deterministic synthetic raw URLs from customer keys — one
+    variant per canonicalization rule (case, default/non-default
+    ports, tracking params, param order, fragment, empty path,
+    non-http scheme, non-URL garbage)."""
+    return """
+      CASE c_custkey % 6
+        WHEN 0 THEN 'HTTP://WWW.Example' || (c_custkey % 5)
+                    || '.COM:80/Path/' || c_custkey
+                    || '?utm_source=news&b=2&a=1#frag'
+        WHEN 1 THEN 'https://Example' || (c_custkey % 5)
+                    || '.com:443/a/b?z=9&a=1&utm_campaign=x'
+        WHEN 2 THEN 'https://sub.example' || (c_custkey % 5)
+                    || '.co:8443/x?fbclid=abc'
+        WHEN 3 THEN 'http://example' || (c_custkey % 5) || '.org'
+        WHEN 4 THEN 'ftp://Files.Example' || (c_custkey % 5)
+                    || '.net/data?ref=h&q=1'
+        ELSE 'not a url ' || c_custkey
+      END
+    """
+
+
+def _url_variants_col():
+    k = F.col("c_custkey")
+    m5 = (k % 5).cast("string")
+    return (
+        F.when(
+            k % 6 == 0,
+            F.concat(
+                F.lit("HTTP://WWW.Example"), m5, F.lit(".COM:80/Path/"),
+                k.cast("string"), F.lit("?utm_source=news&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            k % 6 == 1,
+            F.concat(
+                F.lit("https://Example"), m5,
+                F.lit(".com:443/a/b?z=9&a=1&utm_campaign=x"),
+            ),
+        )
+        .when(
+            k % 6 == 2,
+            F.concat(
+                F.lit("https://sub.example"), m5, F.lit(".co:8443/x?fbclid=abc")
+            ),
+        )
+        .when(k % 6 == 3, F.concat(F.lit("http://example"), m5, F.lit(".org")))
+        .when(
+            k % 6 == 4,
+            F.concat(
+                F.lit("ftp://Files.Example"), m5, F.lit(".net/data?ref=h&q=1")
+            ),
+        )
+        .otherwise(F.concat(F.lit("not a url "), k.cast("string")))
+    )
+
+
+from dissertation_data_pipeline_spark.functions import urls as fu  # noqa: E402
+
+
+@register(
+    "ext_url_canonicalize",
+    f"""
+    WITH raw AS (
+      SELECT c_custkey, {_url_variants_sql()} AS raw_url FROM customer
+    ),
+    u AS (
+      SELECT c_custkey, raw_url,
+             {fu.url_canonical_sql('raw_url')} AS u
+      FROM raw
+    )
+    SELECT c_custkey, u.canon AS url_canon, u.host AS host,
+           u.domain AS registered_domain
+    FROM u
+    """,
+)
+def ext_url_canonicalize(spark, sf_dir):
+    """[EXT] URL canonicalization (functions/urls.py) — the crawl
+    pipeline's zeroth dedup tier, run before any content is fetched:
+    lowercase scheme/host, drop fragments / default ports / tracking
+    params (utm_*, fbclid, gclid, ref), sort surviving params, '/'
+    for empty paths, two-label registered-domain heuristic (a PSL
+    snapshot would rot; documented approximation). Non-URLs
+    canonicalize to NULL. Raw URLs are synthesized deterministically
+    from customer keys — one variant per rule — the same move the
+    reference-shape scalar queries use for shapes the testdata lacks
+    (e.g. fs9 state codes). Pure regex/array codegen expressions; the
+    oracle applies the IDENTICAL regexes via url_canonical_sql, which
+    lives beside the engine function so the rules cannot drift."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _url_variants_col().alias("raw_url")
+    )
+    return c.select(
+        "c_custkey",
+        fu.canonicalize_url("raw_url").alias("url_canon"),
+        fu.url_host("raw_url").alias("host"),
+        fu.url_registered_domain("raw_url").alias("registered_domain"),
     )

@@ -1061,3 +1061,95 @@ def adaptive_lsh_planes(n_rows: int) -> int:
         if n_rows < bound:
             return planes
     return LSH_PLANES_MAX
+
+
+def lsh_probe_buckets(
+    vec: Column | str, planes: list[list[float]], n_flip: int
+) -> Column:
+    """Multi-probe LSH probe set (Lv et al. 2007): the query's own
+    bucket plus the buckets reached by flipping each of its ``n_flip``
+    LOWEST-MARGIN sign bits — the planes the point sits closest to,
+    i.e. the likeliest single-bit differences for a true neighbor.
+    Returns an array of 1 + n_flip bucket ids (own bucket first, then
+    flips in ascending (|margin|, plane) order — deterministic).
+
+    The standard recall lever for single-table LSH: probing T buckets
+    multiplies candidate reads by ~T while recovering most of the
+    recall a second hash table would buy, WITHOUT storing the corpus
+    twice — at 100 TB the corpus is written once, partitioned by
+    bucket, and multi-probe is purely a query-side fan-out over
+    1 + n_flip partition keys.
+    """
+    assert 0 <= n_flip <= len(planes)
+    projs = [
+        _fold_sum(
+            F.zip_with(
+                _c(vec),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, cfg: x.cast("double") * cfg,
+            )
+        )
+        for plane in planes
+    ]
+    bucket = F.lit(0)
+    for j, p in enumerate(projs):
+        bucket = bucket + F.when(p > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    # the struct carries the flip MASK (1 << j), not j: shiftleft()
+    # takes a literal bit count, and 2^j is monotone in j so the
+    # (margin, mask) sort order equals the oracle's (margin, j) order
+    margins = F.array(
+        *[
+            F.struct(F.abs(p).alias("m"), F.lit(1 << j).alias("mask"))
+            for j, p in enumerate(projs)
+        ]
+    )
+    flips = F.slice(F.array_sort(margins), 1, n_flip)
+    return F.concat(
+        F.array(bucket),
+        F.transform(flips, lambda f: bucket.bitwiseXOR(f["mask"])),
+    )
+
+
+def hyperplane_lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+    num_planes: int = 8,
+    n_flip: int = 2,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Multi-probe variant of ``hyperplane_lsh_topk``: each query
+    scores the corpus vectors in its own bucket AND in its ``n_flip``
+    lowest-margin single-bit-flip buckets. Candidates are a superset
+    of the single-probe candidate set, so per-query top-k similarity
+    dominates single-probe's (pinned by test). Same deterministic
+    ranking contract as every retrieval path (_rank_topk)."""
+    planes = hyperplanes(num_planes, 64)
+    b = corpus.withColumn("_bucket", lsh_bucket(corpus_vec, planes)).withColumn(
+        "_cn", l2_norm(corpus_vec)
+    )
+    # spread the scoring join off a compact corpus scan (same move as
+    # every scoring pass in this module)
+    b = b.repartition(pinned_partitions(corpus), "_bucket")
+    qb = queries.withColumn(
+        "_probe",
+        F.explode(lsh_probe_buckets(query_vec, planes, n_flip)),
+    ).withColumn("_qn", l2_norm(query_vec))
+    scored = _maybe_exclude_self(
+        F.broadcast(qb).join(b, qb["_probe"] == b["_bucket"]),
+        query_id,
+        corpus_id,
+        exclude_self,
+    ).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(
+            cosine_pre(query_vec, corpus_vec, F.col("_qn"), F.col("_cn")), 6
+        ).alias("sim"),
+    )
+    return _rank_topk(scored, query_id, corpus_id, k)

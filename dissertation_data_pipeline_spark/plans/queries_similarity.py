@@ -76,17 +76,29 @@ def ext_ann_brute_topk(spark, sf_dir):
     return sim.brute_force_topk(queries, emb, k=10, exclude_self=True)
 
 
-def _bucket_sql(vec: str, n_planes: int = 8) -> str:
-    """Bucket id as explicit nested arithmetic (no lambda/list work in
-    the inner loop — a per-row list literal inside a lambda is O(n^2)
-    in DuckDB). The left-fold order matches Spark's ``F.aggregate``."""
+def _plane_proj_sqls(vec: str, n_planes: int = 8) -> list[str]:
+    """Per-plane signed projections as explicit nested arithmetic (no
+    lambda/list work in the inner loop — a per-row list literal inside
+    a lambda is O(n^2) in DuckDB). The left-fold order matches Spark's
+    ``F.aggregate``. Shared by the bucket expression and the
+    multi-probe margin expressions, which must read the IDENTICAL
+    projection doubles."""
     planes = sim.hyperplanes(n_planes, 64)
-    bits = []
-    for j, plane in enumerate(planes):
+    out = []
+    for plane in planes:
         proj = "0.0"
         for i, cfg in enumerate(plane):
             proj = f"({proj} + ({vec}[{i + 1}]::DOUBLE * {cfg}))"
-        bits.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+        out.append(proj)
+    return out
+
+
+def _bucket_sql(vec: str, n_planes: int = 8) -> str:
+    """Bucket id: bit j set where projection j is positive."""
+    bits = [
+        f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, proj in enumerate(_plane_proj_sqls(vec, n_planes))
+    ]
     return "(" + " + ".join(bits) + ")"
 
 

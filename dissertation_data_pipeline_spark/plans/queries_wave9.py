@@ -251,3 +251,71 @@ def ext_url_canonicalize(spark, sf_dir):
         fu.url_host("raw_url").alias("host"),
         fu.url_registered_domain("raw_url").alias("registered_domain"),
     )
+
+
+def _multiprobe_sql() -> str:
+    from dissertation_data_pipeline_spark.plans.queries_similarity import (
+        _bucket_sql,
+        _plane_proj_sqls,
+    )
+
+    bucket_c = _bucket_sql("embedding")
+    projs = _plane_proj_sqls("embedding")
+    margins = ", ".join(
+        f"{{'m': abs({p}), 'j': {j}}}" for j, p in enumerate(projs)
+    )
+    return f"""
+    WITH corpus AS MATERIALIZED (
+      SELECT vec_id, embedding, {bucket_c} AS bucket FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS query_vec,
+             {bucket_c} AS bucket,
+             list_sort([{margins}]) AS ms
+      FROM embeddings WHERE {_QUERY_PRED}
+    ),
+    probes AS (
+      SELECT query_id, query_vec,
+             unnest(list_prepend(bucket,
+               list_transform(ms[1:2], f -> xor(bucket, 1 << f.j))))
+               AS bucket
+      FROM q
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id,
+             round({_cos('p.query_vec', 'c.embedding')}, 6) AS sim
+      FROM probes p JOIN corpus c USING (bucket)
+      WHERE p.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, sim, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ext_ann_lsh_multiprobe_topk", _multiprobe_sql())
+def ext_ann_lsh_multiprobe_topk(spark, sf_dir):
+    """[EXT] multi-probe LSH top-10 (Lv et al. 2007): each query
+    scores its own bucket PLUS the buckets reached by flipping its 2
+    lowest-|margin| sign bits — the planes the query sits closest to,
+    the likeliest single-bit differences for a true neighbor. The
+    standard recall lever for single-table LSH: ~3x the candidate
+    reads recover most of what a second hash table would buy without
+    storing the corpus twice; at 100 TB the corpus stays written once
+    (partitioned by bucket) and multi-probe is a query-side fan-out
+    over 3 partition keys. Candidates strictly contain the
+    single-probe set, so per-query top-1 similarity dominates
+    ``ext_ann_lsh_topk``'s (pinned by test). Margins are the identical
+    projection doubles as the bucket bits on both engines, so flip
+    selection (and therefore the candidate set) matches exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sim.hyperplane_lsh_multiprobe_topk(
+        queries, emb, k=10, n_flip=2, exclude_self=True
+    )

@@ -677,7 +677,7 @@ from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E40
 # stateful-stream profile, shard assignment, classifier filter,
 # temperature mixture, Unicode NFC, ANN recall — all locally
 # gate-mirror green at sf0.01), the 5 round-3 newcomers, and the
-# never-checked stragglers.  The list below now holds 58 names for
+# never-checked stragglers.  The list below now holds 59 names for
 # 50 slots: the tail TPC-H entries (q16..q22 region) plus the 5 most
 # redundant TPC-H money-aggregate siblings drain in round 5 -- each
 # has an already-green or this-round-sampled plan-shape twin:
@@ -705,6 +705,7 @@ set_driver_priority(
         "ext_ann_recall_at_10",
         "ext_ann_ivfpq_rerank",
         "ext_url_canonicalize",
+        "ext_ann_lsh_multiprobe_topk",
         # containment switched to the capped shingle universe this
         # round (max_df=16, both sides) — its r1 green predates the
         # semantics change, so it must be re-sampled

@@ -443,3 +443,38 @@ def test_adaptive_lsh_planes_rule_and_bucket_consistency(spark):
     m8 = {r["vec_id"]: r["b"] for r in b8}
     for r in b16:
         assert r["b"] % 256 == m8[r["vec_id"]]
+
+
+def test_multiprobe_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates strictly contain the single-probe set,
+    so per-query best similarity must dominate; flip buckets differ
+    from the own bucket by exactly one bit."""
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    single = sim.hyperplane_lsh_topk(q, emb, k=1, exclude_self=True).collect()
+    multi = sim.hyperplane_lsh_multiprobe_topk(
+        q, emb, k=1, n_flip=2, exclude_self=True
+    ).collect()
+    s1 = {r["query_id"]: r["sim"] for r in single}
+    m1 = {r["query_id"]: r["sim"] for r in multi}
+    # every single-probe query still answers, and never worse
+    for qid, s in s1.items():
+        assert qid in m1
+        assert m1[qid] >= s, (qid, s, m1[qid])
+    assert len(m1) >= len(s1)
+    # probe-set shape: own bucket first, flips one bit away
+    planes = sim.hyperplanes(8, 64)
+    rows = q.select(
+        "query_id",
+        sim.lsh_bucket("query_vec", planes).alias("b"),
+        sim.lsh_probe_buckets("query_vec", planes, 2).alias("ps"),
+    ).collect()
+    for r in rows:
+        assert r["ps"][0] == r["b"]
+        for flip in r["ps"][1:]:
+            x = flip ^ r["b"]
+            assert x != 0 and (x & (x - 1)) == 0  # exactly one bit

@@ -800,7 +800,17 @@ def pq_codes(
         F.slice(F.col("_v"), F.col("s") * sub_dim + 1, sub_dim).alias("subv"),
     )
     tagged = vx.crossJoin(F.broadcast(packed))
-    cands = F.slice(F.col("_cb"), F.col("s") * n_codes + 1, n_codes)
+    # the positional slice assumes a COMPLETE codebook (exactly n_codes
+    # entries per subspace); a corpus smaller than n_codes yields fewer
+    # centroids and would misalign every subspace after the first —
+    # silently wrong codes.  Guard per row with zero extra jobs: when
+    # the packed array has the full n_sub*n_codes entries use the O(1)
+    # slice, otherwise fall back to an explicit subspace filter over
+    # the (tiny, broadcast) packed array.
+    cands = F.when(
+        F.size(F.col("_cb")) == n_sub * n_codes,
+        F.slice(F.col("_cb"), F.col("s") * n_codes + 1, n_codes),
+    ).otherwise(F.filter(F.col("_cb"), lambda c: c["s"] == F.col("s")))
 
     def cand_d2(c: Column) -> Column:
         return F.aggregate(

@@ -245,6 +245,31 @@ def test_pq_codes_cover_and_selfencode_exactly(spark, sf_dir):
     assert per_vec_zero >= 16  # at least the 16 sampled codebook sources
 
 
+def test_pq_codes_small_corpus_incomplete_codebook(spark):
+    """Corpus smaller than n_codes -> incomplete codebook: the packed
+    positional slice would misalign every subspace after the first and
+    emit silently-wrong codes; the per-row subspace-filter fallback
+    must keep codes valid and self-encoding exact (every vector IS a
+    codebook source when n < n_codes)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from dissertation_data_pipeline_spark.operators.similarity import pq_codes
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(5)  # 5 < n_codes=16 -> codebook incomplete
+    ]
+    df = spark.createDataFrame(rows)
+    out = pq_codes(df).collect()
+    assert len(out) == 5 * 8
+    assert all(0 <= r["code"] < 16 for r in out)
+    # with every vector in the codebook, self-encoding is exact
+    assert all(r["d2"] == 0.0 for r in out)
+
+
 def test_redact_escapes_regex_metachars_in_terms(spark):
     from pyspark.sql import Row
 

@@ -131,36 +131,51 @@ def main() -> None:
             ),
             "append",
         ),
-        "stateful_profile": (running_user_profile, "update"),
+        # evict=False: under Trigger.AvailableNow a ProcessingTimeTimeout
+        # keeps shouldRunAnotherBatch true and the drain spins empty
+        # state-cleanup batches until the timeout — same rule as the
+        # gate query and tests (streaming/stateful.py docstring).
+        "stateful_profile": (
+            lambda df: running_user_profile(df, evict=False),
+            "update",
+        ),
         "static_enrich": (
             lambda df: stream_static_enrich(df, dim, "event_type"),
             "append",
         ),
     }
 
-    result: dict[str, dict[str, float]] = {}
-    for name, (transform, mode) in jobs.items():
-        wall = _drain(stream(), transform, mode, f"b_{name}", work)
-        result[name] = {
-            "wall_s": round(wall, 3),
-            "rows_per_s": round(n_rows / wall, 1),
-        }
-        print(f"{sf_tag} {name}: {wall:.2f}s "
-              f"({n_rows / wall:,.0f} rows/s)", flush=True)
-
-    shutil.rmtree(work, ignore_errors=True)
-    with open(out_path, "w") as fh:
-        json.dump(
-            {
-                "sf": sf_tag,
-                "input_rows": n_rows,
-                "n_files": n_files,
-                "jobs": result,
-            },
-            fh,
-            indent=1,
-        )
-    print(f"wrote {out_path}")
+    # try/finally: a job timeout or failure must not lose the timings
+    # already collected nor leak the staged directory — write partial
+    # results with a per-job error marker, clean up, then re-raise.
+    result: dict[str, dict[str, object]] = {}
+    try:
+        for name, (transform, mode) in jobs.items():
+            try:
+                wall = _drain(stream(), transform, mode, f"b_{name}", work)
+            except Exception as exc:
+                result[name] = {"error": f"{type(exc).__name__}: {exc}"}
+                raise
+            result[name] = {
+                "wall_s": round(wall, 3),
+                "rows_per_s": round(n_rows / wall, 1),
+            }
+            print(f"{sf_tag} {name}: {wall:.2f}s "
+                  f"({n_rows / wall:,.0f} rows/s)", flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf_tag,
+                    "input_rows": n_rows,
+                    "n_files": n_files,
+                    "jobs": result,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -20,12 +20,14 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
 )
 
 from dissertation_data_pipeline_spark.plans.registry import register
+from dissertation_data_pipeline_spark.tables import load_table
 
 #: repo root, derived from this file's location so the driver's cwd
 #: never matters (plans/ -> package -> repo)
@@ -136,3 +138,258 @@ def uf2_pdf_fixture(spark, sf_dir):
             "raw_text"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: gate rows for the remaining T-only IO surfaces — S1 CSV, S4
+# JSONL, S5 JSON-in-ZIP, S9 text-dir scans, plus K1/K2/K4 sink
+# round-trips.  Scans read committed fixtures oracled by DuckDB's OWN
+# independent readers where one exists (read_csv / read_json /
+# read_text) and literal VALUES where none does (ZIP).  Round-trips
+# write engine output to a temp layout, re-read it through the matching
+# scan, and oracle the CONTENT (the same SQL that produced it) — so a
+# quoting, NULL-canonicalization, or partition-column bug on either
+# side of the sink breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_csv_fixture",
+    f"""
+    SELECT * FROM read_csv('{_FIX}/s1_bills.csv',
+      columns = {{'state': 'VARCHAR', 'bill_number': 'VARCHAR',
+                  'title': 'VARCHAR', 'year': 'INT'}},
+      header = true)
+    """,
+)
+def s1_csv_fixture(spark, sf_dir):
+    """S1 as a gate row: the contract CSV scan reads the committed file
+    (quoted comma field, RFC-4180 doubled quotes, empty-cell NULL, int
+    cast); the oracle is DuckDB's independent CSV reader over the same
+    bytes.  Reference: pd.read_csv ingest (build_master_corpus.py:64)."""
+    from dissertation_data_pipeline_spark.sources.io import read_csv
+
+    schema = StructType(
+        [
+            StructField("state", StringType()),
+            StructField("bill_number", StringType()),
+            StructField("title", StringType()),
+            StructField("year", IntegerType()),
+        ]
+    )
+    return read_csv(spark, f"{_FIX}/s1_bills.csv", schema)
+
+
+@register(
+    "s4_jsonl_fixture",
+    f"""
+    SELECT * FROM read_json('{_FIX}/s4_records.jsonl',
+      columns = {{'record_id': 'VARCHAR', 'state': 'VARCHAR',
+                  'score': 'BIGINT'}},
+      format = 'newline_delimited')
+    """,
+)
+def s4_jsonl_fixture(spark, sf_dir):
+    """S4 as a gate row: the JSONL scan with a pinned schema reads the
+    committed file (one record missing a field, one explicit null —
+    both must land as NULL); DuckDB's read_json is the oracle.
+    Reference: normalize_json.py:8."""
+    from dissertation_data_pipeline_spark.sources.io import read_jsonl
+
+    schema = StructType(
+        [
+            StructField("record_id", StringType()),
+            StructField("state", StringType()),
+            StructField("score", LongType()),
+        ]
+    )
+    return read_jsonl(spark, f"{_FIX}/s4_records.jsonl", schema)
+
+
+@register(
+    "s5_zip_fixture",
+    """
+    SELECT * FROM (VALUES
+      ('doc_a.json', 'a', 'passed', CAST(3 AS BIGINT)),
+      ('doc_b.json', 'b', 'failed', CAST(5 AS BIGINT))
+    ) AS t(member, doc_id, status, n)
+    """,
+)
+def s5_zip_fixture(spark, sf_dir):
+    """S5 as a gate row: the binaryFile+unzip scan explodes the
+    committed archive's ``*.json`` members (a ``.json.bak`` member is
+    present and must NOT appear — the member_glob contract).  DuckDB
+    cannot open ZIPs, so the oracle states the expected members as
+    literal VALUES.  Reference: legiscan_collector.py:241-251."""
+    from dissertation_data_pipeline_spark.sources.io import read_json_zip
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("status", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return read_json_zip(spark, f"{_FIX}/s5_archive.zip", schema)
+
+
+@register(
+    "s9_textdir_fixture",
+    f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
+           content AS text
+    FROM read_text('{_FIX}/s9_docs/*.txt')
+    """,
+)
+def s9_textdir_fixture(spark, sf_dir):
+    """S9 as a gate row: the per-document text scan turns the committed
+    file-per-bill directory into (filename, text) rows; DuckDB's
+    read_text is the oracle (basename-normalized — the two engines
+    report paths differently, content identically).  Reference:
+    normalize_corpus.py:171-177."""
+    from dissertation_data_pipeline_spark.sources.io import read_text_dir
+
+    return read_text_dir(spark, f"{_FIX}/s9_docs")
+
+
+def _tmp_layout(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) temp path for sink round-trips —
+    mode=overwrite keeps reruns clean; the tiny layout persists so the
+    caller can collect() after the query fn returns (same pattern as
+    the partitioned-IVF gate row)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+
+
+#: shared oracle body for the K1 round-trip: a small money aggregate —
+#: DECIMAL(18,2) survives CSV stringification bit-exactly, doubles
+#: would not.
+_K1_AGG_SQL = """
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS total_price
+    FROM orders GROUP BY 1, 2
+    """
+
+
+@register("k1_csv_roundtrip", _K1_AGG_SQL)
+def k1_csv_roundtrip(spark, sf_dir):
+    """K1 as a gate row: aggregate orders, write the result through the
+    CSV sink (header + RFC-4180 escaping), re-read it through the S1
+    contract scan, and oracle the CONTENT — the round-trip must be
+    value-transparent including quoted strings and DECIMAL money.
+    Reference sink: build_master_corpus.py to_csv."""
+    from pyspark.sql.types import DecimalType
+
+    from dissertation_data_pipeline_spark.sources.io import read_csv, write_table
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_price"),
+        )
+    )
+    path = _tmp_layout("k1csv", sf_dir)
+    write_table(agg, path, fmt="csv")
+    schema = StructType(
+        [
+            StructField("status", StringType()),
+            StructField("priority", StringType()),
+            StructField("n_orders", LongType()),
+            StructField("total_price", DecimalType(18, 2)),
+        ]
+    )
+    return read_csv(spark, path, schema)
+
+
+#: K2 oracle: grouped counts whose group key becomes the partition
+#: column of the written layout.
+_K2_AGG_SQL = """
+    SELECT o_orderstatus AS status,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """
+
+
+@register("k2_parquet_roundtrip", _K2_AGG_SQL)
+def k2_parquet_roundtrip(spark, sf_dir):
+    """K2 as a gate row: write a grouped result PARTITIONED BY its
+    status column (hive-style directories — the 100 TB pruning layout,
+    SURVEY O-m8), re-read the directory tree, and oracle the content.
+    Catches partition-column round-trip bugs (value lost to the path,
+    type drift on read-back).  Reference sink: parquet artifact writes."""
+    from dissertation_data_pipeline_spark.sources.io import read_parquet, write_table
+
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    path = _tmp_layout("k2parquet", sf_dir)
+    write_table(agg, path, fmt="parquet", partition_by=["status"])
+    out = read_parquet(spark, path)
+    # partition columns come back LAST and as read-time strings under
+    # partition-type inference; conform to the written contract
+    return out.select(
+        F.col("status").cast("string").alias("status"),
+        F.col("order_year").cast("bigint").alias("order_year"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+_K4_PROJ_SQL = """
+    SELECT c_custkey AS custkey,
+           c_name AS name,
+           c_mktsegment AS segment,
+           CAST(c_acctbal AS DECIMAL(15,2)) AS acctbal
+    FROM customer WHERE c_custkey % 100 = 0
+    """
+
+
+@register("k4_jsonl_roundtrip", _K4_PROJ_SQL)
+def k4_jsonl_roundtrip(spark, sf_dir):
+    """K4 as a gate row: project a customer slice, write it through the
+    JSONL sink, re-read with the pinned schema, oracle the content —
+    numbers (DECIMAL money), strings with punctuation, and keys must
+    survive the text encoding.  Reference sink: normalize_json.py."""
+    from pyspark.sql.types import DecimalType
+
+    from dissertation_data_pipeline_spark.sources.io import read_jsonl, write_jsonl
+
+    proj = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").cast("decimal(15,2)").alias("acctbal"),
+        )
+    )
+    path = _tmp_layout("k4jsonl", sf_dir)
+    write_jsonl(proj, path)
+    schema = StructType(
+        [
+            StructField("custkey", LongType()),
+            StructField("name", StringType()),
+            StructField("segment", StringType()),
+            StructField("acctbal", DecimalType(15, 2)),
+        ]
+    )
+    return read_jsonl(spark, path, schema)

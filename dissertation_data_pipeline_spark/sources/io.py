@@ -24,8 +24,14 @@ def read_csv(
     spark: SparkSession, path: str, schema: StructType, *, header: bool = True
 ) -> DataFrame:
     """Header-aware CSV scan with an explicit contract — no inference;
-    Catalyst still prunes columns into the scan."""
-    raw = spark.read.csv(path, header=header, schema=None, inferSchema=False)
+    Catalyst still prunes columns into the scan.
+
+    ``escape='"'`` pins RFC-4180 quoting (embedded quotes doubled, not
+    backslashed) — what pandas/DuckDB/Excel emit; Spark's backslash
+    default silently keeps ``""`` literal inside quoted fields."""
+    raw = spark.read.csv(
+        path, header=header, schema=None, inferSchema=False, escape='"'
+    )
     return conform(raw, schema)
 
 
@@ -178,7 +184,9 @@ def write_table(
     cannot split fairly."""
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
-        writer = writer.option("header", True)
+        # RFC-4180 quoting on the write side too, so engine-written
+        # CSVs round-trip through read_csv / pandas / DuckDB
+        writer = writer.option("header", True).option("escape", '"')
     if compression:
         writer = writer.option("compression", compression)
     if max_records_per_file:

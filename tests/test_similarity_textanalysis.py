@@ -503,3 +503,39 @@ def test_multiprobe_dominates_single_probe(spark, sf_dir):
         for flip in r["ps"][1:]:
             x = flip ^ r["b"]
             assert x != 0 and (x & (x - 1)) == 0  # exactly one bit
+
+
+def test_adaptive_ivf_cells_staircase():
+    from dissertation_data_pipeline_spark.operators.similarity import (
+        IVF_CELLS_MAX,
+        adaptive_ivf_cells,
+    )
+
+    assert adaptive_ivf_cells(0) == 8
+    assert adaptive_ivf_cells(19_999) == 8
+    assert adaptive_ivf_cells(20_000) == 32
+    assert adaptive_ivf_cells(199_999) == 32
+    assert adaptive_ivf_cells(200_000) == IVF_CELLS_MAX == 64
+
+
+def test_ivf_layout_fingerprint_skips_rebuild(spark, tmp_path):
+    """The probe query's ensure-layout helper must rebuild once, then
+    hit the fingerprint: a second call performs NO write (mtime of the
+    fingerprint is unchanged), and a corpus-size change invalidates."""
+    import os
+
+    import dissertation_data_pipeline_spark.plans.queries_similarity as qs
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    sf_key = str(tmp_path / "sfX")  # unique -> unique layout dir
+    p1 = qs._ensure_ivf_layout(spark, emb, sf_key)
+    stamp1 = os.path.getmtime(os.path.join(p1, "_fingerprint.json"))
+    p2 = qs._ensure_ivf_layout(spark, emb, sf_key)
+    stamp2 = os.path.getmtime(os.path.join(p2, "_fingerprint.json"))
+    assert p1 == p2 and stamp1 == stamp2  # no rebuild, no restamp
+    # stale fingerprint -> rebuild
+    smaller = emb.limit(10)
+    p3 = qs._ensure_ivf_layout(spark, smaller, sf_key)
+    stamp3 = os.path.getmtime(os.path.join(p3, "_fingerprint.json"))
+    assert stamp3 > stamp2

@@ -560,3 +560,103 @@ def ext_stop_shingle_report(spark, sf_dir):
         ["lang"],
         max_df=10,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair-recall measurement (the dedup counterpart of ext_ann_recall_at_10)
+# ---------------------------------------------------------------------------
+
+#: fixed-size evaluation block for LSH pair recall: the first 500 doc
+#: ids. FIXED SIZE on purpose — exact ground truth is all-pairs within
+#: the block, so its cost is constant no matter how large the corpus
+#: grows (the standard sampled-recall protocol; a %-of-corpus sample
+#: would re-quadratize with scale).
+_RECALL_BLOCK = 500
+
+_SHINGLE_CTE_RECALL = _SHINGLE_CTE.replace(
+    "FROM documents", f"FROM documents WHERE doc_id < {_RECALL_BLOCK}"
+)
+
+
+@register(
+    "ext_dedup_pair_recall",
+    f"""
+    WITH {_SHINGLE_CTE_RECALL},
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    ),
+    hv AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles, s -> {_HEXVAL}) AS hs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, [{_SIG_LIST}] AS sig FROM hv
+    ),
+    bands AS (
+      SELECT doc_id, band_idx,
+             md5(array_to_string(sig[band_idx*3+1 : band_idx*3+3], '|')) AS band_key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    hits AS (
+      SELECT t.id_a, t.id_b
+      FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM hits) AS n_lsh_hits,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+                ELSE round((SELECT count(*) FROM hits)::DOUBLE
+                           / (SELECT count(*) FROM truth), 6) END AS recall
+    """,
+)
+def ext_dedup_pair_recall(spark, sf_dir):
+    """[EXT] measured LSH pair recall: exact all-pairs Jaccard>=0.5
+    ground truth on a FIXED 500-doc block vs the 12-hash/4-band
+    MinHash-LSH candidates over the same block — the quality number
+    that justifies the banding scheme, computed as a query (the dedup
+    counterpart of ``ext_ann_recall_at_10``).  A verified LSH pair is
+    a candidate with true Jaccard>=0.5, so recall(LSH verified | truth)
+    == recall(candidates | truth).
+
+    Scale: ground-truth cost is constant (block size is fixed, not a
+    corpus fraction), and the truth leg itself runs on the inverted-
+    index plan (``blocked_jaccard_pairs`` with a constant block key),
+    not a quadratic self-join — only the ORACLE states it all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _RECALL_BLOCK
+    )
+    sample = docs.withColumn("blk", F.lit(1))
+    truth = dx.blocked_jaccard_pairs(
+        sample, "doc_id", "text", ["blk"], threshold=0.5
+    ).select("id_a", "id_b")
+    lsh = dx.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=12, bands=4, threshold=0.5
+    ).select("id_a", "id_b")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_hits = truth.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_lsh_hits")
+    )
+    return (
+        n_true.crossJoin(n_hits)
+        .withColumn(
+            "recall",
+            F.when(
+                F.col("n_true_pairs") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.round(
+                    F.col("n_lsh_hits").cast("double")
+                    / F.col("n_true_pairs"),
+                    6,
+                )
+            ),
+        )
+    )

@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dissertation_data_pipeline_spark.session import pinned_partitions
+from dissertation_data_pipeline_spark.session import pin_spread
 
 
 def _dec(col: Column | str) -> Column:
@@ -210,13 +210,15 @@ def fuzzy_pairs_levenshtein(
     # free to collapse the (small-input, output-exploding) block
     # self-join to a handful of tasks, serializing the per-pair DP
     # (measured 34 s -> 7 s at sf1 with 2.6 M emitted pairs).
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    side = df.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_txt"),
-        F.length(text_col).alias("_len"),
-    ).repartition(n_part, *block_cols)
+    side = pin_spread(
+        df.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("_id"),
+            F.col(text_col).alias("_txt"),
+            F.length(text_col).alias("_len"),
+        ),
+        *block_cols,
+    )
     a, b = side.alias("a"), side.alias("b")
     # length gap is a lower bound on edit distance: prune candidate
     # pairs with integer compares before any DP matrix is touched

@@ -50,7 +50,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dissertation_data_pipeline_spark.session import pinned_partitions
+from dissertation_data_pipeline_spark.session import pin_spread
 
 
 def _c(col: Column | str) -> Column:
@@ -389,7 +389,7 @@ def minhash_lsh_pairs(
     # broadcast join on ONE partition) and co-locates the self-join
     band_entries = minhash_band_entries(
         sig, bands=bands, rows_per_band=rows_per_band
-    ).repartition(pinned_partitions(df), "band_idx", "band_key")
+    ).transform(lambda d: pin_spread(d, "band_idx", "band_key"))
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
@@ -623,7 +623,7 @@ def _signature_pairs(
                 ]
             )
         ).alias("band_key"),
-    ).repartition(pinned_partitions(base), "band_key")
+    ).transform(lambda d: pin_spread(d, "band_key"))
     return (
         sbands.selectExpr("band_key", "_sh as sh_a")
         .join(
@@ -826,7 +826,7 @@ def _blocked_intersections(
     # co-locate BEFORE the optional df-count window: the window's
     # clustering requirement is exactly this hash partitioning, so the
     # cap adds a sort but never a second Exchange on the posting rows
-    post = post.repartition(pinned_partitions(df), *block_cols, "_shingle")
+    post = pin_spread(post, *block_cols, "_shingle")
     if max_df is not None:
         wdf = Window.partitionBy(*block_cols, "_shingle")
         post = (

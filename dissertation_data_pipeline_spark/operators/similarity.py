@@ -45,7 +45,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dissertation_data_pipeline_spark.session import pinned_partitions
+from dissertation_data_pipeline_spark.session import pin_spread, pinned_partitions
 
 
 def _c(col: Column | str) -> Column:
@@ -154,9 +154,7 @@ def brute_force_topk(
     broadcast; the corpus is never re-shuffled for the scoring pass."""
     # spread the corpus scan: a small single-file read is one partition,
     # and a broadcast cross join inherits the probe side's parallelism
-    corpus = corpus.repartition(
-        pinned_partitions(corpus), F.col(corpus_id)
-    ).withColumn(
+    corpus = pin_spread(corpus, F.col(corpus_id)).withColumn(
         "_cn", l2_norm(corpus_vec)
     )
     queries = queries.withColumn("_qn", l2_norm(query_vec))
@@ -332,7 +330,7 @@ def ivf_topk(
     # run the whole scoring pass on one task.  Round-robin costs one
     # narrow pass over the vectors and buys full-width scoring — the
     # same spread the brute/LSH paths already pin.
-    cells = cells.repartition(pinned_partitions(corpus))
+    cells = pin_spread(cells)
     probes = ivf_assign(
         queries, cents, id_col=query_id, vec_col=query_vec,
         rank_upto=n_probe,
@@ -434,7 +432,7 @@ def ivf_topk_partitioned(
     # measured 210 s vs 56 s for the same math in-memory at sf10.
     # Round-robin AFTER the filter: partition pruning already happened
     # at the scan, this only evens out the surviving rows.
-    cells = cells.repartition(pinned_partitions(cells))
+    cells = pin_spread(cells)
     scored = _maybe_exclude_self(
         F.broadcast(probes).join(cells, "cell_id"),
         query_id,
@@ -491,7 +489,7 @@ def kmeans_refine(
     # one round-robin spread before the rounds: a compact corpus (one
     # parquet row group) would otherwise run every per-round
     # assign+posexplode (|corpus| x dims rows) on one task
-    corpus = corpus.repartition(pinned_partitions(corpus))
+    corpus = pin_spread(corpus)
     for _ in range(rounds):
         assigned = (
             corpus.crossJoin(F.broadcast(centroids))
@@ -610,7 +608,7 @@ def hyperplane_lsh_topk(
     planes = hyperplanes(num_planes, dim)
     cb = (
         corpus.withColumn("_bucket", lsh_bucket(corpus_vec, planes))
-        .repartition(pinned_partitions(corpus), "_bucket")
+        .transform(lambda d: pin_spread(d, "_bucket"))
         .withColumn("_cn", l2_norm(corpus_vec))
     )
     qb = queries.withColumn("_bucket", lsh_bucket(query_vec, planes)).withColumn(
@@ -664,10 +662,11 @@ def semantic_dedup(
     )
     # assignment is referenced three times (both self-join sides + the
     # final survivor list); checkpoint so the crossJoin+rank runs once
-    cells = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), F.col("_vn"), F.col("cell_id")
-    ).repartition(
-        pinned_partitions(corpus), "cell_id"
+    cells = pin_spread(
+        ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col), F.col(vec_col), F.col("_vn"), F.col("cell_id")
+        ),
+        "cell_id",
     ).localCheckpoint(eager=False)
     a = cells.select(
         "cell_id",
@@ -797,7 +796,7 @@ def pq_codes(
     # spread the encode pass: the argmin inherits the corpus scan's
     # partitioning, and a compact corpus (one parquet row group) would
     # encode on one task
-    df = df.repartition(pinned_partitions(df))
+    df = pin_spread(df)
     vx = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -923,7 +922,7 @@ def pq_adc_scores(
     # serialize the explosion — see session.pinned_partitions).  The
     # lookup table is broadcast, so the join needs no co-partitioning:
     # round-robin gives a perfectly even spread.
-    codes = codes.repartition(pinned_partitions(codes))
+    codes = pin_spread(codes)
     # the LUT is ALWAYS the broadcast side (n_queries x n_sub x
     # n_codes rows).  The hint is load-bearing since the map-side
     # pq_codes rewrite: the codes plan now descends from a packed
@@ -1023,7 +1022,7 @@ def ivfpq_rerank_topk(
     # spread the pruned ADC join (output explodes n_probe/n_cells of
     # |corpus| x |queries|; AQE sees only the tiny input — see
     # session.pinned_partitions)
-    coded = coded.repartition(pinned_partitions(coded))
+    coded = pin_spread(coded)
     scored = coded.join(F.broadcast(lut), ["cell_id", "s", "code"])
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(query_id))
@@ -1174,7 +1173,7 @@ def hyperplane_lsh_multiprobe_topk(
     )
     # spread the scoring join off a compact corpus scan (same move as
     # every scoring pass in this module)
-    b = b.repartition(pinned_partitions(corpus), "_bucket")
+    b = pin_spread(b, "_bucket")
     qb = queries.withColumn(
         "_probe",
         F.explode(lsh_probe_buckets(query_vec, planes, n_flip)),

@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dissertation_data_pipeline_spark.session import pinned_partitions
+from dissertation_data_pipeline_spark.session import pin_spread
 
 _SIDE = "_asof_side"
 _TS = "_asof_ts"
@@ -164,7 +164,7 @@ def interval_join(
     # coalesce the join to a handful of tasks (see
     # session.pinned_partitions; measured 479 s -> 2 s at sf1).  The
     # join reuses this distribution, so it costs no extra Exchange.
-    pr = pr.repartition(pinned_partitions(probe), *on, "_bucket")
+    pr = pin_spread(pr, *on, "_bucket")
     joined = pr.join(iv, on + ["_bucket"]).filter(
         (F.col(probe_ts) >= F.col(start)) & (F.col(probe_ts) < F.col(end))
     )

@@ -10,7 +10,7 @@ from dissertation_data_pipeline_spark import functions as fx
 from dissertation_data_pipeline_spark.functions import is_missing
 from dissertation_data_pipeline_spark.operators import similarity as sim
 from dissertation_data_pipeline_spark.plans.registry import register
-from dissertation_data_pipeline_spark.session import pinned_partitions
+from dissertation_data_pipeline_spark.session import pin_spread
 from dissertation_data_pipeline_spark.tables import load_table
 
 
@@ -202,7 +202,7 @@ def ext_embedding_near_dup(spark, sf_dir):
     b = (
         emb.withColumn("_bucket", sim.lsh_bucket("embedding", planes))
         .withColumn("_n", sim.l2_norm("embedding"))
-        .repartition(pinned_partitions(emb), "_bucket")
+        .transform(lambda d: pin_spread(d, "_bucket"))
     )
     a2, b2 = b.alias("a"), b.alias("b")
     pairs = (

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from dissertation_data_pipeline_spark.operators import similarity as sim
 from dissertation_data_pipeline_spark.plans.registry import register
-from dissertation_data_pipeline_spark.session import pinned_partitions
+from dissertation_data_pipeline_spark.session import pin_spread
 from dissertation_data_pipeline_spark.tables import load_table
 
 #: query set: every 100th vector — scales with the table
@@ -388,7 +388,7 @@ def ext_ann_ivf_trained_topk(spark, sf_dir):
         emb, cents, id_col="vec_id", vec_col="embedding"
     ).withColumnRenamed("_vn", "_cn")
     # spread the broadcast-join scoring pass (see sim.ivf_topk)
-    cells = cells.repartition(pinned_partitions(emb))
+    cells = pin_spread(cells)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

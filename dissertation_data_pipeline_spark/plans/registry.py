@@ -123,6 +123,28 @@ GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "ext_cohort_retention", "ext_running_distinct_users",
         "ext_triangle_count", "ext_pagerank_transitions",
         "ext_curation_pipeline", "tpch_q1_pricing_summary",
+        # round 4 (50, CORRECTNESS_r04.json)
+        "ext_scd2_history", "ext_ann_ivf_partitioned_topk",
+        "ext_cdc_scd2_pipeline", "ext_hll_distinct", "s_stateful_profile",
+        "ext_shard_assignment", "ext_classifier_quality_filter",
+        "ext_temperature_mixture", "ext_unicode_nfc", "ext_ann_recall_at_10",
+        "ext_ann_ivfpq_rerank", "ext_url_canonicalize",
+        "ext_ann_lsh_multiprobe_topk", "ext_containment_pairs",
+        "ext_capped_jaccard_pairs", "ext_stop_shingle_report",
+        "ext_ccnet_buckets", "ext_rolling_features", "ext_count_min_hitters",
+        "s_sliding_window", "ext_histogram_equiwidth", "ext_pct_of_total",
+        "ext_mad_outliers", "ext_event_transitions",
+        "ext_multimodal_frame_sample", "ext_multimodal_audio",
+        "ext_range_window_hour", "ext_approx_percentile_bounded",
+        "ext_fuzzy_levenshtein_pairs", "ext_tfidf_top_terms", "ext_bm25_rank",
+        "ext_intersect_segments", "ext_dq_checks", "ext_rule_classifier",
+        "ext_snapshot_diff", "ext_histogram_equidepth", "ext_group_linreg",
+        "ext_zorder_values", "ext_corr_matrix", "ext_k_anonymity",
+        "ext_table_profile", "ext_sql_surface", "ext_zscore_scaler",
+        "ext_attribution_last_touch", "ext_repeated_substring_spans",
+        "tpch_q9_product_profit", "tpch_q13_customer_distribution",
+        "tpch_q15_top_supplier", "tpch_q21_waiting_suppliers",
+        "tpch_q2_min_cost_supplier",
     }
 )
 
@@ -670,100 +692,54 @@ from dissertation_data_pipeline_spark.plans import queries_wave9  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F401
 
-# Gate-coverage policy for ROUND 4 (see DRIVER_PRIORITY docstring).
-# Cumulative driver-green after r3: 139/193 (r1 u r2 u r3, recorded in
-# GREEN_PRIOR_ROUNDS above; greens sort last).  Candidates for this
-# round's ~50-slot sample: the one red (ext_scd2_history, sentinel
-# fixed), the round-4 newcomers (partitioned IVF, CDC+SCD2, HLL,
-# stateful-stream profile, shard assignment, classifier filter,
-# temperature mixture, Unicode NFC, ANN recall — all locally
-# gate-mirror green at sf0.01), the 5 round-3 newcomers, and the
-# never-checked stragglers.  The list below now holds 59 names for
-# 50 slots: the tail TPC-H entries (q16..q22 region) plus the 5 most
-# redundant TPC-H money-aggregate siblings drain in round 5 -- each
-# has an already-green or this-round-sampled plan-shape twin:
-#   tpch_q3_shipping_priority   (join+agg+top-k: q5/q18 sampled)
-#   tpch_q6_forecast_revenue    (pure filter+agg: q1 green r3)
-#   tpch_q10_returned_items     (multi-join agg: q5/q7 sampled)
-#   tpch_q12_late_lines_by_status (CASE-count join: q4/q19 sampled)
-#   tpch_q14_promo_effect       (conditional ratio: q19 sampled)
-# Those 5 are not listed below, so they sort right after the list
-# (registration order, still ahead of all greens).
+# Gate-coverage policy for ROUND 5 (see DRIVER_PRIORITY docstring).
+# Cumulative driver-green after r4: 188/204 (r1 u r2 u r3 u r4, recorded
+# in GREEN_PRIOR_ROUNDS above; greens sort last).  This round's sample:
+# (1) the 16 TPC-H rows that have never carried a driver CORRECTNESS
+#     row — the last hard-signal gap, so they go FIRST;
+# (2) the three IVF rows whose plan changed this round (adaptive
+#     n_cells staircase + build/probe split) — values identical at
+#     sf0.01 (500 vectors -> 8 cells either way) but re-sampled for
+#     gate hygiene, as with the r4 containment re-sample;
+# (3) the round-5 newcomers (IO fixture scans, sink round-trips, state
+#     protocol, stream-stream join, IVF build maintenance, LSH pair
+#     recall), all locally gate-mirror green at sf0.01.
 set_driver_priority(
     [
-        # -- 1: status-must-flip (r3's only red; 9999-12-31 sentinel
-        #       replaced with NULL effective_to on both sides) ----------
-        "ext_scd2_history",
-        # -- 2: new this round --------------------------------------------
-        "ext_ann_ivf_partitioned_topk",
-        "ext_cdc_scd2_pipeline",
-        "ext_hll_distinct",
-        "s_stateful_profile",
-        "ext_shard_assignment",
-        "ext_classifier_quality_filter",
-        "ext_temperature_mixture",
-        "ext_unicode_nfc",
-        "ext_ann_recall_at_10",
-        "ext_ann_ivfpq_rerank",
-        "ext_url_canonicalize",
-        "ext_ann_lsh_multiprobe_topk",
-        # containment switched to the capped shingle universe this
-        # round (max_df=16, both sides) — its r1 green predates the
-        # semantics change, so it must be re-sampled
-        "ext_containment_pairs",
-        # -- 3: round-3 newcomers (registered after r3's sample) ----------
-        "ext_capped_jaccard_pairs",
-        "ext_stop_shingle_report",
-        "ext_ccnet_buckets",
-        "ext_rolling_features",
-        "ext_count_min_hitters",
-        # -- 4: never-checked stragglers (streaming, analytics, text,
-        #       multimodal, governance) -----------------------------------
-        "s_sliding_window",
-        "ext_histogram_equiwidth",
-        "ext_pct_of_total",
-        "ext_mad_outliers",
-        "ext_event_transitions",
-        "ext_multimodal_frame_sample",
-        "ext_multimodal_audio",
-        "ext_range_window_hour",
-        "ext_approx_percentile_bounded",
-        "ext_fuzzy_levenshtein_pairs",
-        "ext_tfidf_top_terms",
-        "ext_bm25_rank",
-        "ext_intersect_segments",
-        "ext_dq_checks",
-        "ext_rule_classifier",
-        "ext_snapshot_diff",
-        "ext_histogram_equidepth",
-        "ext_group_linreg",
-        "ext_zorder_values",
-        "ext_corr_matrix",
-        "ext_k_anonymity",
-        "ext_table_profile",
-        "ext_sql_surface",
-        "ext_zscore_scaler",
-        "ext_attribution_last_touch",
-        "ext_repeated_substring_spans",
-        # -- 5: never-checked TPC-H with distinct plan shapes -------------
-        "tpch_q9_product_profit",
-        "tpch_q13_customer_distribution",
-        "tpch_q15_top_supplier",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q2_min_cost_supplier",
-        "tpch_q11_important_stock",
-        "tpch_q20_potential_promotion",
-        "tpch_q8_market_share",
+        # -- 1: never-driver-checked TPC-H (16) ---------------------------
+        "tpch_q3_shipping_priority",
         "tpch_q4_order_priority",
         "tpch_q5_region_volume",
+        "tpch_q6_forecast_revenue",
         "tpch_q7_nation_volume",
+        "tpch_q8_market_share",
+        "tpch_q10_returned_items",
+        "tpch_q11_important_stock",
+        "tpch_q12_late_lines_by_status",
+        "tpch_q14_promo_effect",
         "tpch_q16_part_supplier_variety",
         "tpch_q17_small_qty_revenue",
         "tpch_q18_large_volume_customers",
-        # q19 (CASE-OR predicate join) and q22 (anti-join + scalar agg)
-        # moved to the round-5 drain to fund ext_ann_ivfpq_rerank and
-        # the containment re-sample; their plan-shape twins (q4, j3)
-        # are green.
-        # ---- budget line: 50 entries above ------------------------------
+        "tpch_q19_disc_revenue_or",
+        "tpch_q20_potential_promotion",
+        "tpch_q22_idle_customers",
+        # -- 2: plan changed this round (adaptive IVF cells; build/probe
+        #       split) — re-sample for hygiene ----------------------------
+        "ext_ann_ivf_topk",
+        "ext_ann_ivf_partitioned_topk",
+        "ext_ann_recall_at_10",
+        # -- 3: new this round --------------------------------------------
+        "ext_ann_ivf_build",
+        "ext_dedup_pair_recall",
+        "i1_i3_state_protocol",
+        "s_stream_stream_join",
+        "s1_csv_fixture",
+        "s4_jsonl_fixture",
+        "s5_zip_fixture",
+        "s9_textdir_fixture",
+        "k1_csv_roundtrip",
+        "k2_parquet_roundtrip",
+        "k4_jsonl_roundtrip",
+        # ---- 30 entries above; later round-5 additions append here ------
     ]
 )

@@ -93,6 +93,26 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def pin_spread(df, *cols):
+    """The pair-generating repartition, pinned: ``df.repartition(
+    pinned_partitions(df), *cols)``.  Every output-exploding join in
+    the engine spreads through this one helper so the deliberate
+    AQE-coalescing defeat (see :func:`pinned_partitions`) can be
+    A/B-measured: with the session conf ``spark.graft.unpinnedAB=true``
+    (set only by tools/bench_pinned_ab.py) the call reverts to the
+    pre-pin shape — hash repartition by ``cols`` without an explicit
+    count (AQE-coalescible), or no repartition at all when the spread
+    was purely round-robin."""
+    unpin = "false"
+    try:
+        unpin = df.sparkSession.conf.get("spark.graft.unpinnedAB", "false")
+    except Exception:
+        pass
+    if str(unpin).lower() == "true":
+        return df.repartition(*cols) if cols else df
+    return df.repartition(pinned_partitions(df), *cols)
+
+
 def pinned_partitions(df) -> int:
     """Partition count for EXPLICIT repartitions at pair-generating
     joins.  ``df.repartition(cols)`` without a count is subject to

@@ -293,3 +293,34 @@ def test_runtime_bloom_filter_injects(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pin_spread_ab_toggle_same_results(spark):
+    """spark.graft.unpinnedAB=true must change only the physical spread
+    (A/B attribution for the bench), never the rows."""
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+
+    fn = QUERIES["ext_minhash_lsh_pairs"].fn
+    sf = "/root/testdata/sf0.001"
+    try:
+        spark.conf.set("spark.graft.unpinnedAB", "false")
+        pinned = {tuple(r) for r in fn(spark, sf).collect()}
+        spark.conf.set("spark.graft.unpinnedAB", "true")
+        unpinned = {tuple(r) for r in fn(spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.graft.unpinnedAB", "false")
+    assert pinned == unpinned
+
+
+def test_pin_spread_unpinned_identity_without_cols(spark):
+    from dissertation_data_pipeline_spark.session import pin_spread
+
+    df = spark.range(10)
+    try:
+        spark.conf.set("spark.graft.unpinnedAB", "true")
+        assert pin_spread(df) is df  # pure round-robin spread -> no-op
+    finally:
+        spark.conf.set("spark.graft.unpinnedAB", "false")
+    out = pin_spread(df)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert out.rdd.getNumPartitions() == n

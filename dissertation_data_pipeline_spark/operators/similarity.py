@@ -553,6 +553,46 @@ def kmeans_sse(
     return d2.agg(F.sum(F.col("_d2").cast("decimal(28,10)"))).first()[0]
 
 
+def random_projection(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_dims: int = 16,
+    in_dims: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``in_dims``-dim
+    embeddings to ``n_dims`` with a Rademacher (±1) matrix scaled by
+    1/sqrt(n_dims) — pairwise distances are preserved in expectation
+    (Achlioptas 2003: ±1 entries suffice, no Gaussians needed).  The
+    storage/compute lever BEFORE quantization: 4x fewer dims, then
+    int8 or PQ on top.
+
+    The matrix is md5-derived (:func:`hyperplanes`) and inlined as
+    literals — deterministic on any engine, no RNG, no fit step.  Each
+    output component is a strict left fold over the input (the module's
+    cross-engine summation rule), rounded to 6dp.  Map-side only: rides
+    the corpus scan, zero shuffles at any scale.
+    """
+    planes = hyperplanes(n_dims, in_dims)
+    scale = float(n_dims) ** 0.5
+    comps = [
+        F.round(
+            _fold_sum(
+                F.zip_with(
+                    _c(vec_col),
+                    F.array(*[F.lit(v) for v in plane]),
+                    lambda x, cfg: x.cast("double") * cfg,
+                )
+            )
+            / F.lit(scale),
+            6,
+        )
+        for plane in planes
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias("proj"))
+
+
 def quantize_int8_stats(
     df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -393,3 +393,92 @@ def k4_jsonl_roundtrip(spark, sf_dir):
         ]
     )
     return read_jsonl(spark, path, schema)
+
+
+_K3_AGG_SQL = """
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """
+
+
+@register("k3_excel_roundtrip", _K3_AGG_SQL)
+def k3_excel_roundtrip(spark, sf_dir):
+    """K3 as a gate row: write a report-sized aggregate through the
+    styled Excel sink (stdlib SpreadsheetML codec, auto-sized columns)
+    and read it back through the S2 contract scan; the oracle restates
+    the aggregate.  Proves the WRITE side of the xlsx codec under the
+    gate (s2_excel_fixture proves the read side against committed
+    bytes).  Reference: legiscan_normalizer.py:386-399."""
+    from dissertation_data_pipeline_spark.sources.io import (
+        read_excel,
+        write_excel,
+    )
+
+    agg = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    path = _tmp_layout("k3xlsx", sf_dir) + ".xlsx"
+    write_excel(agg, path, sheet_name="Regions")
+    schema = StructType(
+        [
+            StructField("region", StringType()),
+            StructField("n_nations", LongType()),
+        ]
+    )
+    return read_excel(spark, path, schema)
+
+
+_ORC_AGG_SQL = """
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS sum_qty
+    FROM lineitem GROUP BY 1, 2
+    """
+
+
+@register("k_orc_roundtrip", _ORC_AGG_SQL)
+def k_orc_roundtrip(spark, sf_dir):
+    """ORC sink/scan round-trip: write a lineitem aggregate PARTITIONED
+    BY returnflag as ORC (write_table fmt='orc' — the splittable
+    columnar sibling of parquet), re-read via read_orc, oracle the
+    content.  Covers the one built-in columnar format the gate didn't
+    touch; DECIMAL survives the ORC round-trip bit-exactly."""
+    from pyspark.sql.types import DecimalType
+
+    from dissertation_data_pipeline_spark.sources.io import (
+        read_orc,
+        write_table,
+    )
+
+    agg = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty"),
+        )
+    )
+    path = _tmp_layout("korc", sf_dir)
+    write_table(agg, path, fmt="orc", partition_by=["returnflag"])
+    out = read_orc(spark, path)
+    return out.select(
+        F.col("returnflag").cast("string").alias("returnflag"),
+        F.col("linestatus").cast("string").alias("linestatus"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
+    )

@@ -741,3 +741,30 @@ def ext_ann_recall_at_10(spark, sf_dir):
             F.round(F.col("n_hits").cast("double") / F.col("n_true"), 6),
         )
     )
+
+
+def _rp_proj_sqls() -> list[str]:
+    """The 16 JL projection components as nested-arithmetic SQL,
+    divided by sqrt(16)=4 — the identical fold order and planes as
+    ``sim.random_projection`` (md5-derived, inlined literals)."""
+    return [
+        f"round(({proj}) / 4.0, 6)"
+        for proj in _plane_proj_sqls("embedding", 16)
+    ]
+
+
+@register(
+    "ext_random_projection",
+    f"""
+    SELECT vec_id, [{", ".join(_rp_proj_sqls())}] AS proj
+    FROM embeddings
+    """,
+)
+def ext_random_projection(spark, sf_dir):
+    """[EXT] Johnson-Lindenstrauss reduction 64 -> 16 dims with an
+    md5-derived Rademacher matrix (Achlioptas 2003) — the dimensionality
+    lever before int8/PQ quantization.  Map-side only (zero shuffles);
+    the oracle re-states all 16 components as explicit left-fold
+    arithmetic over the same inlined ±1 literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.random_projection(emb, n_dims=16)

@@ -740,6 +740,9 @@ set_driver_priority(
         "k1_csv_roundtrip",
         "k2_parquet_roundtrip",
         "k4_jsonl_roundtrip",
-        # ---- 30 entries above; later round-5 additions append here ------
+        "k3_excel_roundtrip",
+        "k_orc_roundtrip",
+        "ext_random_projection",
+        # ---- 33 entries above; later round-5 additions append here ------
     ]
 )

@@ -641,22 +641,22 @@ def ext_dedup_pair_recall(spark, sf_dir):
     lsh = dx.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=12, bands=4, threshold=0.5
     ).select("id_a", "id_b")
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
-    n_hits = truth.join(lsh, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_lsh_hits")
+    # one aggregation computes both counts (a left join marks hits) —
+    # no 1-row crossJoin, so the registry's no-cartesian plan test
+    # holds for this query too
+    marked = truth.join(
+        lsh.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
     )
-    return (
-        n_true.crossJoin(n_hits)
-        .withColumn(
-            "recall",
-            F.when(
-                F.col("n_true_pairs") == 0, F.lit(None).cast("double")
-            ).otherwise(
-                F.round(
-                    F.col("n_lsh_hits").cast("double")
-                    / F.col("n_true_pairs"),
-                    6,
-                )
-            ),
-        )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("_hit").alias("n_lsh_hits"),
+    ).withColumn(
+        "recall",
+        F.when(
+            F.col("n_true_pairs") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.col("n_lsh_hits").cast("double") / F.col("n_true_pairs"), 6
+            )
+        ),
     )

@@ -71,7 +71,7 @@ def main() -> None:
     # steady-state cost; a single shot is noise-bound); all raw passes
     # and per-pass totals are recorded in the detail file so the
     # spread stays visible and regressions stay attributable.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     passes: list[dict[str, float]] = []
     for _ in range(n_passes):
         run: dict[str, float] = {}
@@ -81,10 +81,7 @@ def main() -> None:
             run[name] = round(time.perf_counter() - t0, 3)
         passes.append(run)
 
-    def median(vals: list[float]) -> float:
-        s = sorted(vals)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from statistics import median
 
     timings = {n: round(median([p[n] for p in passes]), 3) for n in names}
     pass_totals = [round(sum(p.values()), 3) for p in passes]

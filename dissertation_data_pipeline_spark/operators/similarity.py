@@ -45,7 +45,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dissertation_data_pipeline_spark.session import pin_spread, pinned_partitions
+from dissertation_data_pipeline_spark.session import pin_spread
 
 
 def _c(col: Column | str) -> Column:

@@ -207,29 +207,47 @@ def ext_ann_ivf_topk(spark, sf_dir):
 
 
 def _ivf_layout_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
+    from dissertation_data_pipeline_spark.plans.queries_fixtures import (
+        _tmp_layout,
+    )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+    return _tmp_layout("ivf", sf_dir)
+
+
+def _ivf_fingerprint(emb) -> dict:
+    """Corpus identity for layout freshness: row count, the adaptive
+    cell count derived from it, and a CONTENT signature (bit_xor of
+    xxhash64 over id+vector — order-independent, overflow-free under
+    ANSI mode, one narrow agg). The signature is what catches a
+    regenerated corpus with the same row count but different vectors;
+    count alone would silently reuse the stale layout and probe data
+    that no longer exists."""
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(vec_id, embedding))").alias("sig"),
+    ).first()
+    n_rows = int(row["n"])
+    return {
+        "n_rows": n_rows,
+        "n_cells": sim.adaptive_ivf_cells(n_rows),
+        "content_sig": str(row["sig"]),
+    }
 
 
 def _ensure_ivf_layout(spark, emb, sf_dir: str) -> str:
-    """Build the partitioned-IVF layout iff it is missing or stale
-    (fingerprint = corpus row count + cell count).  Splits index
-    maintenance from probing: ``ext_ann_ivf_build`` always rebuilds
-    and carries the build cost; the probe query calls this and pays
-    only a fingerprint read when the layout is current — so the
-    benched probe number is the per-query-batch deployment cost, not
-    probe + rebuild."""
+    """Build the partitioned-IVF layout iff it is missing or stale.
+    Splits index maintenance from probing: ``ext_ann_ivf_build``
+    always rebuilds and carries the build cost; the probe query calls
+    this and pays one narrow count+signature scan when the layout is
+    current (the freshness check itself — O(corpus scan), not
+    O(corpus x cells assignment + write)) — so the benched probe
+    number is the per-query-batch deployment cost, not probe +
+    rebuild."""
     import json
     import os
 
     path = _ivf_layout_path(sf_dir)
-    n_rows = emb.count()
-    n_cells = sim.adaptive_ivf_cells(n_rows)
-    fp = {"n_rows": n_rows, "n_cells": n_cells}
+    fp = _ivf_fingerprint(emb)
     fp_file = os.path.join(path, "_fingerprint.json")
     try:
         with open(fp_file) as fh:
@@ -237,7 +255,7 @@ def _ensure_ivf_layout(spark, emb, sf_dir: str) -> str:
                 return path
     except (OSError, ValueError):
         pass
-    sim.write_ivf_partitioned(emb, path, n_cells=n_cells)
+    sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
     with open(fp_file, "w") as fh:
         json.dump(fp, fh)
     return path
@@ -276,11 +294,10 @@ def ext_ann_ivf_build(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     path = _ivf_layout_path(sf_dir)
-    n_rows = emb.count()
-    n_cells = sim.adaptive_ivf_cells(n_rows)
-    sim.write_ivf_partitioned(emb, path, n_cells=n_cells)
+    fp = _ivf_fingerprint(emb)
+    sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
     with open(os.path.join(path, "_fingerprint.json"), "w") as fh:
-        json.dump({"n_rows": n_rows, "n_cells": n_cells}, fh)
+        json.dump(fp, fh)
     return (
         spark.read.parquet(f"{path}/cells")
         .groupBy(F.col("cell_id").cast("int").alias("cell_id"))

@@ -54,9 +54,7 @@ def i1_i3_state_protocol(spark, sf_dir):
     drifted from the recorded one (``content_changed`` — 'changed').
     At 100 TB the state table is a small keyed side input and both
     probes are one join each — membership never touches the driver."""
-    import hashlib
     import shutil
-    import tempfile
 
     from pyspark.sql.types import (
         LongType,
@@ -83,8 +81,11 @@ def i1_i3_state_protocol(spark, sf_dir):
             StructField("content_hash", StringType()),
         ]
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/spark_graft_state_{tag}"
+    from dissertation_data_pipeline_spark.plans.queries_fixtures import (
+        _tmp_layout,
+    )
+
+    path = _tmp_layout("state", sf_dir)
     shutil.rmtree(path, ignore_errors=True)  # fresh protocol run
     st = StateTable(spark, path, schema, key="key")
     # batch 1: everything % 3 recorded at its CURRENT hash

@@ -191,6 +191,9 @@ def s_stateful_profile(spark, sf_dir):
             "s_stateful_profile_sink",
             os.path.join(work, "ckpt"),
             output_mode="update",
+            # loaded-host headroom (idle: ~6 s) — same rationale as
+            # s_stream_stream_join
+            timeout_sec=600,
         )
         # The memory sink holds its rows in the driver; the staged
         # files and checkpoint are dead weight once the query drains.
@@ -233,8 +236,13 @@ def s_stream_stream_join(spark, sf_dir):
     A batch interval join is a valid oracle because INNER stream-stream
     joins emit eagerly on match (only outer joins hold rows for the
     watermark), so a full drain emits exactly the batch join's rows —
-    each once, the state store dedups re-matches.  purchase_value is
-    cast to DECIMAL for engine-exact stringification."""
+    each once, the state store dedups re-matches.  The watermark delay
+    (31 days) exceeds the events table's 30-day span at every SF, so
+    NO join state is evicted mid-drain and the equivalence holds for
+    ANY staged file count — with a tighter watermark it would silently
+    depend on the 2-file staging (a batch-3 row could lose its evicted
+    batch-1 partner).  purchase_value is cast to DECIMAL for
+    engine-exact stringification."""
     import os
     import shutil
     import tempfile
@@ -258,7 +266,7 @@ def s_stream_stream_join(spark, sf_dir):
                 spark,
                 src,
                 events.schema,
-                watermark_delay="2 hours",
+                watermark_delay="31 days",
                 max_files_per_trigger=1,
             )
 
@@ -279,6 +287,10 @@ def s_stream_stream_join(spark, sf_dir):
             "s_stream_stream_join_sink",
             os.path.join(work, "ckpt"),
             output_mode="append",
+            # a loaded host can stretch the multi-batch two-stream
+            # drain well past the 120 s default (idle: ~15 s; measured
+            # >120 s under a concurrent full-suite run)
+            timeout_sec=600,
         )
         return sink.localCheckpoint()
     finally:

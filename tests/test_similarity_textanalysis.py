@@ -539,3 +539,14 @@ def test_ivf_layout_fingerprint_skips_rebuild(spark, tmp_path):
     p3 = qs._ensure_ivf_layout(spark, smaller, sf_key)
     stamp3 = os.path.getmtime(os.path.join(p3, "_fingerprint.json"))
     assert stamp3 > stamp2
+    # SAME row count, different CONTENT -> the xxhash signature must
+    # invalidate (a count-only fingerprint would silently reuse the
+    # layout and probe vectors that no longer exist)
+    import pyspark.sql.functions as SF
+
+    perturbed = smaller.withColumn(
+        "embedding", SF.transform("embedding", lambda x: x * SF.lit(2.0))
+    )
+    p4 = qs._ensure_ivf_layout(spark, perturbed, sf_key)
+    stamp4 = os.path.getmtime(os.path.join(p4, "_fingerprint.json"))
+    assert stamp4 > stamp3

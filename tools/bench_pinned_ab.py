@@ -50,16 +50,12 @@ PAIR_QUERIES = [
     "ext_ann_ivf_topk",
     "ext_ann_pq_codes",
     "ext_ann_ivfpq_rerank",
-    "ext_asof_join",
     "ext_interval_join",
     "ext_curation_pipeline",
 ]
 
 
-def median(vals):
-    s = sorted(vals)
-    m = len(s) // 2
-    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+from statistics import median  # noqa: E402
 
 
 def main() -> None:

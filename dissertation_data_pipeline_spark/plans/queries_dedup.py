@@ -578,9 +578,12 @@ _SHINGLE_CTE_RECALL = _SHINGLE_CTE.replace(
 )
 
 
-@register(
-    "ext_dedup_pair_recall",
-    f"""
+def _pair_recall_sql(bands: int, rows: int) -> str:
+    """The pair-recall oracle for a (bands x rows) banding of the
+    12-hash signature — truth leg identical, band slicing
+    parameterized."""
+    idxs = ", ".join(str(i) for i in range(bands))
+    return f"""
     WITH {_SHINGLE_CTE_RECALL},
     truth AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -598,8 +601,10 @@ _SHINGLE_CTE_RECALL = _SHINGLE_CTE.replace(
     ),
     bands AS (
       SELECT doc_id, band_idx,
-             md5(array_to_string(sig[band_idx*3+1 : band_idx*3+3], '|')) AS band_key
-      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+             md5(array_to_string(
+               sig[band_idx*{rows}+1 : band_idx*{rows}+{rows}], '|'))
+               AS band_key
+      FROM sig, (SELECT unnest([{idxs}]) AS band_idx)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -616,21 +621,10 @@ _SHINGLE_CTE_RECALL = _SHINGLE_CTE.replace(
            CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
                 ELSE round((SELECT count(*) FROM hits)::DOUBLE
                            / (SELECT count(*) FROM truth), 6) END AS recall
-    """,
-)
-def ext_dedup_pair_recall(spark, sf_dir):
-    """[EXT] measured LSH pair recall: exact all-pairs Jaccard>=0.5
-    ground truth on a FIXED 500-doc block vs the 12-hash/4-band
-    MinHash-LSH candidates over the same block — the quality number
-    that justifies the banding scheme, computed as a query (the dedup
-    counterpart of ``ext_ann_recall_at_10``).  A verified LSH pair is
-    a candidate with true Jaccard>=0.5, so recall(LSH verified | truth)
-    == recall(candidates | truth).
+    """
 
-    Scale: ground-truth cost is constant (block size is fixed, not a
-    corpus fraction), and the truth leg itself runs on the inverted-
-    index plan (``blocked_jaccard_pairs`` with a constant block key),
-    not a quadratic self-join — only the ORACLE states it all-pairs."""
+
+def _pair_recall(spark, sf_dir, *, bands: int):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _RECALL_BLOCK
     )
@@ -639,7 +633,7 @@ def ext_dedup_pair_recall(spark, sf_dir):
         sample, "doc_id", "text", ["blk"], threshold=0.5
     ).select("id_a", "id_b")
     lsh = dx.minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=12, bands=4, threshold=0.5
+        docs, "doc_id", "text", num_hashes=12, bands=bands, threshold=0.5
     ).select("id_a", "id_b")
     # one aggregation computes both counts (a left join marks hits) —
     # no 1-row crossJoin, so the registry's no-cartesian plan test
@@ -660,3 +654,33 @@ def ext_dedup_pair_recall(spark, sf_dir):
             )
         ),
     )
+
+
+@register("ext_dedup_pair_recall", _pair_recall_sql(4, 3))
+def ext_dedup_pair_recall(spark, sf_dir):
+    """[EXT] measured LSH pair recall: exact all-pairs Jaccard>=0.5
+    ground truth on a FIXED 500-doc block vs the 12-hash/4-band
+    MinHash-LSH candidates over the same block — the quality number
+    that justifies the banding scheme, computed as a query (the dedup
+    counterpart of ``ext_ann_recall_at_10``).  A verified LSH pair is
+    a candidate with true Jaccard>=0.5, so recall(LSH verified | truth)
+    == recall(candidates | truth).
+
+    Scale: ground-truth cost is constant (block size is fixed, not a
+    corpus fraction), and the truth leg itself runs on the inverted-
+    index plan (``blocked_jaccard_pairs`` with a constant block key),
+    not a quadratic self-join — only the ORACLE states it all-pairs."""
+    return _pair_recall(spark, sf_dir, bands=4)
+
+
+@register("ext_dedup_pair_recall_b6r2", _pair_recall_sql(6, 2))
+def ext_dedup_pair_recall_b6r2(spark, sf_dir):
+    """[EXT] the banding recall LEVER, measured: the same 12-hash
+    signature re-banded 6x2 instead of 4x3.  Theory: a threshold-j
+    pair (j=0.5) collides with probability 1-(1-j^r)^b — 0.41 at 4x3,
+    0.80 at 6x2 — at the cost of more candidate pairs (shorter band
+    keys collide more).  Running both as gate rows turns the
+    bands/rows knob from a docstring claim into two measured recall
+    numbers on identical ground truth (BASELINE.md records them at
+    sf0.01 and sf1)."""
+    return _pair_recall(spark, sf_dir, bands=6)

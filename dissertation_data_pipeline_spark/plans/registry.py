@@ -743,6 +743,7 @@ set_driver_priority(
         "k3_excel_roundtrip",
         "k_orc_roundtrip",
         "ext_random_projection",
-        # ---- 33 entries above; later round-5 additions append here ------
+        "ext_dedup_pair_recall_b6r2",
+        # ---- 34 entries above; later round-5 additions append here ------
     ]
 )

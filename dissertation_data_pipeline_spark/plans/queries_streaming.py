@@ -295,3 +295,95 @@ def s_stream_stream_join(spark, sf_dir):
         return sink.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "s_stream_stream_left_outer",
+    """
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+         r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
+                  r.event_id AS purchase_id, r.ts AS purchase_ts
+           FROM l JOIN r
+             ON l.user_id = r.user_id
+            AND r.ts BETWEEN l.ts - INTERVAL '1 hour' AND l.ts
+         ),
+         wm AS (
+           SELECT date_trunc('millisecond',
+                    least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r)))
+                  - INTERVAL '2 hours' AS w
+         )
+    SELECT click_id, user_id, click_ts, purchase_id, purchase_ts FROM m
+    UNION ALL
+    SELECT event_id AS click_id, user_id, ts AS click_ts,
+           NULL AS purchase_id, CAST(NULL AS TIMESTAMP) AS purchase_ts
+    FROM l
+    WHERE event_id NOT IN (SELECT click_id FROM m)
+      AND ts < (SELECT w FROM wm)
+    """,
+)
+def s_stream_stream_left_outer(spark, sf_dir):
+    """[EXT] LEFT OUTER stream-stream interval join through real
+    stream execution — the hard part of streaming outer joins made
+    oracle-checkable: matches emit eagerly, and a null-padded row
+    emits for an unmatched click only once the global watermark
+    (min of the two streams' watermarks, each = that stream's max
+    event time minus the 2 h delay, millisecond-truncated) passes the
+    click's timestamp.  Unmatched clicks YOUNGER than the final
+    watermark emit nothing — the batch oracle restates exactly that:
+    matches UNION unmatched-and-expired.
+
+    The watermark is applied AFTER the event-type filter on each
+    stream (not inherited from the raw scan), so the per-stream
+    watermark rule holds by construction rather than by predicate
+    pushdown; the oracle's ``least(max click ts, max purchase ts)``
+    mirrors Spark's min-across-inputs global watermark."""
+    import os
+    import shutil
+    import tempfile
+
+    from dissertation_data_pipeline_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        run_available_now_to_memory,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="ddp_ssouter_gate_")
+    try:
+        src = os.path.join(work, "src")
+        events.repartition(2).write.parquet(src)
+
+        def typed_stream(event_type):
+            return (
+                spark.readStream.format("parquet")
+                .schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+                .filter(F.col("event_type") == event_type)
+                .withWatermark("ts", "2 hours")
+            )
+
+        clicks = typed_stream("click")
+        purchases = typed_stream("purchase")
+        sink = run_available_now_to_memory(
+            clicks,
+            lambda l: stream_stream_interval_join(
+                l, purchases, "user_id", within="1 hour", how="left_outer"
+            ).select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+                F.col("r_event_id").alias("purchase_id"),
+                F.col("r_ts").alias("purchase_ts"),
+            ),
+            "s_stream_stream_left_outer_sink",
+            os.path.join(work, "ckpt"),
+            output_mode="append",
+            timeout_sec=600,
+        )
+        return sink.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

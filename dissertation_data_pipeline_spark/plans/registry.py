@@ -744,6 +744,7 @@ set_driver_priority(
         "k_orc_roundtrip",
         "ext_random_projection",
         "ext_dedup_pair_recall_b6r2",
-        # ---- 34 entries above; later round-5 additions append here ------
+        "s_stream_stream_left_outer",
+        # ---- 35 entries above; later round-5 additions append here ------
     ]
 )

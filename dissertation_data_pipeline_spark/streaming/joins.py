@@ -24,16 +24,29 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     within: str = "1 hour",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two (already watermarked) streams on ``on``, keeping
-    right rows with ``left_ts - within <= right_ts <= left_ts`` — e.g.
-    each click joined to the same user's purchases from the previous
-    hour. Right columns (other than the key) come back prefixed.
+    """Join two (already watermarked) streams on ``on``, keeping right
+    rows with ``left_ts - within <= right_ts <= left_ts`` — e.g. each
+    click joined to the same user's purchases from the previous hour.
+    Right columns (other than the key) come back prefixed.
 
     Both inputs MUST have ``withWatermark`` applied (use
     ``read_events_stream``); the range predicate is what lets Spark
     expire join state, so it is mandatory here, not optional.
+
+    ``how``: ``inner`` emits matches eagerly; ``left_outer``
+    additionally emits a null-padded row for each unmatched left row —
+    but only once the GLOBAL watermark (the MINIMUM of the two
+    streams' watermarks) passes the left row's event time, i.e. once
+    no future right row can still satisfy ``right_ts <= left_ts``.
+    Left rows younger than the final watermark that never matched emit
+    NOTHING — that is the streaming outer-join contract, not a bug,
+    and it is exactly reproducible in batch:
+    ``ts < min(max(left ts), max(right ts)) - delay`` (gate row
+    ``s_stream_stream_left_outer`` pins it against the SQL oracle).
     """
+    assert how in ("inner", "left_outer"), how
     r = right.select(
         F.col(on),
         *[
@@ -48,7 +61,7 @@ def stream_stream_interval_join(
         & (F.col(rts) <= left[left_ts])
         & (F.col(rts) >= left[left_ts] - F.expr(f"INTERVAL {within}"))
     )
-    return left.join(r, cond, "inner").drop(r[on])
+    return left.join(r, cond, how).drop(r[on])
 
 
 def stream_static_enrich(

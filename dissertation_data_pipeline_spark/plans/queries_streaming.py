@@ -300,8 +300,9 @@ def s_stream_stream_join(spark, sf_dir):
 @register(
     "s_stream_stream_left_outer",
     """
-    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
-         r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    WITH ev AS (SELECT * FROM events WHERE user_id % 5 = 0),
+         l AS (SELECT * FROM ev WHERE event_type = 'click'),
+         r AS (SELECT * FROM ev WHERE event_type = 'purchase'),
          m AS (
            SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
                   r.event_id AS purchase_id, r.ts AS purchase_ts
@@ -338,7 +339,13 @@ def s_stream_stream_left_outer(spark, sf_dir):
     stream (not inherited from the raw scan), so the per-stream
     watermark rule holds by construction rather than by predicate
     pushdown; the oracle's ``least(max click ts, max purchase ts)``
-    mirrors Spark's min-across-inputs global watermark."""
+    mirrors Spark's min-across-inputs global watermark.
+
+    Volume is bounded to the deterministic ``user_id % 5`` slice on
+    BOTH sides (and in the oracle): the row proves outer-join
+    semantics, and outer-join state + the watermark-flush batch made
+    the full-table drain ~5x the inner row's cost at sf0.1 — a
+    semantics gate should not dominate the bench."""
     import os
     import shutil
     import tempfile
@@ -350,7 +357,9 @@ def s_stream_stream_left_outer(spark, sf_dir):
         run_available_now_to_memory,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    )
     work = tempfile.mkdtemp(prefix="ddp_ssouter_gate_")
     try:
         src = os.path.join(work, "src")

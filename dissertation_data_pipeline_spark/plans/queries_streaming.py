@@ -396,3 +396,99 @@ def s_stream_stream_left_outer(spark, sf_dir):
         return sink.localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "s_stream_stream_full_outer",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id % 5 = 0),
+         l AS (SELECT * FROM ev WHERE event_type = 'click'),
+         r AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         m AS (
+           SELECT l.event_id AS click_id, l.ts AS click_ts,
+                  r.event_id AS purchase_id, r.ts AS purchase_ts
+           FROM l JOIN r
+             ON l.user_id = r.user_id
+            AND r.ts BETWEEN l.ts - INTERVAL '1 hour' AND l.ts
+         ),
+         wm AS (
+           SELECT date_trunc('millisecond',
+                    least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r)))
+                  - INTERVAL '2 hours' AS w
+         )
+    SELECT click_id, click_ts, purchase_id, purchase_ts FROM m
+    UNION ALL
+    SELECT event_id, ts, NULL, CAST(NULL AS TIMESTAMP)
+    FROM l
+    WHERE event_id NOT IN (SELECT click_id FROM m)
+      AND ts < (SELECT w FROM wm)
+    UNION ALL
+    SELECT NULL, CAST(NULL AS TIMESTAMP), event_id, ts
+    FROM r
+    WHERE event_id NOT IN (SELECT purchase_id FROM m)
+      AND ts + INTERVAL '1 hour' < (SELECT w FROM wm)
+    """,
+)
+def s_stream_stream_full_outer(spark, sf_dir):
+    """[EXT] FULL OUTER stream-stream interval join — the two state
+    sides expire under DIFFERENT watermark rules, and both are
+    oracle-checked: an unmatched CLICK null-pads once the global
+    watermark passes its own timestamp (no future purchase can satisfy
+    r_ts <= click_ts), but an unmatched PURCHASE must wait a further
+    interval-width — a click as late as r_ts + 1h could still match,
+    so its null row emits only when ``r_ts + 1h < watermark``.  That
+    asymmetric shift is the part of streaming outer-join semantics
+    that silently bites users; the batch oracle states both rules
+    explicitly (verified empirically: the unshifted rule over-counts
+    right nulls by 4 at sf0.1).  Same staging/slice/watermark
+    discipline as ``s_stream_stream_left_outer``."""
+    import os
+    import shutil
+    import tempfile
+
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        run_available_now_to_memory,
+    )
+    from dissertation_data_pipeline_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    )
+    work = tempfile.mkdtemp(prefix="ddp_ssfull_gate_")
+    try:
+        src = os.path.join(work, "src")
+        events.repartition(2).write.parquet(src)
+
+        def typed_stream(event_type):
+            return (
+                spark.readStream.format("parquet")
+                .schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+                .filter(F.col("event_type") == event_type)
+                .withWatermark("ts", "2 hours")
+            )
+
+        clicks = typed_stream("click")
+        purchases = typed_stream("purchase")
+        joined = stream_stream_interval_join(
+            clicks, purchases, "user_id", within="1 hour", how="full_outer"
+        )
+        sink = run_available_now_to_memory(
+            joined,
+            lambda d: d.select(
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+                F.col("r_event_id").alias("purchase_id"),
+                F.col("r_ts").alias("purchase_ts"),
+            ),
+            "s_stream_stream_full_outer_sink",
+            os.path.join(work, "ckpt"),
+            output_mode="append",
+            timeout_sec=600,
+        )
+        return sink.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -745,6 +745,7 @@ set_driver_priority(
         "ext_random_projection",
         "ext_dedup_pair_recall_b6r2",
         "s_stream_stream_left_outer",
-        # ---- 35 entries above; later round-5 additions append here ------
+        "s_stream_stream_full_outer",
+        # ---- 36 entries above; later round-5 additions append here ------
     ]
 )

@@ -45,8 +45,14 @@ def stream_stream_interval_join(
     and it is exactly reproducible in batch:
     ``ts < min(max(left ts), max(right ts)) - delay`` (gate row
     ``s_stream_stream_left_outer`` pins it against the SQL oracle).
+
+    ``full_outer`` additionally null-pads unmatched RIGHT rows, whose
+    expiry rule is SHIFTED by the interval width: a right row at
+    ``r_ts`` can still match a left row as late as ``r_ts + within``,
+    so its null row emits only once ``r_ts + within < watermark``
+    (gate row ``s_stream_stream_full_outer`` pins the asymmetry).
     """
-    assert how in ("inner", "left_outer"), how
+    assert how in ("inner", "left_outer", "full_outer"), how
     r = right.select(
         F.col(on),
         *[

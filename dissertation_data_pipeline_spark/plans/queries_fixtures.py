@@ -265,13 +265,17 @@ def _tmp_layout(name: str, sf_dir: str) -> str:
 
 
 #: shared oracle body for the K1 round-trip: a small money aggregate —
-#: DECIMAL(18,2) survives CSV stringification bit-exactly, doubles
-#: would not.
+#: DECIMAL(18,2) survives CSV stringification bit-exactly (doubles
+#: would not), but the GATE projection final-casts to DOUBLE per the
+#: house rule "DECIMAL internally, DOUBLE at the edge" (r5 verdict: the
+#: driver's pandas canon floats DuckDB DECIMALs, so a DECIMAL in the
+#: final schema hash-mismatches even when bit-exact).
 _K1_AGG_SQL = """
     SELECT o_orderstatus AS status,
            o_orderpriority AS priority,
            CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE)
              AS total_price
     FROM orders GROUP BY 1, 2
     """
@@ -311,7 +315,11 @@ def k1_csv_roundtrip(spark, sf_dir):
             StructField("total_price", DecimalType(18, 2)),
         ]
     )
-    return read_csv(spark, path, schema)
+    # DECIMAL through the sink/scan cycle (the round-trip's point:
+    # text-format exactness), DOUBLE at the gate edge (driver canon).
+    return read_csv(spark, path, schema).withColumn(
+        "total_price", F.col("total_price").cast("double")
+    )
 
 
 #: K2 oracle: grouped counts whose group key becomes the partition
@@ -357,7 +365,7 @@ _K4_PROJ_SQL = """
     SELECT c_custkey AS custkey,
            c_name AS name,
            c_mktsegment AS segment,
-           CAST(c_acctbal AS DECIMAL(15,2)) AS acctbal
+           CAST(CAST(c_acctbal AS DECIMAL(15,2)) AS DOUBLE) AS acctbal
     FROM customer WHERE c_custkey % 100 = 0
     """
 
@@ -392,7 +400,10 @@ def k4_jsonl_roundtrip(spark, sf_dir):
             StructField("acctbal", DecimalType(15, 2)),
         ]
     )
-    return read_jsonl(spark, path, schema)
+    # DECIMAL through the JSONL cycle, DOUBLE at the gate edge.
+    return read_jsonl(spark, path, schema).withColumn(
+        "acctbal", F.col("acctbal").cast("double")
+    )
 
 
 _K3_AGG_SQL = """
@@ -440,7 +451,8 @@ _ORC_AGG_SQL = """
     SELECT l_returnflag AS returnflag,
            l_linestatus AS linestatus,
            CAST(count(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE)
              AS sum_qty
     FROM lineitem GROUP BY 1, 2
     """
@@ -480,5 +492,6 @@ def k_orc_roundtrip(spark, sf_dir):
         F.col("returnflag").cast("string").alias("returnflag"),
         F.col("linestatus").cast("string").alias("linestatus"),
         F.col("n_lines").cast("bigint").alias("n_lines"),
-        F.col("sum_qty").cast("decimal(18,2)").alias("sum_qty"),
+        # DECIMAL survives the ORC cycle; DOUBLE at the gate edge.
+        F.col("sum_qty").cast("decimal(18,2)").cast("double").alias("sum_qty"),
     )

@@ -773,8 +773,17 @@ def _rp_proj_sqls() -> list[str]:
 @register(
     "ext_random_projection",
     f"""
-    SELECT vec_id, [{", ".join(_rp_proj_sqls())}] AS proj
-    FROM embeddings
+    WITH base AS (
+      SELECT vec_id, [{", ".join(_rp_proj_sqls())}] AS proj
+      FROM embeddings
+    ),
+    longf AS (
+      SELECT vec_id,
+             UNNEST(range(16)) AS dim,
+             UNNEST(proj) AS component
+      FROM base
+    )
+    SELECT vec_id, dim, component FROM longf
     """,
 )
 def ext_random_projection(spark, sf_dir):
@@ -782,6 +791,16 @@ def ext_random_projection(spark, sf_dir):
     md5-derived Rademacher matrix (Achlioptas 2003) — the dimensionality
     lever before int8/PQ quantization.  Map-side only (zero shuffles);
     the oracle re-states all 16 components as explicit left-fold
-    arithmetic over the same inlined ±1 literals."""
+    arithmetic over the same inlined ±1 literals.
+
+    Gate shape: the gate row returns LONG form — (vec_id, dim,
+    component) via posexplode — because the driver's pandas canon
+    cannot hash array values (r5 red: ``unhashable type: 'list'``).
+    The DuckDB oracle zips ``UNNEST(range(16))`` with ``UNNEST(proj)``
+    (lockstep unnest) for the same ordinality.  Internal composition
+    keeps :func:`sim.random_projection`'s array form."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.random_projection(emb, n_dims=16)
+    wide = sim.random_projection(emb, n_dims=16)
+    return wide.select(
+        "vec_id", F.posexplode("proj").alias("dim", "component")
+    ).withColumn("dim", F.col("dim").cast("bigint"))

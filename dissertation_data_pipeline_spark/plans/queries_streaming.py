@@ -217,7 +217,7 @@ def s_stateful_profile(spark, sf_dir):
            l.ts AS click_ts,
            r.event_id AS purchase_id,
            r.ts AS purchase_ts,
-           CAST(r.value AS DECIMAL(18,2)) AS purchase_value
+           CAST(CAST(r.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
     FROM events l JOIN events r
       ON l.user_id = r.user_id
      AND r.ts BETWEEN l.ts - INTERVAL '1 hour' AND l.ts
@@ -241,8 +241,10 @@ def s_stream_stream_join(spark, sf_dir):
     NO join state is evicted mid-drain and the equivalence holds for
     ANY staged file count — with a tighter watermark it would silently
     depend on the 2-file staging (a batch-3 row could lose its evicted
-    batch-1 partner).  purchase_value is cast to DECIMAL for
-    engine-exact stringification."""
+    batch-1 partner).  purchase_value rounds through DECIMAL(18,2) for
+    engine-exact 2dp values, then final-casts to DOUBLE — the gate's
+    pandas canon floats DuckDB DECIMALs (r5 verdict), so DECIMAL must
+    never appear in a returned schema."""
     import os
     import shutil
     import tempfile
@@ -282,7 +284,10 @@ def s_stream_stream_join(spark, sf_dir):
                 F.col("ts").alias("click_ts"),
                 F.col("r_event_id").alias("purchase_id"),
                 F.col("r_ts").alias("purchase_ts"),
-                F.col("r_value").cast("decimal(18,2)").alias("purchase_value"),
+                F.col("r_value")
+                .cast("decimal(18,2)")
+                .cast("double")
+                .alias("purchase_value"),
             ),
             "s_stream_stream_join_sink",
             os.path.join(work, "ckpt"),

@@ -311,9 +311,16 @@ def ivf_topk(
     the corpus (each vector lives in exactly one), so no pair is scored
     twice and the probe set bounds read volume by n_probe/n_cells.
 
-    ``n_cells=None`` (the default) scales the cell count with the
-    corpus via :func:`adaptive_ivf_cells` — one exact count() job at
-    planning time, the price of a rule the SQL oracle can reproduce."""
+    .. warning:: **Behavioral break vs rounds 1-4:** ``n_cells`` used
+       to default to ``8``; it now defaults to ``None`` = adaptive
+       (:func:`adaptive_ivf_cells` staircase 8/32/64).  Callers that
+       relied on the old fixed default get different (better-bucketed)
+       cells above 20k vectors — pass ``n_cells=8`` explicitly for the
+       old behavior.  The adaptive default also triggers **one eager
+       count() Spark job at composition time**, re-evaluating the full
+       upstream plan of ``corpus`` — at heavy call sites, ``cache()``
+       or ``localCheckpoint()`` the corpus first (or pass ``n_cells``
+       explicitly to keep composition fully lazy)."""
     if n_cells is None:
         n_cells = adaptive_ivf_cells(corpus.count())
     # both assignments broadcast the same packed 1-row centroid
@@ -370,6 +377,12 @@ def write_ivf_partitioned(
     partition-pruned scan that never lists, opens, or reads the other
     cells' files. No search service, no external index; the lakehouse
     layout carries the recall/IO trade-off.
+
+    .. warning:: Same behavioral break as :func:`ivf_topk`: ``n_cells``
+       now defaults to ``None`` = adaptive (was ``8`` through round 4),
+       and the adaptive path runs one eager ``count()`` job at call
+       time — cache the corpus or pass ``n_cells`` explicitly at heavy
+       call sites.
     """
     if n_cells is None:
         n_cells = adaptive_ivf_cells(corpus.count())

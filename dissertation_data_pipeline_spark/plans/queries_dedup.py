@@ -30,10 +30,15 @@ _SIG_LIST = ", ".join(
 )
 
 # shared oracle CTEs: tokens + word-3-gram shingle sets
-_SHINGLE_CTE = r"""
+#: Template for the shared shingling CTE.  ``{src}`` is a relation
+#: expression (table name or parenthesized subquery) — parameterized
+#: rather than post-hoc string-replaced so the recall variant below
+#: stays correct if this CTE ever gains a second ``FROM documents``
+#: reference or a WHERE clause (ADVICE r5).
+_SHINGLE_CTE_TMPL = r"""
   toks AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-    FROM documents
+    FROM {src}
   ),
   sh AS (
     SELECT doc_id,
@@ -44,6 +49,8 @@ _SHINGLE_CTE = r"""
     FROM toks
   )
 """
+
+_SHINGLE_CTE = _SHINGLE_CTE_TMPL.format(src="documents")
 
 
 @register(
@@ -573,8 +580,8 @@ def ext_stop_shingle_report(spark, sf_dir):
 #: would re-quadratize with scale).
 _RECALL_BLOCK = 500
 
-_SHINGLE_CTE_RECALL = _SHINGLE_CTE.replace(
-    "FROM documents", f"FROM documents WHERE doc_id < {_RECALL_BLOCK}"
+_SHINGLE_CTE_RECALL = _SHINGLE_CTE_TMPL.format(
+    src=f"(SELECT * FROM documents WHERE doc_id < {_RECALL_BLOCK})"
 )
 
 

@@ -252,15 +252,26 @@ def s9_textdir_fixture(spark, sf_dir):
     return read_text_dir(spark, f"{_FIX}/s9_docs")
 
 
-def _tmp_layout(name: str, sf_dir: str) -> str:
-    """Deterministic per-(query, sf) temp path for sink round-trips —
-    mode=overwrite keeps reruns clean; the tiny layout persists so the
-    caller can collect() after the query fn returns (same pattern as
-    the partitioned-IVF gate row)."""
+def _tmp_layout(name: str, sf_dir: str, *, reusable: bool = False) -> str:
+    """Per-(query, sf) temp path for sink round-trips — mode=overwrite
+    keeps reruns clean; the tiny layout persists so the caller can
+    collect() after the query fn returns (same pattern as the
+    partitioned-IVF gate row).
+
+    Non-reusable layouts (the default) also key on the driver PID: two
+    drivers running the same suite concurrently at the same SF (a
+    documented scenario — it motivated the 600 s streaming drain
+    timeouts) must not overwrite each other's round-trip bytes
+    mid-scan.  ``reusable=True`` keeps the cross-process-stable path
+    for layouts whose point IS amortization across runs (the
+    fingerprinted IVF index); those guard rebuilds with a lock file
+    instead."""
     import hashlib
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if not reusable:
+        tag = f"{tag}_p{os.getpid()}"
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
 
 

@@ -211,7 +211,37 @@ def _ivf_layout_path(sf_dir: str) -> str:
         _tmp_layout,
     )
 
-    return _tmp_layout("ivf", sf_dir)
+    # reusable=True: cross-process-stable on purpose — the layout's
+    # point is amortizing the build across runs (fingerprint-guarded).
+    # Rebuilds serialize on _ivf_build_lock instead.
+    return _tmp_layout("ivf", sf_dir, reusable=True)
+
+
+class _ivf_build_lock:
+    """flock-guard for IVF layout rebuilds: two concurrent drivers at
+    the same SF share the reusable layout path, and an unguarded
+    rebuild can clobber a probe's scan mid-flight (ADVICE r5).  The
+    lock covers check+rebuild+stamp so a second process either waits
+    and sees a fresh fingerprint (skips its rebuild) or rebuilds after
+    the first finishes — never interleaved."""
+
+    def __init__(self, path: str):
+        self._lock_path = path + ".lock"
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        self._fh = open(self._lock_path, "a")
+        fcntl.flock(self._fh, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_UN)
+        self._fh.close()
+        return False
 
 
 def _ivf_fingerprint(emb) -> dict:
@@ -249,15 +279,16 @@ def _ensure_ivf_layout(spark, emb, sf_dir: str) -> str:
     path = _ivf_layout_path(sf_dir)
     fp = _ivf_fingerprint(emb)
     fp_file = os.path.join(path, "_fingerprint.json")
-    try:
-        with open(fp_file) as fh:
-            if json.load(fh) == fp:
-                return path
-    except (OSError, ValueError):
-        pass
-    sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
-    with open(fp_file, "w") as fh:
-        json.dump(fp, fh)
+    with _ivf_build_lock(path):
+        try:
+            with open(fp_file) as fh:
+                if json.load(fh) == fp:
+                    return path
+        except (OSError, ValueError):
+            pass
+        sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
+        with open(fp_file, "w") as fh:
+            json.dump(fp, fh)
     return path
 
 
@@ -295,9 +326,10 @@ def ext_ann_ivf_build(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     path = _ivf_layout_path(sf_dir)
     fp = _ivf_fingerprint(emb)
-    sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
-    with open(os.path.join(path, "_fingerprint.json"), "w") as fh:
-        json.dump(fp, fh)
+    with _ivf_build_lock(path):
+        sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
+        with open(os.path.join(path, "_fingerprint.json"), "w") as fh:
+            json.dump(fp, fh)
     return (
         spark.read.parquet(f"{path}/cells")
         .groupBy(F.col("cell_id").cast("int").alias("cell_id"))

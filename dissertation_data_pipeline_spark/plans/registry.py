@@ -145,6 +145,22 @@ GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset(
         "tpch_q9_product_profit", "tpch_q13_customer_distribution",
         "tpch_q15_top_supplier", "tpch_q21_waiting_suppliers",
         "tpch_q2_min_cost_supplier",
+        # round 5 (45 green of 50 checked, CORRECTNESS_r05.json — the 5
+        # reds stay out and lead round 6's DRIVER_PRIORITY instead)
+        "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+        "tpch_q5_region_volume", "tpch_q6_forecast_revenue",
+        "tpch_q7_nation_volume", "tpch_q8_market_share",
+        "tpch_q10_returned_items", "tpch_q11_important_stock",
+        "tpch_q12_late_lines_by_status", "tpch_q14_promo_effect",
+        "tpch_q16_part_supplier_variety", "tpch_q17_small_qty_revenue",
+        "tpch_q18_large_volume_customers", "tpch_q19_disc_revenue_or",
+        "tpch_q20_potential_promotion", "tpch_q22_idle_customers",
+        "ext_ann_ivf_build", "ext_dedup_pair_recall",
+        "ext_dedup_pair_recall_b6r2", "i1_i3_state_protocol",
+        "s1_csv_fixture", "s4_jsonl_fixture", "s5_zip_fixture",
+        "s9_textdir_fixture", "k2_parquet_roundtrip",
+        "k3_excel_roundtrip", "s_stream_stream_left_outer",
+        "s_stream_stream_full_outer",
     }
 )
 
@@ -692,60 +708,22 @@ from dissertation_data_pipeline_spark.plans import queries_wave9  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F401
 
-# Gate-coverage policy for ROUND 5 (see DRIVER_PRIORITY docstring).
-# Cumulative driver-green after r4: 188/204 (r1 u r2 u r3 u r4, recorded
-# in GREEN_PRIOR_ROUNDS above; greens sort last).  This round's sample:
-# (1) the 16 TPC-H rows that have never carried a driver CORRECTNESS
-#     row — the last hard-signal gap, so they go FIRST;
-# (2) the three IVF rows whose plan changed this round (adaptive
-#     n_cells staircase + build/probe split) — values identical at
-#     sf0.01 (500 vectors -> 8 cells either way) but re-sampled for
-#     gate hygiene, as with the r4 containment re-sample;
-# (3) the round-5 newcomers (IO fixture scans, sink round-trips, state
-#     protocol, stream-stream join, IVF build maintenance, LSH pair
-#     recall), all locally gate-mirror green at sf0.01.
+# Gate-coverage policy for ROUND 6 (see DRIVER_PRIORITY docstring).
+# Cumulative driver-green after r5: 216/221 (r1 u ... u r5, recorded in
+# GREEN_PRIOR_ROUNDS above; greens sort last).  This round's sample:
+# (1) the FIVE rows that have never carried a green driver row — all
+#     red in r5 on the gate-canonicalization edge (DECIMAL in the final
+#     schema / ArrayType output), all re-shaped this round to gate-safe
+#     scalars with values unchanged — they go FIRST;
+# (2) round-6 newcomers, appended as they land.
 set_driver_priority(
     [
-        # -- 1: never-driver-checked TPC-H (16) ---------------------------
-        "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority",
-        "tpch_q5_region_volume",
-        "tpch_q6_forecast_revenue",
-        "tpch_q7_nation_volume",
-        "tpch_q8_market_share",
-        "tpch_q10_returned_items",
-        "tpch_q11_important_stock",
-        "tpch_q12_late_lines_by_status",
-        "tpch_q14_promo_effect",
-        "tpch_q16_part_supplier_variety",
-        "tpch_q17_small_qty_revenue",
-        "tpch_q18_large_volume_customers",
-        "tpch_q19_disc_revenue_or",
-        "tpch_q20_potential_promotion",
-        "tpch_q22_idle_customers",
-        # -- 2: plan changed this round (adaptive IVF cells; build/probe
-        #       split) — re-sample for hygiene ----------------------------
-        "ext_ann_ivf_topk",
-        "ext_ann_ivf_partitioned_topk",
-        "ext_ann_recall_at_10",
-        # -- 3: new this round --------------------------------------------
-        "ext_ann_ivf_build",
-        "ext_dedup_pair_recall",
-        "i1_i3_state_protocol",
-        "s_stream_stream_join",
-        "s1_csv_fixture",
-        "s4_jsonl_fixture",
-        "s5_zip_fixture",
-        "s9_textdir_fixture",
+        # -- 1: the r5 reds, fixed this round -----------------------------
         "k1_csv_roundtrip",
-        "k2_parquet_roundtrip",
         "k4_jsonl_roundtrip",
-        "k3_excel_roundtrip",
         "k_orc_roundtrip",
+        "s_stream_stream_join",
         "ext_random_projection",
-        "ext_dedup_pair_recall_b6r2",
-        "s_stream_stream_left_outer",
-        "s_stream_stream_full_outer",
-        # ---- 36 entries above; later round-5 additions append here ------
+        # -- 2: new this round (appended as they land) --------------------
     ]
 )

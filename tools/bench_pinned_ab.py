@@ -67,14 +67,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     names = [n for n in PAIR_QUERIES if n in QUERIES]
 
-    # warmup both modes at the smallest SF (codegen, python workers)
+    # Warmup both modes at the SF UNDER TEST (codegen, python workers,
+    # scan caches).  Warming elsewhere (or silently no-opping on a host
+    # without that path) pushes warmup cost into the first timed pass —
+    # which is always 'pinned', biasing the A/B delta (ADVICE r5).
+    # Failures are logged, never swallowed: a failed warmup means the
+    # first timed pass absorbs it.
     for mode in ("false", "true"):
         spark.conf.set("spark.graft.unpinnedAB", mode)
         for n in names:
             try:
-                QUERIES[n].fn(spark, "/root/testdata/sf0.001").count()
-            except Exception:
-                pass
+                QUERIES[n].fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001 - report, keep warming
+                print(
+                    f"warmup FAILED ({n}, unpinnedAB={mode}): "
+                    f"{type(e).__name__}: {e}",
+                    file=sys.stderr,
+                )
 
     runs = {"pinned": [], "unpinned": []}
     for _ in range(n_passes):

@@ -140,6 +140,64 @@ def uf2_pdf_fixture(spark, sf_dir):
     )
 
 
+@register(
+    "uf1_html_fixture",
+    """
+    SELECT 'B2' AS bill_id,
+           'html' AS original_format,
+           'Colorado HB2 Water Storage House Bill 2 Concerning water '
+           || 'rights & storage projects in the state. The commission '
+           || 'shall adopt rules by July 1. Section 2: remains in '
+           || 'force. Appropriation: "5,000 dollars" from the general '
+           || 'fund.' AS normalized_text,
+           TRUE AS strikethrough_detected,
+           CAST(131 AS INT) AS strikethrough_chars_removed,
+           'html_tags_and_css' AS strikethrough_detection_method,
+           FALSE AS strikethrough_limitation_flag
+    """,
+)
+def uf1_html_fixture(spark, sf_dir):
+    """U-f1/U-f3 as a gate row: extract_documents decodes the committed
+    HTML bill (reference text_processor.py:43-64, normalize_corpus.py:
+    84-133 cases: <s>/<del> elements, a CSS line-through span,
+    script/style blocks, &amp;/&quot; entities, a standalone
+    line-number line) and the oracle states the expected normalized
+    text and the full strikethrough decision literally — 131 chars
+    struck via both detection methods, the "12" line gone, entities
+    decoded, script/style dropped.
+
+    Environment note: normalized_text (not raw_text) is asserted,
+    whitespace-collapsed on the Spark side — bs4-present and
+    regex-fallback extraction differ in whitespace and raw entity
+    handling but converge on the normalized, collapsed text for the
+    ASCII-decoding entities used here (numeric entities like &#8217;
+    would NOT converge: bs4 decodes to U+2019, the fallback's
+    _normalize_plain maps to ASCII — so the fixture avoids them)."""
+    import base64
+
+    from dissertation_data_pipeline_spark.operators.text_udf import (
+        extract_documents,
+    )
+
+    with open(f"{_FIX}/uf1_bill.html", "rb") as fh:
+        payload = base64.b64encode(fh.read()).decode()
+    docs = spark.createDataFrame(
+        [("B2", "text/html", payload)],
+        "bill_id string, mime string, doc_b64 string",
+    )
+    return extract_documents(docs).select(
+        "bill_id",
+        "original_format",
+        F.regexp_replace(F.trim(F.col("normalized_text")), r"\s+", " ").alias(
+            "normalized_text"
+        ),
+        "strikethrough_detected",
+        "strikethrough_chars_removed",
+        "strikethrough_detection_method",
+        "strikethrough_limitation_flag",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 5: gate rows for the remaining T-only IO surfaces — S1 CSV, S4
 # JSONL, S5 JSON-in-ZIP, S9 text-dir scans, plus K1/K2/K4 sink

@@ -725,5 +725,6 @@ set_driver_priority(
         "s_stream_stream_join",
         "ext_random_projection",
         # -- 2: new this round (appended as they land) --------------------
+        "uf1_html_fixture",
     ]
 )

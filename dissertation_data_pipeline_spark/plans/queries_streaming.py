@@ -303,6 +303,144 @@ def s_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "s_stream_stream_join_evict",
+    """
+    WITH ev AS (SELECT * FROM events WHERE user_id % 5 = 0),
+         l AS (SELECT * FROM ev WHERE event_type = 'click'),
+         r AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+         wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM ev),
+         replays AS (
+           SELECT * FROM l
+           WHERE ts < (SELECT min(ts) + INTERVAL '15 days' FROM ev)
+         ),
+         surviving_replays AS (
+           -- the eviction rule, restated: a re-sent click can re-emit
+           -- its matches only if its partners' state survives, i.e.
+           -- only while the click beats the final watermark; every
+           -- replay here is >23 days older than W, so none survive
+           SELECT * FROM replays WHERE ts >= (SELECT w FROM wm)
+         ),
+         -- counterfactual teeth: at sf0.01 the replays would re-emit 2
+         -- duplicate matches if state survived, 34 at sf0.1 (sf0.001 is
+         -- too sparse for first-half matches — probe vacuous there)
+         m AS (
+           SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
+                  r.event_id AS purchase_id, r.ts AS purchase_ts
+           FROM l JOIN r
+             ON l.user_id = r.user_id
+            AND r.ts BETWEEN l.ts - INTERVAL '1 hour' AND l.ts
+         )
+    SELECT click_id, user_id, click_ts, purchase_id, purchase_ts FROM m
+    UNION ALL
+    SELECT s.event_id, s.user_id, s.ts, r.event_id, r.ts
+    FROM surviving_replays s JOIN r
+      ON s.user_id = r.user_id
+     AND r.ts BETWEEN s.ts - INTERVAL '1 hour' AND s.ts
+    """,
+)
+def s_stream_stream_join_evict(spark, sf_dir):
+    """[EXT] inner stream-stream interval join with a TIGHT (2 hour)
+    watermark and genuinely-evicted join state, made observable in the
+    output — the eviction companion to ``s_stream_stream_join`` (whose
+    31-day delay deliberately evicts nothing).
+
+    Staging is time-ordered: file 1 = first 15 days, file 2 = the
+    rest, file 3 = a REPLAY of file 1's clicks (the same rows re-sent,
+    simulating late duplicate arrivals).  Drained with
+    AvailableNow + maxFilesPerTrigger=1 → three micro-batches, the
+    watermark advancing between them, state older than the bound
+    evicted after each.
+
+    Why the result is exact:
+
+    - **No match is lost to eviction**: arrival is in event-time order
+      and ``delay (2h) > within (1h)``, so a batch-2 click's possible
+      partners (purchases within the hour before it) always postdate
+      the batch-1 eviction bound ``r_ts + within < W`` — the in-order
+      invariant a production file stream relies on.
+    - **The replay probes eviction**: a replayed click's original
+      partners sit 15+ days below the watermark, so their state is
+      GONE (and the click itself is late-input-filtered).  If state
+      were NOT evicted — run this with the sibling row's 31-day delay
+      — the replays would re-match and emit duplicate rows (2 at
+      sf0.01, 34 at sf0.1; sf0.001 is too sparse to have first-half
+      matches, so the probe is vacuous only there) and the hash would
+      go red.  The oracle's ``surviving_replays`` leg restates the
+      rule and contributes zero rows.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now_to_memory,
+    )
+    from dissertation_data_pipeline_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    t0 = ev.agg(F.min("ts").alias("t0")).first()["t0"]
+    t_mid = t0 + timedelta(days=15)
+    work = tempfile.mkdtemp(prefix="ddp_ssevict_gate_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        parts = [
+            ev.filter(F.col("ts") < F.lit(t_mid)),
+            ev.filter(F.col("ts") >= F.lit(t_mid)),
+            ev.filter(
+                (F.col("ts") < F.lit(t_mid))
+                & (F.col("event_type") == "click")
+            ),
+        ]
+        # one file per stage, mtime-ordered so the file source replays
+        # them as three in-order micro-batches
+        for i, p in enumerate(parts):
+            stage = os.path.join(work, f"stage{i}")
+            p.coalesce(1).write.parquet(stage)
+            dst = os.path.join(src, f"{i:03d}.parquet")
+            shutil.copyfile(
+                glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst
+            )
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+        def stream():
+            return read_events_stream(
+                spark,
+                src,
+                ev.schema,
+                watermark_delay="2 hours",
+                max_files_per_trigger=1,
+            )
+
+        clicks = stream().filter(F.col("event_type") == "click")
+        purchases = stream().filter(F.col("event_type") == "purchase")
+        sink = run_available_now_to_memory(
+            clicks,
+            lambda l: stream_stream_interval_join(
+                l, purchases, "user_id", within="1 hour"
+            ).select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+                F.col("r_event_id").alias("purchase_id"),
+                F.col("r_ts").alias("purchase_ts"),
+            ),
+            "s_stream_stream_join_evict_sink",
+            os.path.join(work, "ckpt"),
+            output_mode="append",
+            timeout_sec=600,
+        )
+        return sink.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
     "s_stream_stream_left_outer",
     """
     WITH ev AS (SELECT * FROM events WHERE user_id % 5 = 0),

@@ -726,5 +726,6 @@ set_driver_priority(
         "ext_random_projection",
         # -- 2: new this round (appended as they land) --------------------
         "uf1_html_fixture",
+        "s_stream_stream_join_evict",
     ]
 )

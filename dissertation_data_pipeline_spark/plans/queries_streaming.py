@@ -311,7 +311,7 @@ def s_stream_stream_join(spark, sf_dir):
          wm AS (SELECT max(ts) - INTERVAL '2 hours' AS w FROM ev),
          replays AS (
            SELECT * FROM l
-           WHERE ts < (SELECT min(ts) + INTERVAL '15 days' FROM ev)
+           WHERE ts < (SELECT min(ts) + INTERVAL '14 days' FROM ev)
          ),
          surviving_replays AS (
            -- the eviction rule, restated: a re-sent click can re-emit
@@ -320,9 +320,10 @@ def s_stream_stream_join(spark, sf_dir):
            -- replay here is >23 days older than W, so none survive
            SELECT * FROM replays WHERE ts >= (SELECT w FROM wm)
          ),
-         -- counterfactual teeth: at sf0.01 the replays would re-emit 2
-         -- duplicate matches if state survived, 34 at sf0.1 (sf0.001 is
-         -- too sparse for first-half matches — probe vacuous there)
+         -- counterfactual teeth: if state survived, the replays would
+         -- re-emit 2 duplicate matches at sf0.01, 30 at sf0.1, 324 at
+         -- sf1 (sf0.001 is too sparse for first-half matches — probe
+         -- vacuous there)
          m AS (
            SELECT l.event_id AS click_id, l.user_id, l.ts AS click_ts,
                   r.event_id AS purchase_id, r.ts AS purchase_ts
@@ -345,8 +346,8 @@ def s_stream_stream_join_evict(spark, sf_dir):
     31-day delay deliberately evicts nothing).
 
     Staging is time-ordered: file 1 = first 15 days, file 2 = the
-    rest, file 3 = a REPLAY of file 1's clicks (the same rows re-sent,
-    simulating late duplicate arrivals).  Drained with
+    rest, file 3 = a REPLAY of the first 14 days' clicks (the same
+    rows re-sent, simulating late duplicate arrivals).  Drained with
     AvailableNow + maxFilesPerTrigger=1 → three micro-batches, the
     watermark advancing between them, state older than the bound
     evicted after each.
@@ -359,14 +360,23 @@ def s_stream_stream_join_evict(spark, sf_dir):
       the batch-1 eviction bound ``r_ts + within < W`` — the in-order
       invariant a production file stream relies on.
     - **The replay probes eviction**: a replayed click's original
-      partners sit 15+ days below the watermark, so their state is
-      GONE (and the click itself is late-input-filtered).  If state
-      were NOT evicted — run this with the sibling row's 31-day delay
-      — the replays would re-match and emit duplicate rows (2 at
-      sf0.01, 34 at sf0.1; sf0.001 is too sparse to have first-half
-      matches, so the probe is vacuous only there) and the hash would
-      go red.  The oracle's ``surviving_replays`` leg restates the
-      rule and contributes zero rows.
+      partners sit 14+ days below the final watermark, so their state
+      is GONE by the time file 3 arrives.  If state were NOT evicted —
+      run this with the sibling row's 31-day delay — the replays would
+      re-match and emit duplicate rows (2 at sf0.01, 30 at sf0.1, 324
+      at sf1; sf0.001 is too sparse to have first-half matches, so the
+      probe is vacuous only there) and the hash would go red.  The
+      oracle's ``surviving_replays`` leg restates the rule and
+      contributes zero rows.
+    - **Eviction lags one batch** (found the hard way at sf1): state
+      cleanup at the end of batch N uses batch N's START-of-batch
+      watermark, so after batch 2 the right state still holds
+      purchases down to ``max(file1 ts) - delay - within`` ≈ t_mid-3h,
+      and a replayed click inside that tail WOULD re-match (measured:
+      4 duplicates at sf1 with a t_mid replay cutoff — Spark does not
+      input-filter the late clicks; only missing state silences them).
+      The 14-day cutoff clears the lagging bound by ~21 hours, so the
+      row is density-independent.
     """
     import glob
     import os
@@ -385,6 +395,9 @@ def s_stream_stream_join_evict(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
     t0 = ev.agg(F.min("ts").alias("t0")).first()["t0"]
     t_mid = t0 + timedelta(days=15)
+    # clears the LAGGING eviction bound (t_mid - delay - within) by
+    # ~21 h — see the docstring's lag-one-batch note
+    t_replay = t0 + timedelta(days=14)
     work = tempfile.mkdtemp(prefix="ddp_ssevict_gate_")
     try:
         src = os.path.join(work, "src")
@@ -393,7 +406,7 @@ def s_stream_stream_join_evict(spark, sf_dir):
             ev.filter(F.col("ts") < F.lit(t_mid)),
             ev.filter(F.col("ts") >= F.lit(t_mid)),
             ev.filter(
-                (F.col("ts") < F.lit(t_mid))
+                (F.col("ts") < F.lit(t_replay))
                 & (F.col("event_type") == "click")
             ),
         ]

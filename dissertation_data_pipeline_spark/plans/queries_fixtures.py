@@ -516,6 +516,139 @@ def k3_excel_roundtrip(spark, sf_dir):
     return read_excel(spark, path, schema)
 
 
+#: content oracle for the compaction row: if the rewrite lost or
+#: duplicated a single row, count or the exact decimal money sum
+#: breaks; files_reduced restates the maintenance claim itself.
+_COMPACT_SQL = """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           TRUE AS files_reduced
+    FROM orders GROUP BY 1
+    """
+
+
+@register("ext_compact_small_files", _COMPACT_SQL)
+def ext_compact_small_files(spark, sf_dir):
+    """[EXT] small-file compaction as a gate row (sources/layout.py::
+    compact_parquet — the snapshot-swap rewrite): fragment a projected
+    orders slice into 48 tiny files (the micro-batch-append layout that
+    silently kills 100 TB tables: task counts, footer reads, planner
+    time all scale with file count), compact to ~128 MiB-target files,
+    re-read, and oracle the CONTENT plus the files_reduced claim.  The
+    exact DECIMAL money sum proves the rewrite is row-exact, not just
+    row-count-exact; file counts are measured from the directory, not
+    assumed."""
+    import glob
+
+    from dissertation_data_pipeline_spark.sources.layout import (
+        compact_parquet,
+    )
+
+    frag = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+    )
+    path = _tmp_layout("compact", sf_dir)
+    frag.repartition(48).write.mode("overwrite").parquet(path)
+    n_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    n_after = compact_parquet(spark, path, target_bytes=128 * 1024 * 1024)
+    return (
+        spark.read.parquet(path)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_price").cast("decimal(18,2)").cast("double")
+            .alias("total_price"),
+        )
+        .withColumn("files_reduced", F.lit(n_after < n_before))
+    )
+
+
+#: bucketed-join oracle: plain content equality — the bucketed path's
+#: value (zero Exchange in the join plan) is asserted in
+#: tests/test_bucketing.py and below; the gate proves the LAYOUT
+#: round-trip returns exactly the rows a shuffled join would.
+_BUCKETED_JOIN_SQL = """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """
+
+
+@register("ext_bucketed_join", _BUCKETED_JOIN_SQL)
+def ext_bucketed_join(spark, sf_dir):
+    """[EXT] bucketed-table co-located join as a gate row
+    (sources/bucketing.py): write orders and customer as external
+    parquet tables bucketed 8 ways on the join key, read them back
+    THROUGH THE CATALOG (a path read loses bucketing metadata), join
+    and aggregate.  The oracle is the plain shuffled join's content;
+    the plan-shape claim — the bucket-key join plans ZERO shuffle
+    Exchanges because both sides are already co-partitioned on disk —
+    is asserted here too, so the row fails if the catalog round-trip
+    silently drops the bucket spec.  This is the 100 TB co-location
+    lever: the shuffle is paid once at write time, then every
+    downstream join/agg on the key rides it for free."""
+    from dissertation_data_pipeline_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    import re as _re
+
+    tag = f"p{os.getpid()}"  # concurrent drivers: no catalog collisions
+    names = {}
+    for t, key, cols in (
+        ("orders", "o_custkey", ["o_custkey", "o_orderstatus", "o_totalprice"]),
+        ("customer", "c_custkey", ["c_custkey", "c_mktsegment"]),
+    ):
+        tbl = f"ddp_bkt_{t}_{tag}"
+        write_bucketed(
+            load_table(spark, sf_dir, t).select(*cols),
+            tbl,
+            _tmp_layout(f"bkt_{t}", sf_dir),
+            [key],
+            8,
+        )
+        names[t] = tbl
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so the join's distribution requirement is real
+    # (at test SF customer would broadcast and the no-Exchange claim
+    # would hold vacuously; at production SF neither side broadcasts
+    # and the bucket layout is the only thing avoiding the shuffle)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = read_bucketed(spark, names["orders"])
+        c = read_bucketed(spark, names["customer"])
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+        agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price"),
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            joined._jdf.queryExecution(), "formatted"
+        )
+        if _re.search(r"\bExchange (hash|range|single)", plan, _re.I):
+            raise AssertionError(
+                "bucketed join planned a shuffle Exchange — bucket "
+                "metadata lost in the catalog round-trip"
+            )
+        # materialize before the catalog tables are dropped below
+        out = agg.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+        for tbl in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
+
+
 _ORC_AGG_SQL = """
     SELECT l_returnflag AS returnflag,
            l_linestatus AS linestatus,

@@ -727,5 +727,7 @@ set_driver_priority(
         # -- 2: new this round (appended as they land) --------------------
         "uf1_html_fixture",
         "s_stream_stream_join_evict",
+        "ext_compact_small_files",
+        "ext_bucketed_join",
     ]
 )

@@ -194,6 +194,7 @@ def s_stateful_profile(spark, sf_dir):
             # loaded-host headroom (idle: ~6 s) — same rationale as
             # s_stream_stream_join
             timeout_sec=600,
+            shuffle_partitions=8,
         )
         # The memory sink holds its rows in the driver; the staged
         # files and checkpoint are dead weight once the query drains.
@@ -296,6 +297,7 @@ def s_stream_stream_join(spark, sf_dir):
             # drain well past the 120 s default (idle: ~15 s; measured
             # >120 s under a concurrent full-suite run)
             timeout_sec=600,
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:
@@ -447,6 +449,7 @@ def s_stream_stream_join_evict(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:
@@ -548,6 +551,7 @@ def s_stream_stream_left_outer(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:
@@ -644,6 +648,7 @@ def s_stream_stream_full_outer(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:

@@ -36,6 +36,34 @@ def read_events_stream(
     return reader.load(path).withWatermark(watermark_col, watermark_delay)
 
 
+@contextmanager
+def patched_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily set ``spark.sql.shuffle.partitions`` (no-op when
+    ``n`` is None), restoring the previous value on exit.
+
+    Why this exists: a stateful streaming query creates ONE state
+    store per shuffle partition per stateful operator, re-materialized
+    every micro-batch — so a bounded AvailableNow drain at the session
+    default (32) pays 32 state-store tasks per operator per batch even
+    when each batch carries a few thousand rows. The partition count
+    is baked into the checkpoint at first start, so a per-query patch
+    around ``.start()`` is both safe (fresh checkpoint per gate run)
+    and complete (later batches reuse the baked count). Results are
+    partition-count independent — the gate rows pin that. Production
+    streams on a real cluster should instead size this to cores ×
+    state volume; the knob is opt-in for exactly that reason."""
+    key = "spark.sql.shuffle.partitions"
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_available_now_to_memory(
     stream_df: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
@@ -44,6 +72,7 @@ def run_available_now_to_memory(
     *,
     output_mode: str = "append",
     timeout_sec: int = 120,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run ``transform(stream)`` over all currently-available input
     (Trigger.AvailableNow — the reference's batch-over-new-files
@@ -51,24 +80,29 @@ def run_available_now_to_memory(
     return the result as a DataFrame. Raises TimeoutError if the
     backlog doesn't drain within ``timeout_sec`` — returning the
     half-populated table would hand the caller silently truncated
-    results."""
-    out = transform(stream_df)
-    query = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(timeout_sec)
-    if not finished:
-        query.stop()
-        raise TimeoutError(
-            f"streaming query {query_name!r} did not drain its "
-            f"AvailableNow backlog within {timeout_sec}s"
-        )
+    results.
+
+    ``shuffle_partitions`` (opt-in) patches the state-store partition
+    count for this drain only — see ``patched_shuffle_partitions`` for
+    the rationale and the 100 TB sizing note."""
     spark = stream_df.sparkSession
+    with patched_shuffle_partitions(spark, shuffle_partitions):
+        out = transform(stream_df)
+        query = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = query.awaitTermination(timeout_sec)
+        if not finished:
+            query.stop()
+            raise TimeoutError(
+                f"streaming query {query_name!r} did not drain its "
+                f"AvailableNow backlog within {timeout_sec}s"
+            )
     return spark.table(query_name)
 
 

@@ -729,5 +729,6 @@ set_driver_priority(
         "s_stream_stream_join_evict",
         "ext_compact_small_files",
         "ext_bucketed_join",
+        "i4_negative_cache",
     ]
 )

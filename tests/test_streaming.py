@@ -301,3 +301,24 @@ def test_foreach_batch_upsert_latest_wins(spark, sf_dir, tmpdirs):
         f"{tmpdirs}/ckpt2",
     )
     assert {r["user_id"]: r["last_ts"] for r in again.collect()} == want
+
+
+def test_patched_shuffle_partitions_restores_conf(spark):
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        patched_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with patched_shuffle_partitions(spark, 5):
+        assert spark.conf.get(key) == "5"
+    assert spark.conf.get(key) == before
+    # restored even when the body raises (a drain timeout must not
+    # leave the session reconfigured for every later batch query)
+    with pytest.raises(RuntimeError):
+        with patched_shuffle_partitions(spark, 5):
+            raise RuntimeError("drain failed")
+    assert spark.conf.get(key) == before
+    # None = explicit no-op
+    with patched_shuffle_partitions(spark, None):
+        assert spark.conf.get(key) == before

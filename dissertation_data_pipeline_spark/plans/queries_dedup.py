@@ -136,11 +136,15 @@ def ext_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-_SIMHASH_CTE = r"""
+#: Template for the SimHash CTE.  ``{src}`` is a relation placeholder
+#: (same pattern as ``_SHINGLE_CTE`` — a post-hoc string .replace on
+#: the instantiated SQL silently over-rewrites if the CTE ever gains a
+#: second ``FROM documents`` reference).
+_SIMHASH_CTE_TMPL = r"""
   toks AS (
     SELECT doc_id,
            list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS t
-    FROM documents
+    FROM {src}
   ),
   dig AS (SELECT doc_id, list_transform(t, x -> md5(x)) AS d FROM toks),
   simh AS (
@@ -155,6 +159,9 @@ _SIMHASH_CTE = r"""
     FROM dig
   )
 """
+
+#: the common instantiation over the raw documents table
+_SIMHASH_CTE = _SIMHASH_CTE_TMPL.format(src="documents")
 
 
 @register(
@@ -305,7 +312,7 @@ def ext_dup_ngram_fraction(spark, sf_dir):
 #: the SimHash CTE over an arbitrary source CTE (same math as
 #: _SIMHASH_CTE, which is pinned to the raw documents table)
 def _simhash_cte_over(src: str) -> str:
-    return _SIMHASH_CTE.replace("FROM documents", f"FROM {src}")
+    return _SIMHASH_CTE_TMPL.format(src=src)
 
 
 @register(

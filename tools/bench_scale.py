@@ -62,6 +62,13 @@ TREND = [
     "ext_classifier_quality_filter", "ext_temperature_mixture",
     "ext_unicode_nfc", "ext_shard_assignment",
     "ext_ann_recall_at_10", "s_stateful_profile",
+    # round-6 additions: small-file compaction (layout rewrite),
+    # bucketed co-located join (zero-Exchange claim at every SF),
+    # negative-result enrichment cache (anti-join + bounded fetch),
+    # stream-stream join with genuine state eviction (multi-batch
+    # drain under a tight watermark)
+    "ext_compact_small_files", "ext_bucketed_join",
+    "i4_negative_cache", "s_stream_stream_join_evict",
 ]
 
 REPS = 2

@@ -323,14 +323,31 @@ def _tmp_layout(name: str, sf_dir: str, *, reusable: bool = False) -> str:
     mid-scan.  ``reusable=True`` keeps the cross-process-stable path
     for layouts whose point IS amortization across runs (the
     fingerprinted IVF index); those guard rebuilds with a lock file
-    instead."""
+    instead.
+
+    PID-keyed paths are unique per process, so unlike the old stable
+    paths they are never overwritten by a later run — each is
+    registered for atexit removal so repeated fresh-process suites
+    (bench_scale's per-SF isolation, concurrent drivers) don't grow
+    /tmp without bound."""
     import hashlib
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     if not reusable:
         tag = f"{tag}_p{os.getpid()}"
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{tag}")
+    if not reusable and path not in _CLEANUP_REGISTERED:
+        import atexit
+        import shutil
+
+        _CLEANUP_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+#: PID-keyed layout paths already scheduled for atexit removal
+_CLEANUP_REGISTERED: set = set()
 
 
 #: shared oracle body for the K1 round-trip: a small money aggregate —
@@ -524,6 +541,8 @@ _COMPACT_SQL = """
            CAST(count(*) AS BIGINT) AS n_orders,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                      AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+             AS total_cents,
            TRUE AS files_reduced
     FROM orders GROUP BY 1
     """
@@ -536,10 +555,13 @@ def ext_compact_small_files(spark, sf_dir):
     orders slice into 48 tiny files (the micro-batch-append layout that
     silently kills 100 TB tables: task counts, footer reads, planner
     time all scale with file count), compact to ~128 MiB-target files,
-    re-read, and oracle the CONTENT plus the files_reduced claim.  The
-    exact DECIMAL money sum proves the rewrite is row-exact, not just
-    row-count-exact; file counts are measured from the directory, not
-    assumed."""
+    re-read, and oracle the CONTENT plus the files_reduced claim.
+    Row-exactness is carried by the exact BIGINT columns — n_orders
+    catches lost/duplicated rows, total_cents (the DECIMAL sum in
+    cents, exact at any magnitude) catches value corruption the
+    DOUBLE edge column alone could hide inside the gate's
+    6-significant-digit float canon.  File counts are measured from
+    the directory, not assumed."""
     import glob
 
     from dissertation_data_pipeline_spark.sources.layout import (
@@ -561,6 +583,7 @@ def ext_compact_small_files(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("total_price").cast("decimal(18,2)").cast("double")
             .alias("total_price"),
+            (F.sum("total_price") * 100).cast("long").alias("total_cents"),
         )
         .withColumn("files_reduced", F.lit(n_after < n_before))
     )
@@ -635,7 +658,14 @@ def ext_bucketed_join(spark, sf_dir):
         plan = joined._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             joined._jdf.queryExecution(), "formatted"
         )
-        if _re.search(r"\bExchange (hash|range|single)", plan, _re.I):
+        # formatted op lists render shuffle nodes as '(4) Exchange'
+        # with the partitioning on a separate Arguments: line — match
+        # the node name exactly (BroadcastExchange is a distinct
+        # name), same detection as tests/test_bucketing.py
+        if any(
+            n == "Exchange"
+            for n in _re.findall(r"^\(\d+\) (\w+)", plan, flags=_re.M)
+        ):
             raise AssertionError(
                 "bucketed join planned a shuffle Exchange — bucket "
                 "metadata lost in the catalog round-trip"

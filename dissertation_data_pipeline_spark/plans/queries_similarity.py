@@ -236,6 +236,15 @@ class _ivf_build_lock:
         fcntl.flock(self._fh, fcntl.LOCK_EX)
         return self
 
+    def downgrade(self):
+        """Convert the held exclusive lock to a SHARED one (atomic on
+        the same fd under POSIX flock): rebuilds wait, but other
+        readers proceed.  Lets a probe hold the layout stable while it
+        materializes without serializing probe-vs-probe."""
+        import fcntl
+
+        fcntl.flock(self._fh, fcntl.LOCK_SH)
+
     def __exit__(self, *exc):
         import fcntl
 
@@ -264,7 +273,7 @@ def _ivf_fingerprint(emb) -> dict:
     }
 
 
-def _ensure_ivf_layout(spark, emb, sf_dir: str) -> str:
+def _ensure_ivf_layout(spark, emb, sf_dir: str, probe=None):
     """Build the partitioned-IVF layout iff it is missing or stale.
     Splits index maintenance from probing: ``ext_ann_ivf_build``
     always rebuilds and carries the build cost; the probe query calls
@@ -272,24 +281,37 @@ def _ensure_ivf_layout(spark, emb, sf_dir: str) -> str:
     current (the freshness check itself — O(corpus scan), not
     O(corpus x cells assignment + write)) — so the benched probe
     number is the per-query-batch deployment cost, not probe +
-    rebuild."""
+    rebuild.
+
+    With ``probe`` (a ``path -> DataFrame`` callable), the exclusive
+    lock is DOWNGRADED to shared after the freshness check and the
+    probe's result is materialized (localCheckpoint) before release —
+    a concurrent rebuild can therefore never delete files out from
+    under an in-flight scan, and the returned frame no longer depends
+    on the layout bytes at all.  Without ``probe`` the bare path is
+    returned (tests use this form); callers scanning it lazily accept
+    the documented single-process assumption."""
     import json
     import os
 
     path = _ivf_layout_path(sf_dir)
     fp = _ivf_fingerprint(emb)
     fp_file = os.path.join(path, "_fingerprint.json")
-    with _ivf_build_lock(path):
+    with _ivf_build_lock(path) as lock:
+        fresh = False
         try:
             with open(fp_file) as fh:
-                if json.load(fh) == fp:
-                    return path
+                fresh = json.load(fh) == fp
         except (OSError, ValueError):
             pass
-        sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
-        with open(fp_file, "w") as fh:
-            json.dump(fp, fh)
-    return path
+        if not fresh:
+            sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
+            with open(fp_file, "w") as fh:
+                json.dump(fp, fh)
+        if probe is None:
+            return path
+        lock.downgrade()  # readers share; rebuilds wait
+        return probe(path).localCheckpoint()
 
 
 @register(
@@ -330,11 +352,15 @@ def ext_ann_ivf_build(spark, sf_dir):
         sim.write_ivf_partitioned(emb, path, n_cells=fp["n_cells"])
         with open(os.path.join(path, "_fingerprint.json"), "w") as fh:
             json.dump(fp, fh)
-    return (
-        spark.read.parquet(f"{path}/cells")
-        .groupBy(F.col("cell_id").cast("int").alias("cell_id"))
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-    )
+        # occupancy read-back materialized INSIDE the lock — it must
+        # verify the bytes this build wrote, not whatever a concurrent
+        # rebuild leaves on disk by collect() time
+        return (
+            spark.read.parquet(f"{path}/cells")
+            .groupBy(F.col("cell_id").cast("int").alias("cell_id"))
+            .agg(F.count(F.lit(1)).alias("n_vectors"))
+            .localCheckpoint()
+        )
 
 
 @register("ext_ann_ivf_partitioned_topk", _IVF_TOPK_SQL)
@@ -351,12 +377,18 @@ def ext_ann_ivf_partitioned_topk(spark, sf_dir):
     ``ext_ann_ivf_build`` carries the maintenance cost), missing or
     stale -> built here once."""
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _ensure_ivf_layout(spark, emb, sf_dir)
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return sim.ivf_topk_partitioned(
-        spark, path, queries, k=10, n_probe=2, exclude_self=True
+    # probe + materialize under the (shared) layout lock: a concurrent
+    # ext_ann_ivf_build cannot clobber the scan mid-flight
+    return _ensure_ivf_layout(
+        spark,
+        emb,
+        sf_dir,
+        probe=lambda path: sim.ivf_topk_partitioned(
+            spark, path, queries, k=10, n_probe=2, exclude_self=True
+        ),
     )
 
 

@@ -152,9 +152,23 @@ def main():
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
+        # drop the PREVIOUS query's localCheckpoint blocks (and any it
+        # persisted) before starting this one — runs on every path
+        # incl. error-continues; across 226 queries the blocks
+        # otherwise accumulate in the shared local-mode JVM (same
+        # hygiene as tools/bench_scale.py clear_persisted)
+        spark.catalog.clearCache()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
+        while it.hasNext():
+            it.next()._2().unpersist(True)
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
+            # localCheckpoint: execute the plan ONCE, then serve both
+            # the native collect() and the pandas conversion from the
+            # materialized blocks (mirrors the temp-table trick on the
+            # DuckDB side below — without it multi-minute sf>=1 plans
+            # run twice)
+            sdf = fn(spark, SF_DIR).localCheckpoint()
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             spdf = sdf.toPandas()

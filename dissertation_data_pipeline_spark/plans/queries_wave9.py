@@ -319,3 +319,31 @@ def ext_ann_lsh_multiprobe_topk(spark, sf_dir):
     return sim.hyperplane_lsh_multiprobe_topk(
         queries, emb, k=10, n_flip=2, exclude_self=True
     )
+
+
+@register(
+    "ext_dense_ids",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                - 1 AS BIGINT) AS dense_id
+    FROM documents
+    """,
+)
+def ext_dense_ids(spark, sf_dir):
+    """[EXT] scalable global enumeration (operators/ids.py dense_ids):
+    contiguous 0-based ids over the corpus in a total key order
+    WITHOUT the single-partition global-sort window the naive
+    ``row_number() OVER (ORDER BY ...)`` plans — range-partitioned
+    sorted layout, Arrow-batched per-partition enumeration (zero extra
+    shuffles), prefix-sum offsets broadcast back.  The order key is
+    md5(doc_id) so the assigned ids are a nontrivial permutation (by
+    raw doc_id the op would be the identity and the row vacuous); the
+    oracle is the very window the operator exists to avoid, which at
+    gate SF is cheap and exact."""
+    from dissertation_data_pipeline_spark.operators.ids import dense_ids
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("sort_key")
+    )
+    return dense_ids(docs, "sort_key").select("doc_id", "dense_id")

@@ -730,5 +730,6 @@ set_driver_priority(
         "ext_compact_small_files",
         "ext_bucketed_join",
         "i4_negative_cache",
+        "ext_dense_ids",
     ]
 )

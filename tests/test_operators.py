@@ -131,3 +131,31 @@ def test_snapshot_diff_null_safe(spark):
         r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"], ["s"]).collect()
     }
     assert got == {1: "changed", 2: "changed", 3: "unchanged"}
+
+
+def test_dense_ids_matches_global_rank_and_is_partition_invariant(spark):
+    import pytest
+
+    from dissertation_data_pipeline_spark.operators.ids import dense_ids
+
+    df = spark.range(0, 500).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("key")
+    )
+    expected = {
+        r["id"]: i
+        for i, r in enumerate(
+            sorted(df.collect(), key=lambda r: r["key"])
+        )
+    }
+    for n_parts in (1, 3, 16):
+        got = {
+            r["id"]: r["dense_id"]
+            for r in dense_ids(df, "key", num_partitions=n_parts).collect()
+        }
+        assert got == expected, f"mismatch at num_partitions={n_parts}"
+    # contiguity: exactly 0..n-1
+    assert sorted(expected.values()) == list(range(500))
+    # duplicate keys make the total order ambiguous -> refuse
+    dup = df.withColumn("key", F.lit("same"))
+    with pytest.raises(ValueError, match="unique"):
+        dense_ids(dup, "key")

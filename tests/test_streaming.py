@@ -322,3 +322,82 @@ def test_patched_shuffle_partitions_restores_conf(spark):
     # None = explicit no-op
     with patched_shuffle_partitions(spark, None):
         assert spark.conf.get(key) == before
+
+
+def test_tws_profile_parity_with_apply_in_pandas_with_state(spark, sf_dir, tmpdirs):
+    """transformWithStateInPandas twin produces the same final
+    profiles as the applyInPandasWithState operator over the same
+    staged multi-batch drain. Skips where Spark's TWS protobuf
+    dependency is absent (see streaming/tws.py docstring)."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="Spark TWS state protocol needs protobuf (optional extra)",
+    )
+    import os
+
+    from dissertation_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now_to_memory,
+    )
+    from dissertation_data_pipeline_spark.streaming.stateful import (
+        running_user_profile,
+    )
+    from dissertation_data_pipeline_spark.streaming.tws import (
+        running_user_profile_tws,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = os.path.join(tmpdirs, "src")
+    events.repartition(2).write.parquet(src)
+
+    def drain(fn, name):
+        stream = read_events_stream(
+            spark, src, events.schema, max_files_per_trigger=1
+        )
+        sink = run_available_now_to_memory(
+            stream,
+            fn,
+            name,
+            os.path.join(tmpdirs, f"ckpt_{name}"),
+            output_mode="update",
+            timeout_sec=600,
+            shuffle_partitions=8,
+        )
+        return {
+            r["user_id"]: (r["n_events"], r["last_ts"], r["n_event_types"])
+            for r in sink.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("last_ts").alias("last_ts"),
+                F.max("n_event_types").alias("n_event_types"),
+            )
+            .collect()
+        }
+
+    old = drain(lambda s: running_user_profile(s, evict=False), "tws_par_old")
+    new = drain(running_user_profile_tws, "tws_par_new")
+    assert old == new
+
+
+def test_tws_module_composes_without_protobuf(spark):
+    """The TWS surface must at least import and build its plan in
+    protobuf-less environments — failing at .start(), not at import
+    (the documented gate)."""
+    from dissertation_data_pipeline_spark.streaming.tws import (
+        running_user_profile_tws,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value AS user_id",
+            "timestamp AS ts",
+            "'click' AS event_type",
+            "CAST(value AS DOUBLE) AS value",
+        )
+    )
+    out = running_user_profile_tws(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "value_sum", "last_ts", "n_event_types",
+    ]

@@ -69,6 +69,9 @@ TREND = [
     # drain under a tight watermark)
     "ext_compact_small_files", "ext_bucketed_join",
     "i4_negative_cache", "s_stream_stream_join_evict",
+    # scalable global enumeration (range layout + per-partition
+    # counters; the checkpointed rewrite IS the job)
+    "ext_dense_ids",
 ]
 
 REPS = 2

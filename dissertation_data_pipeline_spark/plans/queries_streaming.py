@@ -565,7 +565,7 @@ def s_stream_stream_left_outer(spark, sf_dir):
          l AS (SELECT * FROM ev WHERE event_type = 'click'),
          r AS (SELECT * FROM ev WHERE event_type = 'purchase'),
          m AS (
-           SELECT l.event_id AS click_id, l.ts AS click_ts,
+           SELECT l.user_id, l.event_id AS click_id, l.ts AS click_ts,
                   r.event_id AS purchase_id, r.ts AS purchase_ts
            FROM l JOIN r
              ON l.user_id = r.user_id
@@ -576,14 +576,14 @@ def s_stream_stream_left_outer(spark, sf_dir):
                     least((SELECT max(ts) FROM l), (SELECT max(ts) FROM r)))
                   - INTERVAL '2 hours' AS w
          )
-    SELECT click_id, click_ts, purchase_id, purchase_ts FROM m
+    SELECT user_id, click_id, click_ts, purchase_id, purchase_ts FROM m
     UNION ALL
-    SELECT event_id, ts, NULL, CAST(NULL AS TIMESTAMP)
+    SELECT user_id, event_id, ts, NULL, CAST(NULL AS TIMESTAMP)
     FROM l
     WHERE event_id NOT IN (SELECT click_id FROM m)
       AND ts < (SELECT w FROM wm)
     UNION ALL
-    SELECT NULL, CAST(NULL AS TIMESTAMP), event_id, ts
+    SELECT user_id, NULL, CAST(NULL AS TIMESTAMP), event_id, ts
     FROM r
     WHERE event_id NOT IN (SELECT purchase_id FROM m)
       AND ts + INTERVAL '1 hour' < (SELECT w FROM wm)
@@ -638,7 +638,11 @@ def s_stream_stream_full_outer(spark, sf_dir):
         )
         sink = run_available_now_to_memory(
             joined,
+            # user_id survives on BOTH null-padded sides now that the
+            # join coalesces the key (unmatched purchases used to emit
+            # an unattributable NULL key — the r6 review fix)
             lambda d: d.select(
+                "user_id",
                 F.col("event_id").alias("click_id"),
                 F.col("ts").alias("click_ts"),
                 F.col("r_event_id").alias("purchase_id"),

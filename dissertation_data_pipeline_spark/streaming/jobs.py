@@ -31,7 +31,11 @@ def read_events_stream(
     production paths — SURVEY §1.3) and an event-time watermark bounding
     state for windowed aggregations and stream dedup."""
     reader = spark.readStream.format(fmt).schema(schema)
-    if max_files_per_trigger:
+    # `is not None`, not truthiness: an explicit 0 must reach Spark
+    # (which rejects it loudly) rather than silently collapse the
+    # drain into one micro-batch — cross-batch state tests depend on
+    # the multi-batch split actually happening
+    if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path).withWatermark(watermark_col, watermark_delay)
 

@@ -53,6 +53,14 @@ def stream_stream_interval_join(
     (gate row ``s_stream_stream_full_outer`` pins the asymmetry).
     """
     assert how in ("inner", "left_outer", "full_outer"), how
+    clash = {
+        f"{right_prefix}{c}" for c in right.columns if c != on
+    } & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"prefixed right columns collide with left columns: "
+            f"{sorted(clash)} — pick a different right_prefix"
+        )
     r = right.select(
         F.col(on),
         *[
@@ -64,10 +72,22 @@ def stream_stream_interval_join(
     rts = f"{right_prefix}{right_ts}"
     cond = (
         (left[on] == r[on])
-        & (F.col(rts) <= left[left_ts])
-        & (F.col(rts) >= left[left_ts] - F.expr(f"INTERVAL {within}"))
+        # r[rts], not F.col(rts): the unqualified name is ambiguous
+        # when the left stream itself carries an r_-prefixed column
+        # (e.g. the output of an earlier interval join)
+        & (r[rts] <= left[left_ts])
+        & (r[rts] >= left[left_ts] - F.expr(f"INTERVAL {within}"))
     )
-    return left.join(r, cond, how).drop(r[on])
+    joined = left.join(r, cond, how)
+    # the key survives from WHICHEVER side is non-null: full_outer
+    # emits unmatched RIGHT rows whose left[on] is NULL — dropping
+    # r[on] there would leave the row unattributable to its key (for
+    # inner/left_outer the coalesce is identically left[on])
+    return joined.select(
+        F.coalesce(left[on], r[on]).alias(on),
+        *[left[c] for c in left.columns if c != on],
+        *[r[c] for c in r.columns if c != on],
+    )
 
 
 def stream_static_enrich(

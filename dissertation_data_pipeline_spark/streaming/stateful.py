@@ -50,18 +50,57 @@ PROFILE_SCHEMA = StructType(
     ]
 )
 
-# state tuple: (n_events, value_sum, last_ts_epoch_us, type_csv)
+# state tuple: (n_events, value_sum, last_ts_epoch_us, types_json)
+# The distinct-type set is serialized as a JSON array, NOT a bare
+# comma-join: a type value containing ',' (or the empty string) would
+# corrupt the set on reload across micro-batch boundaries.
 STATE_SCHEMA = StructType(
     [
         StructField("n_events", LongType()),
         StructField("value_sum", DoubleType()),
         StructField("last_ts_us", LongType()),
-        StructField("type_csv", StringType()),
+        StructField("types_json", StringType()),
     ]
 )
 
 
-def _make_update_profile(evict: bool):
+def fold_profile(
+    user_id, state_tuple, batches: Iterator[pd.DataFrame]
+) -> tuple[tuple, pd.DataFrame]:
+    """The profile accumulate step, shared by BOTH stateful APIs
+    (``applyInPandasWithState`` here, ``transformWithStateInPandas``
+    in tws.py) so the two operators cannot silently drift: fold the
+    batches into ``state_tuple`` (None = fresh key) and return
+    ``(new_state_tuple, one_row_output_frame)``."""
+    import json
+
+    if state_tuple is not None:
+        n, vsum, last_us, types_json = state_tuple
+        types = set(json.loads(types_json)) if types_json else set()
+    else:
+        n, vsum, last_us, types = 0, 0.0, 0, set()
+
+    for pdf in batches:
+        n += len(pdf)
+        vsum += float(pdf["value"].fillna(0.0).sum())
+        ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+        last_us = max(last_us, int(ts_us.max()))
+        types.update(pdf["event_type"].dropna().unique().tolist())
+
+    new_state = (n, vsum, last_us, json.dumps(sorted(types)))
+    out = pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "value_sum": [vsum],
+            "last_ts": [pd.Timestamp(last_us, unit="us")],
+            "n_event_types": [len(types)],
+        }
+    )
+    return new_state, out
+
+
+def _make_update_profile(evict: bool, evict_after_ms: int):
     def _update_profile(
         key: tuple,
         batches: Iterator[pd.DataFrame],
@@ -71,41 +110,29 @@ def _make_update_profile(evict: bool):
         if state.hasTimedOut:
             state.remove()
             return
-        if state.exists:
-            n, vsum, last_us, type_csv = state.get
-            types = set(type_csv.split(",")) if type_csv else set()
-        else:
-            n, vsum, last_us, types = 0, 0.0, 0, set()
-
-        for pdf in batches:
-            n += len(pdf)
-            vsum += float(pdf["value"].fillna(0.0).sum())
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            last_us = max(last_us, int(ts_us.max()))
-            types.update(pdf["event_type"].dropna().unique().tolist())
-
-        state.update((n, vsum, last_us, ",".join(sorted(types))))
-        if evict:
-            state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "value_sum": [vsum],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-                "n_event_types": [len(types)],
-            }
+        new_state, out = fold_profile(
+            user_id, state.get if state.exists else None, batches
         )
+        state.update(new_state)
+        if evict:
+            state.setTimeoutDuration(evict_after_ms)
+        yield out
 
     return _update_profile
 
 
-def running_user_profile(events: DataFrame, *, evict: bool = True) -> DataFrame:
+def running_user_profile(
+    events: DataFrame,
+    *,
+    evict: bool = True,
+    evict_after_ms: int = 3_600_000,
+) -> DataFrame:
     """Attach the stateful profile operator to a streaming events frame
     (columns: user_id, ts, event_type, value). Output mode: update.
 
     ``evict=True`` (continuous streams) bounds the state store with a
-    processing-time idle timeout — the 100 TB sizing knob. Pass
+    processing-time idle timeout of ``evict_after_ms`` (default 1 h) —
+    the 100 TB sizing knob, now actually tunable per deployment. Pass
     ``evict=False`` for finite ``Trigger.AvailableNow`` drains:
     ProcessingTimeTimeout makes ``shouldRunAnotherBatch`` permanently
     true (processing time always advances, so a timeout could always
@@ -123,7 +150,7 @@ def running_user_profile(events: DataFrame, *, evict: bool = True) -> DataFrame:
         events.select("user_id", "ts", "event_type", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _make_update_profile(evict),
+            _make_update_profile(evict, evict_after_ms),
             outputStructType=PROFILE_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",

@@ -36,7 +36,6 @@ operator remains ``stateful.running_user_profile``.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -46,13 +45,15 @@ from pyspark.sql.streaming.stateful_processor import (
 from dissertation_data_pipeline_spark.streaming.stateful import (
     PROFILE_SCHEMA,
     STATE_SCHEMA,
+    fold_profile,
 )
 
 
 class _ProfileProcessor(StatefulProcessor):
     """Running (n_events, value_sum, last_ts, distinct event types)
-    per key — accumulate logic identical to stateful._make_update_profile
-    so the two APIs are interchangeable (pinned by test)."""
+    per key — the accumulate step is ``stateful.fold_profile``, the
+    SAME function the applyInPandasWithState operator runs, so the two
+    APIs cannot drift (interchangeability pinned by test)."""
 
     def __init__(self, ttl_ms: int | None = None):
         self._ttl_ms = ttl_ms
@@ -64,30 +65,9 @@ class _ProfileProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues):
         (user_id,) = key
-        cur = self._state.get()
-        if cur is not None:
-            n, vsum, last_us, type_csv = cur
-            types = set(type_csv.split(",")) if type_csv else set()
-        else:
-            n, vsum, last_us, types = 0, 0.0, 0, set()
-
-        for pdf in rows:
-            n += len(pdf)
-            vsum += float(pdf["value"].fillna(0.0).sum())
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            last_us = max(last_us, int(ts_us.max()))
-            types.update(pdf["event_type"].dropna().unique().tolist())
-
-        self._state.update((n, vsum, last_us, ",".join(sorted(types))))
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "value_sum": [vsum],
-                "last_ts": [pd.Timestamp(last_us, unit="us")],
-                "n_event_types": [len(types)],
-            }
-        )
+        new_state, out = fold_profile(user_id, self._state.get(), rows)
+        self._state.update(new_state)
+        yield out
 
     def close(self) -> None:
         pass
@@ -97,9 +77,15 @@ def running_user_profile_tws(
     events: DataFrame, *, state_ttl_ms: int | None = None
 ) -> DataFrame:
     """Attach the profile operator via transformWithStateInPandas.
-    ``state_ttl_ms`` bounds the store per key (None = unbounded —
-    fine for finite AvailableNow drains, which terminate under
-    timeMode='None' regardless, unlike the old API's timeout conf)."""
+
+    ``state_ttl_ms`` bounds the store per key.  Spark REQUIRES
+    ``timeMode='ProcessingTime'`` for any state with a TTL
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL at query
+    start otherwise), so the time mode follows the knob: None (finite
+    AvailableNow drains terminate by default) without a TTL,
+    ProcessingTime with one — continuous deployments that want
+    bounded state accept the timer machinery that implies."""
+    time_mode = "ProcessingTime" if state_ttl_ms is not None else "None"
     return (
         events.select("user_id", "ts", "event_type", "value")
         .groupBy("user_id")
@@ -107,6 +93,6 @@ def running_user_profile_tws(
             statefulProcessor=_ProfileProcessor(state_ttl_ms),
             outputStructType=PROFILE_SCHEMA,
             outputMode="Update",
-            timeMode="None",
+            timeMode=time_mode,
         )
     )

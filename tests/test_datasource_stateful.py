@@ -272,10 +272,12 @@ def test_running_user_profile_evict_variant_sets_processing_timeout():
     assert GroupStateTimeout.ProcessingTimeTimeout
     # the factory threads `evict` into both the timeout conf and the
     # per-key update fn's setTimeoutDuration call
-    fn_evict = stateful._make_update_profile(True)
-    fn_drain = stateful._make_update_profile(False)
-    assert fn_evict.__closure__[0].cell_contents is True
-    assert fn_drain.__closure__[0].cell_contents is False
+    fn_evict = stateful._make_update_profile(True, 3_600_000)
+    fn_drain = stateful._make_update_profile(False, 3_600_000)
+    cells_evict = {c.cell_contents for c in fn_evict.__closure__}
+    cells_drain = {c.cell_contents for c in fn_drain.__closure__}
+    assert True in cells_evict and 3_600_000 in cells_evict
+    assert False in cells_drain
 
 
 def test_stateful_profile_identical_under_rocksdb(spark, sf_dir, tmpdirs):

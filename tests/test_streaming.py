@@ -401,3 +401,59 @@ def test_tws_module_composes_without_protobuf(spark):
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "value_sum", "last_ts", "n_event_types",
     ]
+
+
+def test_fold_profile_comma_and_empty_types_survive_state_roundtrip():
+    """Distinct-type state must survive serialization across batches
+    for type values containing commas or the empty string (the old
+    bare CSV join corrupted both)."""
+    import pandas as pd
+
+    from dissertation_data_pipeline_spark.streaming.stateful import (
+        fold_profile,
+    )
+
+    def batch(types):
+        return pd.DataFrame(
+            {
+                "user_id": [1] * len(types),
+                "ts": pd.to_datetime(["2024-01-01"] * len(types)),
+                "event_type": types,
+                "value": [1.0] * len(types),
+            }
+        )
+
+    state, out = fold_profile(1, None, iter([batch(["promo,email", ""])]))
+    assert out["n_event_types"].iloc[0] == 2
+    # reload the serialized state in a later micro-batch: the set must
+    # come back intact, not split on the embedded comma
+    state, out = fold_profile(1, state, iter([batch(["promo,email"])]))
+    assert out["n_event_types"].iloc[0] == 2
+    assert out["n_events"].iloc[0] == 3
+
+
+def test_interval_join_full_outer_keeps_key_and_refuses_collisions(spark):
+    """Unmatched RIGHT rows in a full_outer interval join must carry
+    their join key (previously dropped with r[on] -> NULL key), and
+    prefixed right columns that collide with left columns are refused."""
+    from dissertation_data_pipeline_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "l1")],
+        "user_id long, ts string, event_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "r1"), (2, "2024-01-01 09:30:00", "r2")],
+        "user_id long, ts string, event_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = stream_stream_interval_join(
+        left, right, "user_id", how="full_outer"
+    )
+    rows = {r["r_event_id"]: r["user_id"] for r in out.collect()}
+    assert rows == {"r1": 1, "r2": 2}  # unmatched r2 keeps its key
+
+    clashing_left = left.withColumn("r_event_id", F.lit("x"))
+    with pytest.raises(ValueError, match="collide"):
+        stream_stream_interval_join(clashing_left, right, "user_id")

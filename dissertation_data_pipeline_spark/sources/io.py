@@ -28,10 +28,24 @@ def read_csv(
 
     ``escape='"'`` pins RFC-4180 quoting (embedded quotes doubled, not
     backslashed) — what pandas/DuckDB/Excel emit; Spark's backslash
-    default silently keeps ``""`` literal inside quoted fields."""
+    default silently keeps ``""`` literal inside quoted fields.
+
+    ``header=False`` maps columns POSITIONALLY onto the contract
+    (headerless scans name columns _c0.._cN, which ``conform``'s
+    by-name matching would turn into an all-NULL frame with no
+    error); the file must carry at least as many columns as the
+    contract."""
     raw = spark.read.csv(
         path, header=header, schema=None, inferSchema=False, escape='"'
     )
+    if not header:
+        names = [f.name for f in schema.fields]
+        if len(raw.columns) < len(names):
+            raise ValueError(
+                f"{path}: headerless CSV has {len(raw.columns)} columns "
+                f"but the contract needs {len(names)}"
+            )
+        raw = raw.toDF(*names, *raw.columns[len(names):])
     return conform(raw, schema)
 
 

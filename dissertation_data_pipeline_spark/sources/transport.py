@@ -100,11 +100,28 @@ class PolicyTransport:
                 self._sleep(wait)
 
     def get(self, url: str) -> str:
-        """Fetch ``url``, returning the body; retries per policy."""
+        """Fetch ``url``, returning the body; retries per policy.
+
+        Connection-level failures (DNS, resets, timeouts — raised by
+        the send as ``OSError``/``urllib.error.URLError``, which
+        subclasses it) are retried on the same backoff budget as a
+        retryable HTTP status: they are the canonical transient class
+        the backoff exists for. They carry no Retry-After and record
+        ``last_status=-1``."""
         last_status = -1
         for attempt in range(self.policy.max_retries + 1):
             self._pace()
-            status, headers, body = self._send(url)
+            try:
+                status, headers, body = self._send(url)
+            except OSError as e:
+                self._last_send = self._clock()
+                last_status = -1
+                if attempt < self.policy.max_retries:
+                    self._sleep(self.policy.delay_for(attempt))
+                    continue
+                raise RetryBudgetExhausted(
+                    url, self.policy.max_retries + 1, last_status
+                ) from e
             self._last_send = self._clock()
             if status == 200:
                 return body

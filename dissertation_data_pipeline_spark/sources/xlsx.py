@@ -212,6 +212,8 @@ def read_col_widths(path: str) -> dict[int, float]:
             n for n in z.namelist()
             if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
         )
+        if not sheets:
+            raise ValueError(f"{path}: no worksheet part found")
         root = ET.fromstring(z.read(sheets[0]))
     out: dict[int, float] = {}
     for col in root.iter(f"{_NS}col"):

@@ -325,3 +325,84 @@ def test_stateful_profile_identical_under_rocksdb(spark, sf_dir, tmpdirs):
         ) == ROCKSDB_PROVIDER
         rocks = drain("rocks")
     assert rocks == base
+
+
+def test_replay_raises_on_missing_committed_page(tmpdirs):
+    """readBetweenOffsets replays a COMMITTED batch: a page that has
+    vanished since its offset was committed must raise, not silently
+    shrink the batch (previously mapped to an empty page)."""
+    from dissertation_data_pipeline_spark.sources.datasource import (
+        RestPagesStreamReader,
+    )
+
+    _write_pages(tmpdirs, pages=3, per_page=2)
+    r = RestPagesStreamReader({"endpoint": f"file://{tmpdirs}"})
+    # normal replay of pages [1, 4): all rows come back
+    assert len(list(r.readBetweenOffsets({"page": 1}, {"page": 4}))) == 6
+    os.remove(os.path.join(tmpdirs, "page-2.json"))
+    with pytest.raises(FileNotFoundError, match="strict"):
+        list(r.readBetweenOffsets({"page": 1}, {"page": 4}))
+    # forward read (termination semantics) still treats missing as end
+    rows, off = r.read({"page": 1})
+    assert len(list(rows)) == 2 and off == {"page": 2}
+
+
+def test_stream_read_caps_pages_per_microbatch(tmpdirs):
+    """A large backlog is split across microbatches by
+    max_pages_per_batch — the offset advances only over pages read."""
+    from dissertation_data_pipeline_spark.sources.datasource import (
+        RestPagesStreamReader,
+    )
+
+    _write_pages(tmpdirs, pages=5, per_page=1)
+    r = RestPagesStreamReader(
+        {"endpoint": f"file://{tmpdirs}", "max_pages_per_batch": "2"}
+    )
+    rows, off = r.read({"page": 1})
+    assert len(list(rows)) == 2 and off == {"page": 3}
+    rows, off = r.read(off)
+    assert len(list(rows)) == 2 and off == {"page": 5}
+    rows, off = r.read(off)  # last page + termination
+    assert len(list(rows)) == 1 and off == {"page": 6}
+
+
+def test_max_parallel_pages_bounds_partition_count(tmpdirs):
+    """max_parallel_pages=N plans at most N partitions with pages
+    round-robined; every page is covered exactly once."""
+    from dissertation_data_pipeline_spark.sources.datasource import (
+        RestPagesReader,
+    )
+
+    r = RestPagesReader(
+        {"endpoint": f"file://{tmpdirs}", "pages": "7",
+         "max_parallel_pages": "3"}
+    )
+    parts = r.partitions()
+    assert len(parts) == 3
+    covered = sorted(p for part in parts for p in part.value)
+    assert covered == list(range(1, 8))
+    # default: one page per partition
+    r1 = RestPagesReader({"endpoint": f"file://{tmpdirs}", "pages": "4"})
+    assert [p.value for p in r1.partitions()] == [[1], [2], [3], [4]]
+
+
+def test_record_ingested_hashes_records_exactly_what_was_read(
+    spark, tmpdirs
+):
+    """Hashes recorded from the ingested frame itself — not from a
+    second listing fetch that can observe a NEWER publication than
+    the one ingested (the plan-vs-record race)."""
+    from dissertation_data_pipeline_spark.sources.datasource import (
+        load_known_hashes,
+        record_ingested_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [("d1", "h1", "r1", "p"), ("d1", "h1", "r2", "p"),
+         ("d2", "h9", "r1", "p")],
+        "dataset_id string, content_hash string, record_id string, "
+        "payload string",
+    )
+    state = os.path.join(tmpdirs, "hashes.json")
+    record_ingested_hashes(state, df)
+    assert load_known_hashes(state) == {"d1": "h1", "d2": "h9"}

@@ -637,3 +637,36 @@ def test_read_excel_error_and_date_cells_surface_as_text(spark, tmpd):
         z.writestr("xl/worksheets/sheet1.xml", sheet)
     rows = xlsx.read_rows(path)
     assert rows == [["k"], ["#DIV/0!"], ["2023-05-01T00:00:00"], [100.0]]
+
+
+def test_read_csv_headerless_maps_positionally(spark, tmpd):
+    """header=False must map file columns onto the contract by
+    POSITION — conform's by-name matching sees _c0.._cN and would
+    silently return an all-NULL frame."""
+    from dissertation_data_pipeline_spark.schemas import BILLS_RAW
+
+    names = [f.name for f in BILLS_RAW.fields]
+    p = os.path.join(tmpd, "noheader.csv")
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write(",".join(["CO" if n == "state" else f"v_{n}" for n in names]) + "\n")
+    out = sio.read_csv(spark, p, BILLS_RAW, header=False)
+    row = out.collect()[0]
+    assert row["state"] == "CO"  # not NULL: positional mapping applied
+    # too-few columns is an error, not an all-NULL frame
+    p2 = os.path.join(tmpd, "short.csv")
+    with open(p2, "w", encoding="utf-8") as fh:
+        fh.write("a,b\n")
+    with pytest.raises(ValueError, match="headerless"):
+        sio.read_csv(spark, p2, BILLS_RAW, header=False)
+
+
+def test_read_col_widths_no_worksheet_raises_value_error(tmpd):
+    import zipfile
+
+    from dissertation_data_pipeline_spark.sources import xlsx
+
+    p = os.path.join(tmpd, "empty.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml", "<workbook/>")
+    with pytest.raises(ValueError, match="no worksheet part"):
+        xlsx.read_col_widths(p)

@@ -154,3 +154,54 @@ def test_fetch_page_http_retries_through_429(tmp_path):
     assert fetch_page("http://api.example/bills?k=1", 1, transport=t) == []
     assert calls == ["http://api.example/bills?k=1&page=1"] * 2
     assert clk.sleeps == [0.5]
+
+
+def test_connection_errors_retry_on_backoff_then_succeed():
+    """URLError/timeouts (OSError class) get the SAME backoff budget a
+    retryable HTTP status does — previously they bypassed retry
+    entirely and killed the task on the first transient blip."""
+    clk = FakeClock()
+    calls = []
+
+    def send(url):
+        calls.append(url)
+        if len(calls) < 3:
+            raise OSError("connection reset")
+        return (200, {}, "ok")
+
+    t = PolicyTransport(
+        send, clock=clk.clock, sleep=clk.sleep, min_interval=0.0
+    )
+    assert t.get("http://api.example/x") == "ok"
+    assert len(calls) == 3
+    assert clk.sleeps == [0.5, 1.0]  # exponential, same as HTTP backoff
+
+
+def test_connection_errors_exhaust_budget_with_last_status_minus_one():
+    clk = FakeClock()
+
+    def send(url):
+        raise OSError("dns failure")
+
+    t = PolicyTransport(
+        send, clock=clk.clock, sleep=clk.sleep, min_interval=0.0
+    )
+    with pytest.raises(RetryBudgetExhausted) as ei:
+        t.get("http://api.example/x")
+    assert ei.value.last_status == -1
+    assert ei.value.attempts == 6  # max_retries=5 -> 6 attempts
+
+
+def test_shared_http_transport_is_process_cached():
+    """Pacing state must span consecutive fetches — a fresh transport
+    per call resets _last_send and defeats min_interval."""
+    from dissertation_data_pipeline_spark.sources import datasource as ds
+
+    old = ds._SHARED_TRANSPORT
+    ds._SHARED_TRANSPORT = None
+    try:
+        t1 = ds._shared_http_transport()
+        t2 = ds._shared_http_transport()
+        assert t1 is t2
+    finally:
+        ds._SHARED_TRANSPORT = old

@@ -38,10 +38,16 @@ def keyword_filter_predicate(text: Column | str, keywords: Sequence[str]) -> Col
 # blob, collected into a sorted tag array.
 def theme_tags(text: Column | str, theme_rules: Mapping[str, Sequence[str]]) -> Column:
     low = F.lower(F.coalesce(_c(text).cast("string"), F.lit("")))
+    # a theme with NO patterns matches nothing (the reference's
+    # per-pattern loop is vacuous) — '|'.join([]) == '' would rlike
+    # EVERY row and tag the whole corpus on an emptied config entry
     tags = [
         F.when(low.rlike("|".join(pats)), F.lit(theme))
         for theme, pats in theme_rules.items()
+        if pats
     ]
+    if not tags:
+        return F.array().cast("array<string>")
     return F.array_sort(F.array_compact(F.array(*tags)))
 
 
@@ -52,23 +58,32 @@ def concat_text_columns(*cols: Column | str) -> Column:
     return F.concat_ws(" ", *[F.coalesce(_c(c).cast("string"), F.lit("")) for c in cols])
 
 
-#: amendment signal substrings — normalize_corpus.py:64-81
+#: amendment signal substrings — normalize_corpus.py:69-72, the
+#: reference's list VERBATIM ('amendment' is subsumed by 'amend' but
+#: kept so the constant matches the citation line-for-line)
 AMENDMENT_TITLE_SIGNALS = (
     "amend",
-    "amending",
     "amendment",
-    "an act to amend",
-    "concerning a change",
+    "relating to",
+    "concerning",
+    "modifying",
+    "revising",
+    "repealing",
+    "adding to",
 )
 
 
-# F-a4 — normalize_corpus.py:64-81: title-signal OR (enacting-clause AND
-# 'amend' within the first 500 chars of the text).
+# F-a4 — normalize_corpus.py:64-81 (detect_amendment): title-signal OR
+# ('be it enacted' ANYWHERE in the text AND 'amend' within the first
+# 500 chars) — the 500-char window applies ONLY to 'amend'; enacting
+# clauses routinely appear after a long preamble.
 def is_amendment(title: Column | str, text: Column | str) -> Column:
     t = F.lower(F.coalesce(_c(title).cast("string"), F.lit("")))
     title_hit = F.lit(False)
     for s in AMENDMENT_TITLE_SIGNALS:
         title_hit = title_hit | t.contains(s)
-    head = F.lower(F.substring(F.coalesce(_c(text).cast("string"), F.lit("")), 1, 500))
-    text_hit = head.contains("be it enacted") & head.contains("amend")
+    low = F.lower(F.coalesce(_c(text).cast("string"), F.lit("")))
+    text_hit = low.contains("be it enacted") & F.substring(
+        low, 1, 500
+    ).contains("amend")
     return title_hit | text_hit

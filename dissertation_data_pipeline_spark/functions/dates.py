@@ -20,36 +20,45 @@ def lenient_year(col: Column | str) -> Column:
     return F.year(parse_date_multi(col))
 
 
-#: the reference's 8 explicit formats (legiscan_normalizer.py:194-203)
-#: as Spark datetime patterns, most-specific first; 4-digit-year
-#: formats separated from 2-digit ones so the century pivot can be
-#: applied ONLY where a 2-digit year was actually parsed.
+#: the reference's 8 explicit strptime formats
+#: (legiscan_normalizer.py:194-203) as LENIENT Spark patterns —
+#: strptime %m/%d accept 1-2 digits, so 'M'/'d' (strict 'MM'/'dd'
+#: silently NULLed '1/15/2020'); %Y requires 4 digits ('yyyy'); %y
+#: takes 1-2 digits with the 1969/2068 century pivot. Month names
+#: (%B/%b) match case-insensitively in strptime, so those formats
+#: parse a title-cased copy of the input.
 DATE_FORMATS_Y4 = [
-    "yyyy-MM-dd",
-    "yyyy/MM/dd",
-    "MM/dd/yyyy",
-    "MM-dd-yyyy",
+    "yyyy-M-d",
+    "M/d/yyyy",
+    "yyyy/M/d",
+    "M-d-yyyy",
     "MMMM d, yyyy",
     "MMM d, yyyy",
 ]
-DATE_FORMATS_Y2 = ["MM/dd/yy", "MM-dd-yy"]
-DATE_FORMATS = DATE_FORMATS_Y4 + DATE_FORMATS_Y2  # documented full chain
+DATE_FORMATS_Y2 = ["M/d/yy", "M-d-yy"]  # %y: exactly 2 digits
+DATE_FORMATS = DATE_FORMATS_Y4 + DATE_FORMATS_Y2  # documented chain
 
 
-# F-d2 — legiscan_normalizer.py:172-216: multi-format parse, NULL (not
-# warning) on failure.
+# F-d2 — legiscan_normalizer.py:172-216 (parse_date): multi-format
+# parse, NULL (not warning) on failure.
 def parse_date_multi(col: Column | str) -> Column:
-    """Two-digit years replicate the reference's ``strptime %y`` pivot:
-    00-68 -> 2000-2068, 69-99 -> 1969-1999 (the reference's explicit
-    ``year < 100 -> +2000`` branch is dead code — strptime never yields
-    year < 100). Spark's ``yy`` maps everything to 2000-2099, so parses
-    landing in 2069-2099 through a 2-digit format shift back a century;
-    a genuine 4-digit 2099 arrives via the y4 formats and is untouched.
-    """
+    """Two-digit years replicate ``strptime %y``: 00-68 -> 2000-2068,
+    69-99 -> 1969-1999 ('01/15/99' -> 1999, reference-verified — the
+    reference's explicit ``year < 100 -> +2000`` branch is dead code
+    because %Y demands 4 digits and %y never yields year < 100).
+    Spark's ``yy`` maps everything to 2000-2099, so 2-digit parses
+    landing in 2069-2099 shift back a century ('1/2/3' and '1/2/203'
+    stay NULL — %y takes exactly two digits, parity-tested)."""
     c = F.trim(_c(col).cast("string"))
     c = F.when(c.rlike(r"^0000"), F.lit(None)).otherwise(c)  # 0000-00-00 guard
+    tc = F.initcap(F.lower(c))  # %B/%b are case-insensitive
     d4 = F.to_date(
-        F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in DATE_FORMATS_Y4])
+        F.coalesce(
+            *[
+                F.try_to_timestamp(tc if "MMM" in fmt else c, F.lit(fmt))
+                for fmt in DATE_FORMATS_Y4
+            ]
+        )
     )
     d2 = F.to_date(
         F.coalesce(*[F.try_to_timestamp(c, F.lit(fmt)) for fmt in DATE_FORMATS_Y2])

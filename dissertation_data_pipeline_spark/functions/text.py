@@ -32,32 +32,50 @@ def normalize_bill_number(col: Column | str) -> Column:
     return c
 
 
-# F-s2 — legiscan_enricher.py:129-168
+# F-s2 — legiscan_enricher.py:129-168 (normalize_bill_number there
+# returns the VARIANT LIST), mirrored step-for-step:
+#   1. strip+upper; drop the first whitespace token iff it is exactly
+#      2 chars and more tokens follow ("CA AB123" -> "AB123" — the
+#      stripped form IS the first variant; the reference never queries
+#      the state-prefixed original);
+#   2. no_spaces = remove ' ' and '.'; appended iff it differs;
+#   3. "PREFIX NUMBER" from re.match('([A-Z]+)(\\d+)') on no_spaces,
+#      appended iff new;
+#   4. dotted "P.R.E. NUMBER" only for prefixes of length >= 2,
+#      appended iff new.
+# Empty/NULL input -> empty array (reference returns []).
 def bill_number_variants(col: Column | str) -> Column:
-    """Ordered array of lookup variants: original (trimmed/upper),
-    compact (no space/dot), spaced (``HB 209``), dotted (``H.B. 209``).
-    Duplicates removed, order preserved (first occurrence wins)."""
-    orig = F.upper(F.trim(_c(col).cast("string")))
-    compact = normalize_bill_number(orig)
-    prefix = F.regexp_extract(compact, r"^([A-Z]+)", 1)
-    rest = F.regexp_extract(compact, r"^[A-Z]+(.*)$", 1)
-    spaced = F.when(
-        (prefix != "") & (rest != ""), F.concat_ws(" ", prefix, rest)
-    ).otherwise(compact)
-    dotted_prefix = F.concat(
+    s = F.upper(F.trim(_c(col).cast("string")))
+    toks = F.split(s, r"\s+")
+    base = F.when(
+        (F.size(toks) > 1) & (F.length(F.element_at(toks, 1)) == 2),
+        F.array_join(F.slice(toks, 2, F.size(toks) - 1), " "),
+    ).otherwise(s)
+    no_spaces = F.regexp_replace(base, r"[ .]", "")
+    prefix = F.regexp_extract(no_spaces, r"^([A-Z]+)(\d+)", 1)
+    number = F.regexp_extract(no_spaces, r"^([A-Z]+)(\d+)", 2)
+    spaced = F.concat_ws(" ", prefix, number)
+    dotted = F.concat(
         F.array_join(
             F.transform(F.split(prefix, ""), lambda ch: F.concat(ch, F.lit("."))),
             "",
-        )
+        ),
+        F.lit(" "),
+        number,
     )
-    dotted = F.when(
-        (prefix != "") & (rest != ""), F.concat_ws(" ", dotted_prefix, rest)
-    ).otherwise(compact)
-    arr = F.array(orig, compact, spaced, dotted)
-    # stable dedup: keep element i iff no equal element at j < i
-    return F.filter(
+    arr = F.array(
+        base,
+        F.when(no_spaces != base, no_spaces),
+        F.when(prefix != "", spaced),
+        F.when((prefix != "") & (F.length(prefix) >= 2), dotted),
+    )
+    arr = F.filter(arr, lambda x: x.isNotNull())
+    deduped = F.filter(
         arr, lambda x, i: ~F.exists(F.slice(arr, 1, i), lambda y: y == x)
     )
+    return F.when(
+        s.isNull() | (s == ""), F.array().cast("array<string>")
+    ).otherwise(deduped)
 
 
 # F-s3 — build_master_corpus.py:52-58
@@ -72,8 +90,10 @@ def normalize_status(col: Column | str) -> Column:
     )
 
 
-#: status-code map — legiscan_collector.py:94-97
+#: status-code map — legiscan_collector.py:94-97 (0 is LegiScan's
+#: default for a missing status: ``bill.get('status', 0)``)
 STATUS_CODE_LABELS = {
+    0: "N/A",
     1: "Introduced",
     2: "Engrossed",
     3: "Enrolled",
@@ -83,12 +103,14 @@ STATUS_CODE_LABELS = {
 }
 
 
-# F-s4 — legiscan_collector.py:91-100
+# F-s4 — legiscan_collector.py:91-100 (get_status_text): any progress
+# event == 8 (Chaptered) forces 'Enacted'; otherwise the code map with
+# unknown codes rendered as 'Status <n>' (the reference's
+# ``status_map.get(status, f'Status {status}')``) and NULL treated as
+# the reference's missing-status default 0 -> 'N/A'.
 def decode_status_code(code: Column | str, progress: Column | str | None = None) -> Column:
-    """Int status code -> label, with the progress-event override: any
-    progress event == 8 (Chaptered) forces 'Enacted'."""
-    c = _c(code).cast("int")
-    out = F.lit("Unknown")
+    c = F.coalesce(_c(code).cast("int"), F.lit(0))
+    out = F.concat(F.lit("Status "), c.cast("string"))
     for k in sorted(STATUS_CODE_LABELS, reverse=True):
         out = F.when(c == k, F.lit(STATUS_CODE_LABELS[k])).otherwise(out)
     if progress is not None:
@@ -132,41 +154,56 @@ def make_bill_id(state: Column | str, bill_number: Column | str) -> Column:
     )
 
 
-# F-s12 — normalize_corpus.py:118-133,199-203. One named expression chain:
-# HTML entities -> chars, form feeds -> newlines, collapse spaces,
-# drop digit-only lines, collapse 3+ newline runs, trim.
+# F-s12 — normalize_corpus.py:118-133 (normalize_plain_text), mirrored
+# step-for-step IN THE REFERENCE'S ORDER: lowercase; entity decode
+# with '&amp;' FIRST (yes, that double-decodes '&amp;lt;' to '<' —
+# the reference's behavior, kept for parity); ALL numeric entities
+# '&#N;' to a space; form feeds -> newlines; space/tab collapse;
+# 3+-newline collapse BEFORE digit-only-line blanking (order matters:
+# blanked lines are NOT re-collapsed); full-whitespace strip (Python
+# ``.strip()``, not space-only trim).
 def normalize_text_plain(col: Column | str) -> Column:
-    c = _c(col).cast("string")
-    # '&amp;' must decode LAST (standard entity-decode order): decoding
-    # it first turns escaped entities ('&amp;lt;') into live ones
-    # ('&lt;') which the later replaces then double-decode to '<'
+    c = F.lower(_c(col).cast("string"))
     for ent, rep in [
+        ("&amp;", "&"),
         ("&nbsp;", " "),
         ("&lt;", "<"),
         ("&gt;", ">"),
-        ("&quot;", '"'),
-        ("&#8212;", "—"),
-        ("&#8217;", "'"),
-        ("&amp;", "&"),
     ]:
         c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"&#\d+;", " ")
     c = F.regexp_replace(c, r"\f", "\n")
     c = F.regexp_replace(c, r"[ \t]+", " ")
-    c = F.regexp_replace(c, r"(?m)^\s*\d+\s*$", "")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
-    return F.trim(c)
+    c = F.regexp_replace(c, r"(?m)^\s*\d+\s*$", "")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
 
 
-# F-s13 — fetch_texts.py:46-53: last integer path segment of a URL.
+# F-s13 — fetch_texts.py:46-53 (get_bill_id_from_url): rstrip '/',
+# split on '/', scan segments RIGHT-TO-LEFT, first all-digit segment
+# wins — the id can sit anywhere in the path
+# ('.../text/12345/file.pdf' -> 12345), not only at the end.
+# Documented deviation: the reference returns the 0 sentinel when no
+# segment matches; the engine returns NULL (0 is a plausible id and
+# poisons joins/aggregates).
 def doc_id_from_url(col: Column | str) -> Column:
-    return F.nullif(
-        F.regexp_extract(_c(col).cast("string"), r"/(\d+)/?\s*$", 1), F.lit("")
+    segs = F.split(
+        F.regexp_replace(_c(col).cast("string"), r"/+$", ""), r"/"
+    )
+    digit_segs = F.filter(segs, lambda s: s.rlike(r"^\d+$"))
+    return F.when(
+        F.size(digit_segs) > 0, F.element_at(digit_segs, -1)
     ).cast("long")
 
 
-# F-s14 — normalize_corpus.py:182,225, fetch_texts.py:129
+# F-s14 — normalize_corpus.py:182,225, fetch_texts.py:129: the
+# reference counts ``len(text.split())``, which ignores leading AND
+# trailing whitespace of ANY kind. ``F.trim`` strips only 0x20
+# spaces, so a text ending in '\n' (virtually every document) would
+# leave an empty edge token and inflate the count — strip the full
+# whitespace class first.
 def word_count(col: Column | str) -> Column:
-    c = F.trim(_c(col).cast("string"))
+    c = F.regexp_replace(_c(col).cast("string"), r"^\s+|\s+$", "")
     return F.when(
         c.isNull() | (c == ""), F.lit(0)
     ).otherwise(F.size(F.split(c, r"\s+"))).cast("int")

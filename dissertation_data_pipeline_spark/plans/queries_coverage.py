@@ -54,35 +54,59 @@ def p8_needs_enrichment(spark, sf_dir):
     """
     SELECT doc_id,
            (contains(lower(coalesce(title, '')), 'amend')
-            OR contains(lower(coalesce(title, '')), 'concerning a change')
-            OR (contains(lower(substr(coalesce(text, ''), 1, 500)), 'be it enacted')
-                AND contains(lower(substr(coalesce(text, ''), 1, 500)), 'amend'))
+            OR contains(lower(coalesce(title, '')), 'relating to')
+            OR contains(lower(coalesce(title, '')), 'concerning')
+            OR contains(lower(coalesce(title, '')), 'modifying')
+            OR contains(lower(coalesce(title, '')), 'revising')
+            OR contains(lower(coalesce(title, '')), 'repealing')
+            OR contains(lower(coalesce(title, '')), 'adding to')
+            OR (contains(lower(coalesce(body, '')), 'be it enacted')
+                AND contains(lower(substr(coalesce(body, ''), 1, 500)),
+                             'amend'))
            ) AS is_amendment
     FROM (
-      SELECT doc_id, text,
-             CASE WHEN doc_id % 3 = 0 THEN 'An act to amend the school code'
-                  WHEN doc_id % 3 = 1 THEN 'Concerning a change to firearm storage'
-                  ELSE 'A new appropriations act' END AS title
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'An act to amend the school code'
+                  WHEN doc_id % 5 = 1 THEN 'Relating to firearm storage'
+                  WHEN doc_id % 5 = 2 THEN 'Revising chapter 12'
+                  ELSE 'A new appropriations act' END AS title,
+             CASE WHEN doc_id % 4 = 1
+                  THEN 'amend this statute. ' || text || ' be it enacted'
+                  ELSE text END AS body
       FROM documents
     )
     """,
 )
 def fa4_is_amendment(spark, sf_dir):
-    """F-a4 (normalize_corpus.py:64-81): amendment heuristic — title
-    signal words OR enacting-clause + 'amend' in the first 500 chars.
-    Titles synthesized deterministically per doc_id."""
+    """F-a4 (normalize_corpus.py:64-81): amendment heuristic with the
+    reference's FULL signal list (incl. 'relating to' / 'revising')
+    and the asymmetric text rule — enacting clause ANYWHERE in the
+    text, 'amend' within the first 500 chars. The %4==1 bodies append
+    the clause at the END, past 500 chars for most documents, so the
+    full-text scope is genuinely exercised. Parity with a Python port
+    of the reference is pinned in tests/test_reference_parity.py."""
     d = load_table(spark, sf_dir, "documents")
     k = F.col("doc_id")
-    with_title = d.select(
+    staged = d.select(
         "doc_id",
-        "text",
-        F.when(k % 3 == 0, F.lit("An act to amend the school code"))
-        .when(k % 3 == 1, F.lit("Concerning a change to firearm storage"))
+        F.when(k % 5 == 0, F.lit("An act to amend the school code"))
+        .when(k % 5 == 1, F.lit("Relating to firearm storage"))
+        .when(k % 5 == 2, F.lit("Revising chapter 12"))
         .otherwise(F.lit("A new appropriations act"))
         .alias("title"),
+        F.when(
+            k % 4 == 1,
+            F.concat(
+                F.lit("amend this statute. "),
+                F.col("text"),
+                F.lit(" be it enacted"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
     )
-    return with_title.select(
-        "doc_id", fx.is_amendment("title", "text").alias("is_amendment")
+    return staged.select(
+        "doc_id", fx.is_amendment("title", "body").alias("is_amendment")
     )
 
 

@@ -56,18 +56,21 @@ def w4_format_preference(spark, sf_dir):
     """
     SELECT o_orderkey,
            CASE (o_orderkey % 8)
+             WHEN 0 THEN 'N/A'
              WHEN 1 THEN 'Introduced' WHEN 2 THEN 'Engrossed'
              WHEN 3 THEN 'Enrolled' WHEN 4 THEN 'Passed'
              WHEN 5 THEN 'Vetoed' WHEN 6 THEN 'Failed'
-             ELSE 'Unknown'
+             ELSE 'Status ' || CAST(o_orderkey % 8 AS VARCHAR)
            END AS status_label
     FROM orders
     """,
 )
 def fs4_status_decode(spark, sf_dir):
-    """F-s4 (legiscan_collector.py:91-100): int status code -> label
-    (codes synthesized from o_orderkey; the progress-event override is
-    exercised in the collect_bills pipeline tests)."""
+    """F-s4 (legiscan_collector.py:91-100): int status code -> label,
+    including the reference's 0 -> 'N/A' default and the
+    'Status <n>' rendering for unknown codes (the %8 synthesis
+    exercises code 7). The progress-event override is exercised in
+    the collect_bills pipeline tests."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

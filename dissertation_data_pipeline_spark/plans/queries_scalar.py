@@ -76,37 +76,49 @@ def fs1_normalize_bill_number(spark, sf_dir):
     "fs2_bill_number_variants",
     f"""
     WITH norm AS (
-      SELECT p_partkey, trim(upper(raw_bill)) AS orig,
-             regexp_replace(regexp_replace(regexp_replace(trim(upper(raw_bill)),
-               '^([A-Z]{{2}}) +([A-Z](\\.?[A-Z])*\\.? *[0-9])', '\\2'), '\\.', '', 'g'), ' +', '', 'g') AS compact
+      SELECT p_partkey, trim(upper(raw_bill)) AS s,
+             string_split_regex(trim(upper(raw_bill)), '\\s+') AS toks
       FROM ({_MESSY_BILL_SQL})
-    ), parts AS (
-      SELECT *, regexp_extract(compact, '^([A-Z]+)', 1) AS prefix,
-             regexp_extract(compact, '^[A-Z]+(.*)$', 1) AS rest
+    ), based AS (
+      SELECT p_partkey,
+             CASE WHEN len(toks) > 1 AND length(toks[1]) = 2
+                  THEN array_to_string(toks[2:], ' ') ELSE s END AS base
       FROM norm
     ), built AS (
-      SELECT p_partkey, orig, compact,
-             CASE WHEN prefix <> '' AND rest <> ''
-                  THEN prefix || ' ' || rest ELSE compact END AS spaced,
-             CASE WHEN prefix <> '' AND rest <> ''
-                  THEN array_to_string([x || '.' FOR x IN string_split(prefix, '')], '') || ' ' || rest
-                  ELSE compact END AS dotted
-      FROM parts
-    )
-    SELECT p_partkey,
-           coalesce(array_to_string(list_distinct_preserve, '|'), '') AS variants
-    FROM (
+      SELECT p_partkey, base,
+             regexp_replace(base, '[ .]', '', 'g') AS no_spaces,
+             regexp_extract(regexp_replace(base, '[ .]', '', 'g'),
+                            '^([A-Z]+)([0-9]+)', 1) AS prefix,
+             regexp_extract(regexp_replace(base, '[ .]', '', 'g'),
+                            '^([A-Z]+)([0-9]+)', 2) AS num
+      FROM based
+    ), arrs AS (
       SELECT p_partkey,
-             list_filter([orig, compact, spaced, dotted],
-                         (x, i) -> NOT list_contains(([orig, compact, spaced, dotted])[1:i-1], x))
-             AS list_distinct_preserve
+             list_filter([
+               base,
+               CASE WHEN no_spaces <> base THEN no_spaces END,
+               CASE WHEN prefix <> '' THEN prefix || ' ' || num END,
+               CASE WHEN prefix <> '' AND length(prefix) >= 2
+                    THEN array_to_string(
+                           [x || '.' FOR x IN string_split(prefix, '')], '')
+                         || ' ' || num END
+             ], x -> x IS NOT NULL) AS arr
       FROM built
     )
+    SELECT p_partkey,
+           coalesce(array_to_string(
+             list_filter(arr, (x, i) -> NOT list_contains(arr[1:i-1], x)),
+             '|'), '') AS variants
+    FROM arrs
     """,
 )
 def fs2_bill_number_variants(spark, sf_dir):
-    """F-s2 (legiscan_enricher.py:129-168): ordered lookup-variant array
-    (original, compact, spaced, dotted), order-preserving dedup.
+    """F-s2 (legiscan_enricher.py:129-168, mirrored step-for-step):
+    strip a 2-char first token, then ordered variants (stripped
+    original; no-space/no-dot; 'PREFIX NUMBER' from the anchored
+    letters+digits match; dotted for prefixes of length >= 2),
+    order-preserving dedup. Parity with a Python port of the
+    reference is pinned in tests/test_reference_parity.py.
 
     The variant array is final-projected through ``array_join(..., '|')``
     (``array_to_string`` in the oracle) because the driver's correctness
@@ -182,33 +194,41 @@ def fs3_normalize_status(spark, sf_dir):
     r"""
     WITH messy AS (
       SELECT doc_id,
-             'HEAD &amp; start' || chr(12) || text
+             'HEAD &amp; &#8212; start' || chr(12) || text
                || chr(10) || chr(10) || chr(10) || chr(10) || '42'
                || chr(10) || 'tail  &lt;end&gt;' AS raw
       FROM documents
     )
     SELECT doc_id,
-           trim(regexp_replace(
+           regexp_replace(regexp_replace(
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   replace(replace(replace(replace(replace(replace(replace(raw,
-                     '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                     '&quot;', '"'), '&#8212;', '—'), '&#8217;', ''''), '&amp;', '&'),
-                   '\f', chr(10), 'g'),
-                 '[ \t]+', ' ', 'g'),
+                   regexp_replace(
+                     regexp_replace(
+                       replace(replace(replace(replace(lower(raw),
+                         '&amp;', '&'), '&nbsp;', ' '),
+                         '&lt;', '<'), '&gt;', '>'),
+                       '&#\d+;', ' ', 'g'),
+                     '\f', chr(10), 'g'),
+                   '[ \t]+', ' ', 'g'),
+                 '\n{3,}', chr(10) || chr(10), 'g'),
                '(?m)^\s*\d+\s*$', '', 'g'),
-             '\n{3,}', chr(10) || chr(10), 'g')) AS clean_text
+             '^\s+', ''), '\s+$', '') AS clean_text
     FROM messy
     """,
 )
 def fs12_normalize_text_plain(spark, sf_dir):
-    """F-s12 (normalize_corpus.py:118-133): entity decode, form-feed ->
-    newline, space collapse, digit-only-line drop, blank-run collapse —
-    one named expression chain over the documents table."""
+    """F-s12 (normalize_corpus.py:118-133): the reference's
+    normalize_plain_text chain IN ITS ORDER — lowercase, entity
+    decode ('&amp;' first), all numeric entities to a space,
+    form-feed -> newline, space collapse, 3+-newline collapse, THEN
+    digit-only-line blanking, full-whitespace strip. Parity with a
+    Python port of the reference is pinned in
+    tests/test_reference_parity.py."""
     docs = load_table(spark, sf_dir, "documents")
     raw = F.concat(
-        F.lit("HEAD &amp; start"),
+        F.lit("HEAD &amp; &#8212; start"),
         F.lit("\f"),
         F.col("text"),
         F.lit("\n\n\n\n42\ntail  &lt;end&gt;"),
@@ -282,12 +302,15 @@ def j4_make_bill_id(spark, sf_dir):
 
 _MESSY_DATE_SQL = """
   SELECT o_orderkey, o_orderdate,
-         CASE o_orderkey % 6
+         CASE o_orderkey % 9
            WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
            WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
            WHEN 2 THEN strftime(o_orderdate, '%Y/%m/%d')
            WHEN 3 THEN strftime(o_orderdate, '%m-%d-%Y')
            WHEN 4 THEN strftime(o_orderdate, '%B %-d, %Y')
+           WHEN 5 THEN strftime(o_orderdate, '%-m/%-d/%Y')
+           WHEN 6 THEN strftime(o_orderdate, '%m/%d/%y')
+           WHEN 7 THEN upper(strftime(o_orderdate, '%B %-d, %Y'))
            ELSE '0000-00-00'
          END AS raw_date
   FROM orders
@@ -300,11 +323,14 @@ def _messy_date(df):
     return df.select(
         "o_orderkey",
         "o_orderdate",
-        F.when(k % 6 == 0, F.date_format(d, "yyyy-MM-dd"))
-        .when(k % 6 == 1, F.date_format(d, "MM/dd/yyyy"))
-        .when(k % 6 == 2, F.date_format(d, "yyyy/MM/dd"))
-        .when(k % 6 == 3, F.date_format(d, "MM-dd-yyyy"))
-        .when(k % 6 == 4, F.date_format(d, "MMMM d, yyyy"))
+        F.when(k % 9 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(k % 9 == 1, F.date_format(d, "MM/dd/yyyy"))
+        .when(k % 9 == 2, F.date_format(d, "yyyy/MM/dd"))
+        .when(k % 9 == 3, F.date_format(d, "MM-dd-yyyy"))
+        .when(k % 9 == 4, F.date_format(d, "MMMM d, yyyy"))
+        .when(k % 9 == 5, F.date_format(d, "M/d/yyyy"))
+        .when(k % 9 == 6, F.date_format(d, "MM/dd/yy"))
+        .when(k % 9 == 7, F.upper(F.date_format(d, "MMMM d, yyyy")))
         .otherwise(F.lit("0000-00-00"))
         .alias("raw_date"),
     )
@@ -314,13 +340,22 @@ def _messy_date(df):
     "fd2_parse_date_multi",
     f"""
     SELECT o_orderkey, raw_date,
-           CAST(coalesce(
-             try_strptime(raw_date, '%Y-%m-%d'),
-             try_strptime(raw_date, '%Y/%m/%d'),
-             try_strptime(raw_date, '%m/%d/%Y'),
-             try_strptime(raw_date, '%m-%d-%Y'),
-             try_strptime(raw_date, '%B %d, %Y')
-           ) AS DATE) AS parsed
+           CAST(CASE
+             WHEN regexp_matches(raw_date, '^\d{{4}}-\d{{1,2}}-\d{{1,2}}$')
+               THEN try_strptime(raw_date, '%Y-%m-%d')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}/\d{{1,2}}/\d{{4}}$')
+               THEN try_strptime(raw_date, '%m/%d/%Y')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}/\d{{1,2}}/\d{{2}}$')
+               THEN try_strptime(raw_date, '%m/%d/%y')
+             WHEN regexp_matches(raw_date, '^\d{{4}}/\d{{1,2}}/\d{{1,2}}$')
+               THEN try_strptime(raw_date, '%Y/%m/%d')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}-\d{{1,2}}-\d{{4}}$')
+               THEN try_strptime(raw_date, '%m-%d-%Y')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}-\d{{1,2}}-\d{{2}}$')
+               THEN try_strptime(raw_date, '%m-%d-%y')
+             ELSE coalesce(try_strptime(raw_date, '%B %d, %Y'),
+                           try_strptime(raw_date, '%b %d, %Y'))
+           END AS DATE) AS parsed
     FROM ({_MESSY_DATE_SQL})
     WHERE NOT regexp_matches(raw_date, '^0000')
     UNION ALL
@@ -342,13 +377,22 @@ def fd2_parse_date_multi(spark, sf_dir):
     "fd1_lenient_year_rollup",
     f"""
     SELECT y AS year, count(*) AS cnt FROM (
-      SELECT year(CAST(coalesce(
-               try_strptime(raw_date, '%Y-%m-%d'),
-               try_strptime(raw_date, '%Y/%m/%d'),
-               try_strptime(raw_date, '%m/%d/%Y'),
-               try_strptime(raw_date, '%m-%d-%Y'),
-               try_strptime(raw_date, '%B %d, %Y')
-             ) AS DATE)) AS y
+      SELECT year(CAST(CASE
+             WHEN regexp_matches(raw_date, '^\d{{4}}-\d{{1,2}}-\d{{1,2}}$')
+               THEN try_strptime(raw_date, '%Y-%m-%d')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}/\d{{1,2}}/\d{{4}}$')
+               THEN try_strptime(raw_date, '%m/%d/%Y')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}/\d{{1,2}}/\d{{2}}$')
+               THEN try_strptime(raw_date, '%m/%d/%y')
+             WHEN regexp_matches(raw_date, '^\d{{4}}/\d{{1,2}}/\d{{1,2}}$')
+               THEN try_strptime(raw_date, '%Y/%m/%d')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}-\d{{1,2}}-\d{{4}}$')
+               THEN try_strptime(raw_date, '%m-%d-%Y')
+             WHEN regexp_matches(raw_date, '^\d{{1,2}}-\d{{1,2}}-\d{{2}}$')
+               THEN try_strptime(raw_date, '%m-%d-%y')
+             ELSE coalesce(try_strptime(raw_date, '%B %d, %Y'),
+                           try_strptime(raw_date, '%b %d, %Y'))
+           END AS DATE)) AS y
       FROM ({_MESSY_DATE_SQL})
       WHERE NOT regexp_matches(raw_date, '^0000')
       UNION ALL

@@ -24,10 +24,16 @@ def test_normalize_bill_number(spark):
 
 
 def test_bill_number_variants(spark):
+    # reference semantics (legiscan_enricher.py:138-144): a 2-char
+    # FIRST token is treated as a state prefix and stripped — even
+    # 'HB' ('HB 209' -> base '209'); that is the lookup key the
+    # reference actually queries (pinned in test_reference_parity.py)
     out = vals(spark, fx.bill_number_variants("v"), ["HB 209"])
-    assert out == [["HB 209", "HB209", "H.B. 209"]]
+    assert out == [["209"]]
     out = vals(spark, fx.bill_number_variants("v"), ["SB70"])
     assert out == [["SB70", "SB 70", "S.B. 70"]]
+    out = vals(spark, fx.bill_number_variants("v"), ["CA AB123"])
+    assert out == [["AB123", "AB 123", "A.B. 123"]]
 
 
 def test_normalize_status(spark):
@@ -83,7 +89,8 @@ def test_doc_id_from_url(spark):
 def test_normalize_text_plain(spark):
     raw = "A &amp; B\f\n\n\n\n42\nkeep  this"
     out = vals(spark, fx.normalize_text_plain("v"), [raw])
-    assert out == ["A & B\n\nkeep this"]
+    # lowercased per the reference (normalize_corpus.py:121)
+    assert out == ["a & b\n\nkeep this"]
 
 
 def test_matched_keywords_and_tags(spark):
@@ -162,13 +169,14 @@ def test_normalize_bill_number_dotted_state_prefix(spark):
     assert "HB209" in v and "HB 209" in v  # usable lookup variants
 
 
-def test_normalize_text_plain_single_decodes_escaped_entities(spark):
+def test_normalize_text_plain_amp_first_double_decode(spark):
     from dissertation_data_pipeline_spark.functions.text import normalize_text_plain
 
     df = spark.createDataFrame([("&amp;lt;tag&amp;gt; and &amp; x",)], "t string")
     got = df.select(normalize_text_plain("t")).collect()[0][0]
-    # '&amp;lt;' decodes ONCE to '&lt;', never twice to '<'
-    assert got == "&lt;tag&gt; and & x"
+    # the reference decodes '&amp;' FIRST (normalize_corpus.py:122),
+    # so '&amp;lt;' double-decodes to '<' — parity over prettiness
+    assert got == "<tag> and & x"
 
 
 def test_parse_date_multi_two_digit_year_pivot(spark):

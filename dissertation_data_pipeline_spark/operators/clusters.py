@@ -131,6 +131,7 @@ def connected_components(
     # change, with no old-vs-new join. DECIMAL sum: overflow-proof at
     # any node-id magnitude.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         # min label over the closed neighborhood (self-edge included)
         relab = (
@@ -158,8 +159,19 @@ def connected_components(
         ).first()
         labels = step
         if n == 0 or s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # returning here would hand back silently-split components
+        # (under-deduplication downstream) — fail loudly instead; the
+        # caller can raise max_iter or switch to the star variant,
+        # whose round count is diameter-independent
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds — pathological diameter; raise max_iter or use "
+            f"connected_components_star"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -218,9 +230,18 @@ def connected_components_star(
     set-equality probe (count match + one-sided anti diff), checked on
     the star edge set which only ever contracts toward (node, root).
     """
-    raw = pairs.select(
-        F.col(src_col).cast("long").alias("u"), F.col(dst_col).cast("long").alias("v")
-    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    # checkpoint FIRST: nodes (a self-union = two scans) and edges (a
+    # third) all derive from raw, and the upstream pair plan is the
+    # expensive LSH machinery — same measured 3x trap
+    # connected_components documents above
+    raw = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .localCheckpoint()
+    )
     # every node that appears in ANY pair — including self-pairs, whose
     # edges the star rounds cannot use but whose nodes the output
     # contract ("every node appearing in a pair") still owes, exactly
@@ -234,6 +255,7 @@ def connected_components_star(
     e = raw.filter(F.col("u") != F.col("v"))
     edges = e.distinct().localCheckpoint()
     prev_cnt = None
+    converged = False
     for _ in range(max_iter):
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         ls = _large_star(sym)
@@ -245,9 +267,18 @@ def connected_components_star(
             # equal size are equal iff the one-sided diff is empty)
             if new_edges.exceptAll(edges).limit(1).count() == 0:
                 edges = new_edges
+                converged = True
                 break
         edges = new_edges
         prev_cnt = cnt
+    if not converged:
+        # the post-loop star extraction assumes a TRUE star fixpoint;
+        # on a non-fixpoint edge set it silently emits split
+        # components — refuse instead
+        raise RuntimeError(
+            f"connected_components_star did not reach its star "
+            f"fixpoint in {max_iter} rounds; raise max_iter"
+        )
     # fixpoint: stars rooted at component minima — non-roots appear as
     # u exactly once, roots only as v (self-labeled)
     roots = edges.select(F.col("v").alias("id")).distinct()

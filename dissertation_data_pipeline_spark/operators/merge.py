@@ -70,6 +70,19 @@ def merge_upsert(
     source) the result can overwrite the target's storage location.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    # an update_set/insert_values entry keyed by a NON-target column
+    # (typo, or the source's name where it differs) would silently
+    # never be read — the merge "succeeds" updating nothing. ANSI
+    # MERGE errors on unknown assignment targets; so do we.
+    tcols = {f.name for f in target.schema.fields}
+    unknown = set(update_set) - tcols
+    if insert_values is not None:
+        unknown |= set(insert_values) - tcols
+    if unknown:
+        raise ValueError(
+            f"merge_upsert: assignment targets not in the target "
+            f"schema: {sorted(unknown)}"
+        )
     t, s = target.alias("t"), source.alias("s")
     cond = F.lit(True)
     for k in keys:

@@ -81,7 +81,16 @@ def asof_join(
             right.select(pay_struct.alias(_PAYLOAD)).schema[_PAYLOAD].dataType
         ).alias(_PAYLOAD),
     )
-    r_tagged = right.select(
+    # NULL-ts right rows sort NULLS FIRST with a NON-null payload
+    # struct, so unfiltered they would be carried as the "most recent"
+    # match for every left row — violating the right_ts <= left_ts
+    # contract (an ASOF join can never match a NULL timestamp). NULL
+    # join keys are dropped for the same reason: Window.partitionBy
+    # groups NULLs together where equi-join semantics produce no match.
+    r_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in on:
+        r_clean = r_clean.filter(F.col(k).isNotNull())
+    r_tagged = r_clean.select(
         *on,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
@@ -151,6 +160,15 @@ def interval_join(
             f"interval_join requires disjoint non-key column names; "
             f"rename shared columns {sorted(clash)} on one side"
         )
+    # '_bucket' is this operator's working column: withColumn would
+    # silently OVERWRITE a caller's column of that name and the final
+    # projection would emit the bucket index under it — refuse instead
+    taken = {"_bucket"} & (set(probe.columns) | set(intervals.columns))
+    if taken:
+        raise ValueError(
+            "interval_join reserves the column name '_bucket'; rename "
+            "it on the input"
+        )
     bucket = lambda c: (F.unix_micros(F.col(c)) / F.lit(bucket_seconds * 1_000_000)).cast("bigint")  # noqa: E731
 
     iv = intervals.withColumn(
@@ -196,6 +214,36 @@ def time_rollup(
     )
 
 
+def _scd2_order(ts_col: str, tiebreak: str | None) -> list[Column]:
+    """The per-key total order both SCD2 entry points share."""
+    return [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+
+
+def _emit_intervals(
+    changed: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    order: list[Column],
+) -> DataFrame:
+    """Turn interval-opening rows into (key, attr, effective_from,
+    effective_to, is_current) — shared by scd2_history and
+    scd2_apply_batch so the two paths cannot drift (the
+    ext_cdc_scd2_pipeline gate asserts them bit-identical)."""
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return changed.withColumn("_next_ts", F.lead(ts_col).over(w)).select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("effective_from"),
+        F.col("_next_ts").alias("effective_to"),
+        F.when(F.col("_next_ts").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str,
@@ -224,9 +272,7 @@ def scd2_history(
     key, no joins. At 100 TB this partitions by key like any window;
     AQE splits skewed keys at the sort.
     """
-    order = [F.col(ts_col).asc()] + (
-        [F.col(tiebreak).asc()] if tiebreak else []
-    )
+    order = _scd2_order(ts_col, tiebreak)
     w = Window.partitionBy(key_col).orderBy(*order)
     # NULL attribute values are legitimate states: "is first event" is
     # detected by row_number (not by lag being NULL, which conflates a
@@ -243,19 +289,7 @@ def scd2_history(
         )
         .drop("_rn", "_prev")
     )
-    w2 = Window.partitionBy(key_col).orderBy(*order)
-    return (
-        changed.withColumn("_next_ts", F.lead(ts_col).over(w2))
-        .select(
-            F.col(key_col),
-            F.col(attr_col),
-            F.col(ts_col).alias("effective_from"),
-            F.col("_next_ts").alias("effective_to"),
-            F.when(F.col("_next_ts").isNull(), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("is_current"),
-        )
-    )
+    return _emit_intervals(changed, key_col, attr_col, ts_col, order)
 
 
 def scd2_apply_batch(
@@ -296,12 +330,16 @@ def scd2_apply_batch(
     """
     from dissertation_data_pipeline_spark.operators.merge import merge_upsert
 
-    order = [F.col(ts_col).asc()] + (
-        [F.col(tiebreak).asc()] if tiebreak else []
-    )
+    order = _scd2_order(ts_col, tiebreak)
     w = Window.partitionBy(key_col).orderBy(*order)
 
-    open_rows = hist.filter(F.col("is_current") == 1).select(
+    # the CURRENT slice feeds two legs (seeding + closures); if hist is
+    # an unmaterialized plan (the pipeline gate row builds it from a
+    # two-window pass over the raw events), each leg would re-run that
+    # whole plan — materialize the slice once, it is bounded by
+    # |distinct keys|, not history length
+    cur = hist.filter(F.col("is_current") == 1).localCheckpoint()
+    open_rows = cur.select(
         F.col(key_col),
         F.col(attr_col).alias("_seed"),
         F.lit(1).alias("_has_seed"),  # _seed itself may be a NULL state
@@ -328,16 +366,7 @@ def scd2_apply_batch(
             | (~first & ~F.col("_prev").eqNullSafe(F.col(attr_col)))
         )
     )
-    w2 = Window.partitionBy(key_col).orderBy(*order)
-    new_iv = changed.withColumn("_next_ts", F.lead(ts_col).over(w2)).select(
-        F.col(key_col),
-        F.col(attr_col),
-        F.col(ts_col).alias("effective_from"),
-        F.col("_next_ts").alias("effective_to"),
-        F.when(F.col("_next_ts").isNull(), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("is_current"),
-    )
+    new_iv = _emit_intervals(changed, key_col, attr_col, ts_col, order)
 
     # Closure rows: a key's first new interval closes its open interval
     # (composite merge key = the open interval's own effective_from).
@@ -345,7 +374,7 @@ def scd2_apply_batch(
         F.min("effective_from").alias("_close_ts")
     )
     closures = (
-        hist.filter(F.col("is_current") == 1)
+        cur
         .join(first_new, key_col)
         .select(
             F.col(key_col),
@@ -391,10 +420,14 @@ def sessionize(
     this is the backfill/batch form. One shuffle on the key (both
     windows share the same sort), cumulative-sum framing pinned to
     ROWS so timestamp ties cannot change the frame.
+
+    NULL timestamps are dropped (same convention as the asof family):
+    they sort NULLS FIRST and would both start a spurious session and
+    force a second start on the first real event (lag(ts) IS NULL is
+    the new-session test), shifting every session_idx after them.
     """
-    order = [F.col(ts_col).asc()] + (
-        [F.col(tiebreak).asc()] if tiebreak else []
-    )
+    df = df.filter(F.col(ts_col).isNotNull())
+    order = _scd2_order(ts_col, tiebreak)
     w = Window.partitionBy(key_col).orderBy(*order)
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     us = F.unix_micros(F.col(ts_col))

@@ -354,3 +354,83 @@ def test_merge_upsert_composite_key(spark):
     )
     # (1,b) updated, (2,b) inserted, partial key matches NOT matched
     assert out == [(1, "a", 10), (1, "b", 99), (2, "a", 30), (2, "b", 77)]
+
+
+def test_asof_join_ignores_null_ts_and_null_key_right_rows(spark):
+    from dissertation_data_pipeline_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00")], "k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, "poison"), (None, "2024-01-01 08:00:00", "nullkey"),
+         (1, "2024-01-01 08:30:00", "good")],
+        "k long, ts string, v string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, on=["k"], payload=["v"]).collect()[0]
+    # the NULL-ts row would otherwise sort NULLS FIRST and be carried
+    # as the "most recent" match; NULL keys must never match anything
+    assert out["v"] == "good"
+
+
+def test_sessionize_drops_null_ts_rows(spark):
+    from dissertation_data_pipeline_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(1, None), (1, "2024-01-01 09:00:00"), (1, "2024-01-01 09:01:00")],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = sessionize(df, "k", gap_seconds=1800).collect()
+    assert len(rows) == 2  # NULL-ts row gone
+    assert {r["session_idx"] for r in rows} == {0}  # one session, idx 0
+
+
+def test_interval_join_reserves_bucket_column(spark):
+    import pytest
+
+    from dissertation_data_pipeline_spark.operators.temporal import (
+        interval_join,
+    )
+
+    probe = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 5)], "k long, ts string, _bucket int"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(1, "2024-01-01 08:00:00", "2024-01-01 10:00:00")],
+        "k long, s string, e string",
+    ).select("k", F.col("s").cast("timestamp"), F.col("e").cast("timestamp"))
+    with pytest.raises(ValueError, match="_bucket"):
+        interval_join(
+            probe, iv, probe_ts="ts", start="s", end="e",
+            bucket_seconds=3600, on=["k"],
+        )
+
+
+def test_merge_upsert_rejects_unknown_assignment_targets(spark):
+    import pytest
+
+    from dissertation_data_pipeline_spark.operators.merge import merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "k long, v string")
+    s = spark.createDataFrame([(1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="not in the target"):
+        merge_upsert(t, s, "k", update_set={"vee": F.col("s.v")})
+
+
+def test_connected_components_raises_on_max_iter_exhaustion(spark):
+    import pytest
+
+    from dissertation_data_pipeline_spark.operators.clusters import (
+        connected_components,
+    )
+
+    # a 12-node chain above the single-task threshold with max_iter=1:
+    # one round cannot reach the fixpoint -> loud failure, not silently
+    # split components
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            pairs, max_iter=1, small_edge_threshold=0
+        )

@@ -24,7 +24,17 @@ def normalize_bill_number(col: Column | str) -> Column:
     The state-prefix lookahead accepts dotted bill prefixes too
     (``AL H.B. 209`` -> ``HB209``) — a letters-with-optional-interior-
     dots pattern, not ``[A-Z]+\\.?`` which allowed at most one trailing
-    dot and silently kept the state glued on (``ALHB209``)."""
+    dot and silently kept the state glued on (``ALHB209``).
+
+    DELIBERATE DIVERGENCE from the reference: build_master_corpus.py:46
+    strips ANY leading ``[A-Z]{2}\\s+`` unconditionally, which destroys
+    bill numbers whose prefix is itself two letters and space-separated
+    (``'HB 12'`` -> ``'12'``). The engine strips only when what follows
+    looks like a bill number (letters, optional dots, then digits), so
+    ``'HB 12'`` -> ``'HB12'``. ``bill_number_variants`` applies the SAME
+    guard so the two functions agree on every input; both behaviors are
+    pinned in tests/test_reference_parity.py with the divergence cases
+    marked expected-different."""
     c = F.upper(F.trim(_c(col).cast("string")))
     c = F.regexp_replace(c, r"^[A-Z]{2}\s+(?=[A-Z](?:\.?[A-Z])*\.?\s*\d)", "")
     c = F.regexp_replace(c, r"\.", "")
@@ -35,9 +45,14 @@ def normalize_bill_number(col: Column | str) -> Column:
 # F-s2 — legiscan_enricher.py:129-168 (normalize_bill_number there
 # returns the VARIANT LIST), mirrored step-for-step:
 #   1. strip+upper; drop the first whitespace token iff it is exactly
-#      2 chars and more tokens follow ("CA AB123" -> "AB123" — the
-#      stripped form IS the first variant; the reference never queries
-#      the state-prefixed original);
+#      2 uppercase letters, more tokens follow, AND the remainder looks
+#      like a bill number (letters, optional dots, then digits) — the
+#      same guard as normalize_bill_number (F-s1), so every emitted
+#      variant re-normalizes to the F-s1 compact form. DELIBERATE
+#      DIVERGENCE: the reference (legiscan_enricher.py:139-142) strips
+#      any 2-char first token unconditionally, destroying 'HB 12' ->
+#      variants of '12'; the engine keeps 'HB 12' intact. Divergence
+#      cases are pinned in tests/test_reference_parity.py.
 #   2. no_spaces = remove ' ' and '.'; appended iff it differs;
 #   3. "PREFIX NUMBER" from re.match('([A-Z]+)(\\d+)') on no_spaces,
 #      appended iff new;
@@ -47,9 +62,12 @@ def normalize_bill_number(col: Column | str) -> Column:
 def bill_number_variants(col: Column | str) -> Column:
     s = F.upper(F.trim(_c(col).cast("string")))
     toks = F.split(s, r"\s+")
+    rest = F.array_join(F.slice(toks, 2, F.size(toks) - 1), " ")
     base = F.when(
-        (F.size(toks) > 1) & (F.length(F.element_at(toks, 1)) == 2),
-        F.array_join(F.slice(toks, 2, F.size(toks) - 1), " "),
+        (F.size(toks) > 1)
+        & F.element_at(toks, 1).rlike("^[A-Z]{2}$")
+        & rest.rlike(r"^[A-Z](\.?[A-Z])*\.?\s*\d"),
+        rest,
     ).otherwise(s)
     no_spaces = F.regexp_replace(base, r"[ .]", "")
     prefix = F.regexp_extract(no_spaces, r"^([A-Z]+)(\d+)", 1)

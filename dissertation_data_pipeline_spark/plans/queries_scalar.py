@@ -81,7 +81,10 @@ def fs1_normalize_bill_number(spark, sf_dir):
       FROM ({_MESSY_BILL_SQL})
     ), based AS (
       SELECT p_partkey,
-             CASE WHEN len(toks) > 1 AND length(toks[1]) = 2
+             CASE WHEN len(toks) > 1
+                       AND regexp_matches(toks[1], '^[A-Z][A-Z]$')
+                       AND regexp_matches(array_to_string(toks[2:], ' '),
+                                          '^[A-Z](\\.?[A-Z])*\\.? *[0-9]')
                   THEN array_to_string(toks[2:], ' ') ELSE s END AS base
       FROM norm
     ), built AS (
@@ -114,11 +117,14 @@ def fs1_normalize_bill_number(spark, sf_dir):
 )
 def fs2_bill_number_variants(spark, sf_dir):
     """F-s2 (legiscan_enricher.py:129-168, mirrored step-for-step):
-    strip a 2-char first token, then ordered variants (stripped
-    original; no-space/no-dot; 'PREFIX NUMBER' from the anchored
-    letters+digits match; dotted for prefixes of length >= 2),
-    order-preserving dedup. Parity with a Python port of the
-    reference is pinned in tests/test_reference_parity.py.
+    strip a 2-letter first token iff the remainder looks like a bill
+    number (the F-s1 guard — deliberate divergence from the reference's
+    unconditional strip, which destroys 'HB 12'), then ordered variants
+    (stripped original; no-space/no-dot; 'PREFIX NUMBER' from the
+    anchored letters+digits match; dotted for prefixes of length >= 2),
+    order-preserving dedup. Parity with a Python port of the reference
+    is pinned in tests/test_reference_parity.py, divergence cases
+    expected-different.
 
     The variant array is final-projected through ``array_join(..., '|')``
     (``array_to_string`` in the oracle) because the driver's correctness

@@ -178,6 +178,49 @@ def test_parse_date_multi_parity(spark):
         assert (g.isoformat() if g else None) == ref, (s, g, ref)
 
 
+# -- bill number compact form: build_master_corpus.py:43-49 ----------------
+def _ref_normalize_bill_number(s):
+    s = str(s).strip().upper()
+    s = re.sub(r"^[A-Z]{2}\s+", "", s)
+    s = re.sub(r"([A-Z])\.([A-Z])\.", r"\1\2", s)
+    s = re.sub(r"([A-Z]+)\s+(\d+)", r"\1\2", s)
+    return s.strip()
+
+
+# Inputs where the engine and the reference agree byte-for-byte.
+NBN_AGREE = [
+    "AL HB209", "HB209", "H.B. 123", "CA AB123", " sb269-269 ",
+    "hb1336", "SJR 19", "CO H.B. 42", "S1", "X123",
+]
+
+# DELIBERATE DIVERGENCES (documented in functions/text.py): the
+# reference strips any leading 2-letter+space token unconditionally,
+# destroying bill numbers like 'HB 12' -> '12'; the engine strips only
+# when the remainder looks like a bill number. The engine also removes
+# ALL dots/spaces, where the reference's pair-only dot collapse leaves
+# odd-length dotted prefixes half-done ('H.J.R. 19' -> 'HJR. 19').
+NBN_DIVERGE = [
+    # (input, engine_expected, reference_expected)
+    ("HB 12", "HB12", "12"),
+    ("hb 7", "HB7", "7"),
+    ("H.J.R. 19", "HJR19", "HJR. 19"),
+]
+
+
+def test_normalize_bill_number_parity(spark):
+    got = _run(spark, fx.normalize_bill_number, NBN_AGREE)
+    assert got == [_ref_normalize_bill_number(b) for b in NBN_AGREE]
+
+
+def test_normalize_bill_number_pinned_divergences(spark):
+    inputs = [c[0] for c in NBN_DIVERGE]
+    got = _run(spark, fx.normalize_bill_number, inputs)
+    for (raw, eng, ref), g in zip(NBN_DIVERGE, got):
+        assert g == eng, (raw, g, eng)
+        assert _ref_normalize_bill_number(raw) == ref, (raw, ref)
+        assert eng != ref  # the divergence is real, not stale pins
+
+
 # -- bill number variants: legiscan_enricher.py:129-168 --------------------
 def _ref_bill_number_variants(bill_number):
     if not bill_number:
@@ -204,14 +247,36 @@ def _ref_bill_number_variants(bill_number):
 
 
 BILLS = [
-    "CA AB123", "HB209", "H.B. 123", "hb 12", "S1", "CO H.B. 42",
-    "", None, "X123", "AB 123 extra",
+    "CA AB123", "HB209", "H.B. 123", "S1", "CO H.B. 42",
+    "", None, "X123",
+]
+
+# Same guard divergence as normalize_bill_number (see NBN_DIVERGE): the
+# reference drops ANY 2-char first token, so 'HB 12' seeds variants of
+# '12' and 'AB 123 extra' seeds '123 EXTRA'; the engine keeps the
+# prefix when the remainder is not letters-then-digits, so every
+# variant re-normalizes to the F-s1 compact form (property-tested in
+# tests/test_properties.py).
+BILLS_DIVERGE = [
+    # (input, engine_expected, reference_expected)
+    ("hb 12", ["HB 12", "HB12", "H.B. 12"], ["12"]),
+    ("AB 123 extra", ["AB 123 EXTRA", "AB123EXTRA", "AB 123", "A.B. 123"],
+     ["123 EXTRA", "123EXTRA"]),
 ]
 
 
 def test_bill_number_variants_parity(spark):
     got = _run(spark, fx.bill_number_variants, BILLS)
     assert got == [_ref_bill_number_variants(b) for b in BILLS]
+
+
+def test_bill_number_variants_pinned_divergences(spark):
+    inputs = [c[0] for c in BILLS_DIVERGE]
+    got = _run(spark, fx.bill_number_variants, inputs)
+    for (raw, eng, ref), g in zip(BILLS_DIVERGE, got):
+        assert g == eng, (raw, g, eng)
+        assert _ref_bill_number_variants(raw) == ref, (raw, ref)
+        assert eng != ref
 
 
 # -- status decode: legiscan_collector.py:91-100 ---------------------------

@@ -169,16 +169,87 @@ def set_driver_priority(names: list[str]) -> None:
     DRIVER_PRIORITY[:] = names
 
 
+#: Round in which a query's implementing code last changed in a way
+#: that could alter its gate output (semantics, plan shape, oracle).
+#: Maintained alongside such changes; compared against the last green
+#: driver round derived from CORRECTNESS_r*.json so rows whose code
+#: changed AFTER their most recent green sort ahead of fresh greens
+#: (the driver's bounded sample then re-verifies them first).
+CODE_CHANGED_ROUND: dict[str, int] = {
+    # round 6, commit 4a72304 (temporal/merge/clusters review fixes
+    # landed after these rows' last driver green):
+    "ext_asof_join": 6, "ext_interval_join": 6, "ext_merge_upsert": 6,
+    "ext_sessionize_batch": 6, "ext_scd2_history": 6,
+    "ext_cdc_scd2_pipeline": 6, "ext_near_dup_components": 6,
+    # round 6 parity-changed semantics (driver rows predate them):
+    "fa4_is_amendment": 6, "fs4_status_decode": 6,
+    # round 7: prefix-strip guard applied to bill_number_variants and
+    # divergence documentation in normalize_bill_number:
+    "fs1_normalize_bill_number": 7, "fs2_bill_number_variants": 7,
+}
+
+
+def _green(row: dict) -> bool:
+    return (
+        row.get("err") is None
+        and bool(row.get("rows_match"))
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+    )
+
+
+_LAST_GREEN_CACHE: dict[str, int] | None = None
+
+
+def last_green_rounds() -> dict[str, int]:
+    """query name -> latest round with a green driver CORRECTNESS row,
+    read from the CORRECTNESS_r*.json files at the repo root.  Falls
+    back to GREEN_PRIOR_ROUNDS (round unknown -> 0) if none are
+    readable (e.g. the package is imported outside the repo)."""
+    global _LAST_GREEN_CACHE
+    if _LAST_GREEN_CACHE is not None:
+        return _LAST_GREEN_CACHE
+    import json
+    import re
+    from pathlib import Path
+
+    out: dict[str, int] = {}
+    repo = Path(__file__).resolve().parents[2]
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _green(row):
+                out[name] = max(out.get(name, 0), rnd)
+    if not out:
+        out = {n: 0 for n in GREEN_PRIOR_ROUNDS}
+    _LAST_GREEN_CACHE = out
+    return out
+
+
 def _ordered_names() -> list[str]:
     pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
     seen = set(pri)
-    fresh = [
-        n for n in QUERIES if n not in seen and n not in GREEN_PRIOR_ROUNDS
+    lg = last_green_rounds()
+    stale = [
+        n for n in QUERIES
+        if n not in seen and n in lg and CODE_CHANGED_ROUND.get(n, 0) > lg[n]
     ]
-    green = [
-        n for n in QUERIES if n not in seen and n in GREEN_PRIOR_ROUNDS
-    ]
-    return pri + fresh + green
+    seen |= set(stale)
+    never = [n for n in QUERIES if n not in seen and n not in lg]
+    seen |= set(never)
+    # oldest green first, so the bounded sample rotates through the
+    # registry instead of re-checking the same fresh greens each round
+    green = sorted(
+        (n for n in QUERIES if n not in seen), key=lambda n: (lg[n], n)
+    )
+    return pri + stale + never + green
 
 
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -708,28 +779,14 @@ from dissertation_data_pipeline_spark.plans import queries_wave9  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F401
 
-# Gate-coverage policy for ROUND 6 (see DRIVER_PRIORITY docstring).
-# Cumulative driver-green after r5: 216/221 (r1 u ... u r5, recorded in
-# GREEN_PRIOR_ROUNDS above; greens sort last).  This round's sample:
-# (1) the FIVE rows that have never carried a green driver row — all
-#     red in r5 on the gate-canonicalization edge (DECIMAL in the final
-#     schema / ArrayType output), all re-shaped this round to gate-safe
-#     scalars with values unchanged — they go FIRST;
-# (2) round-6 newcomers, appended as they land.
+# Gate-coverage policy for ROUND 7 (see DRIVER_PRIORITY docstring).
+# Cumulative driver-green after r6: all 227 registry queries (r1 u ...
+# u r6).  Ordering is now derived: explicit newcomers first, then rows
+# whose code changed after their last driver green (CODE_CHANGED_ROUND
+# vs last_green_rounds()), then never-checked rows, then greens oldest
+# first so the bounded sample rotates.
 set_driver_priority(
     [
-        # -- 1: the r5 reds, fixed this round -----------------------------
-        "k1_csv_roundtrip",
-        "k4_jsonl_roundtrip",
-        "k_orc_roundtrip",
-        "s_stream_stream_join",
-        "ext_random_projection",
-        # -- 2: new this round (appended as they land) --------------------
-        "uf1_html_fixture",
-        "s_stream_stream_join_evict",
-        "ext_compact_small_files",
-        "ext_bucketed_join",
-        "i4_negative_cache",
-        "ext_dense_ids",
+        # new this round (appended as they land)
     ]
 )

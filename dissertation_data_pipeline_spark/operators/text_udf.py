@@ -19,6 +19,7 @@ from __future__ import annotations
 import base64
 import re
 from collections.abc import Iterator
+from html import unescape as _html_unescape
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -66,7 +67,15 @@ def strip_strikethrough(html: str) -> tuple[str, int, str]:
 
 def html_to_text(html: str) -> str:
     """U-f1 (text_processor.py:43-64): bs4 when present, regex fallback
-    otherwise (drop script/style, strip tags, tidy lines)."""
+    otherwise (drop script/style, strip tags, tidy lines).
+
+    Canonical entity behavior: BOTH paths decode HTML entities the way
+    a parser does — bs4 decodes during parsing; the fallback applies
+    stdlib ``html.unescape`` after tag stripping (single pass, so
+    ``&amp;#38;`` yields the literal ``&#38;``, matching bs4). Numeric
+    entities therefore extract identically with or without bs4
+    (``&#8217;`` -> U+2019 on both paths); convergence is pinned in
+    tests/test_text_udf.py."""
     try:
         from bs4 import BeautifulSoup  # type: ignore
 
@@ -77,6 +86,7 @@ def html_to_text(html: str) -> str:
     except ImportError:
         text = _TAG_RE.sub("", html)
         text = _ANY_TAG_RE.sub(" ", text)
+        text = _html_unescape(text)
     lines = [ln.strip() for ln in text.splitlines()]
     return "\n".join(ln for ln in lines if ln)
 

@@ -168,11 +168,11 @@ def uf1_html_fixture(spark, sf_dir):
 
     Environment note: normalized_text (not raw_text) is asserted,
     whitespace-collapsed on the Spark side — bs4-present and
-    regex-fallback extraction differ in whitespace and raw entity
-    handling but converge on the normalized, collapsed text for the
-    ASCII-decoding entities used here (numeric entities like &#8217;
-    would NOT converge: bs4 decodes to U+2019, the fallback's
-    _normalize_plain maps to ASCII — so the fixture avoids them)."""
+    regex-fallback extraction differ in whitespace but now decode
+    entities identically (the fallback applies stdlib html.unescape,
+    matching bs4's parse-time decoding; numeric entities like &#8217;
+    yield U+2019 on both paths — pinned in
+    tests/test_sources_and_udfs.py)."""
     import base64
 
     from dissertation_data_pipeline_spark.operators.text_udf import (

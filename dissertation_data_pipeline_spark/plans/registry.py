@@ -186,6 +186,8 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     # round 7: prefix-strip guard applied to bill_number_variants and
     # divergence documentation in normalize_bill_number:
     "fs1_normalize_bill_number": 7, "fs2_bill_number_variants": 7,
+    # round 7: html_to_text fallback now decodes entities (bs4 parity):
+    "uf1_html_fixture": 7,
 }
 
 

@@ -127,6 +127,27 @@ HTML_DOC = (
 )
 
 
+def test_html_entity_convergence_with_and_without_bs4(monkeypatch):
+    # numeric + named entities extract identically on the bs4 and
+    # regex-fallback paths: bs4 decodes during parsing, the fallback
+    # applies stdlib html.unescape (single pass, so the escaped
+    # "&amp;#38;" yields the literal "&#38;" on both)
+    src = "<p>It&#8217;s A &amp; B &#8212; &amp;#38; &quot;q&quot;</p>"
+    expected = "It’s A & B — &#38; \"q\""
+
+    import sys
+
+    monkeypatch.setitem(sys.modules, "bs4", None)  # force the fallback
+    assert " ".join(text_udf.html_to_text(src).split()) == expected
+    monkeypatch.undo()
+
+    try:
+        import bs4  # noqa: F401
+    except ImportError:
+        return  # no bs4 in this environment; the fallback IS the path
+    assert " ".join(text_udf.html_to_text(src).split()) == expected
+
+
 def test_extract_documents_html_pdf_plain(spark):
     docs = spark.createDataFrame(
         [

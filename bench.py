@@ -42,6 +42,18 @@ HEADLINE = [
 ]
 
 
+def _drop_blocks(spark) -> None:
+    """Unpersist everything the previous query cached or locally
+    checkpointed. Across 227 queries x (warmup + 3 passes) in ONE
+    local-mode JVM the blocks otherwise accumulate in the shared 8 GB
+    heap — same hygiene as tools/check_correctness.py. Runs OUTSIDE
+    the per-query timers."""
+    spark.catalog.clearCache()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -62,6 +74,7 @@ def main() -> None:
             QUERIES[name].fn(spark, warm_dir).count()
         except Exception:
             pass  # a warmup failure surfaces in the timed pass
+    _drop_blocks(spark)
 
     # Median-of-3 timed passes: this host shows neighbor-load spikes
     # that can swing a single-shot measurement of a trivial query by
@@ -71,20 +84,45 @@ def main() -> None:
     # steady-state cost; a single shot is noise-bound); all raw passes
     # and per-pass totals are recorded in the detail file so the
     # spread stays visible and regressions stay attributable.
+    # If the pass-total spread exceeds 10% the whole pass-set is
+    # re-run once (load transients; the r6 committed record had a
+    # 20.5% spread) and the attempt with the smaller spread is kept;
+    # 1-minute load average is recorded per pass either way so a
+    # contended record is self-describing.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
-    passes: list[dict[str, float]] = []
-    for _ in range(n_passes):
-        run: dict[str, float] = {}
-        for name in names:
-            t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).count()
-            run[name] = round(time.perf_counter() - t0, 3)
-        passes.append(run)
 
     from statistics import median
 
+    def spread_of(totals: list[float]) -> float:
+        m = median(totals)
+        return (max(totals) - min(totals)) / m if m else 0.0
+
+    def run_passes() -> tuple[list[dict[str, float]], list[float]]:
+        ps: list[dict[str, float]] = []
+        loads: list[float] = []
+        for _ in range(n_passes):
+            run: dict[str, float] = {}
+            for name in names:
+                t0 = time.perf_counter()
+                QUERIES[name].fn(spark, sf_dir).count()
+                run[name] = round(time.perf_counter() - t0, 3)
+                _drop_blocks(spark)
+            ps.append(run)
+            loads.append(round(os.getloadavg()[0], 1))
+        return ps, loads
+
+    attempts = 1
+    passes, loadavgs = run_passes()
+    spread = spread_of([sum(p.values()) for p in passes])
+    if spread > 0.10 and n_passes > 1:
+        attempts = 2
+        passes2, loadavgs2 = run_passes()
+        if spread_of([sum(p.values()) for p in passes2]) < spread:
+            passes, loadavgs = passes2, loadavgs2
+
     timings = {n: round(median([p[n] for p in passes]), 3) for n in names}
     pass_totals = [round(sum(p.values()), 3) for p in passes]
+    spread = round(spread_of(pass_totals), 4)
 
     total = round(sum(timings.values()), 3)
     # cross-round comparability: the registry grows every round, so the
@@ -106,6 +144,9 @@ def main() -> None:
                 "avg_per_query": avg,
                 "estimator": f"median_of_{len(passes)}",
                 "pass_totals": pass_totals,
+                "pass_total_spread": spread,
+                "loadavg_per_pass": loadavgs,
+                "attempts": attempts,
                 "queries": timings,
                 "passes": passes,
                 "sf": sf,

@@ -391,7 +391,13 @@ def ext_curation_pipeline(spark, sf_dir):
         quality.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text", "lang")
-        .localCheckpoint(eager=False)
+        # eager: materialize BEFORE the CC iterations start. A lazy
+        # checkpoint materializes inside CC's first action, interleaved
+        # with iteration jobs — measured slower (interleaved A/B at
+        # sf0.1: eager 3.23 s vs lazy 3.47 s median-of-6) and the
+        # suspected source of a bimodal 2.6x inflation seen under a
+        # contended driver bench (BASELINE.md round-7 note)
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(
         dx.simhash_component_edges(exact, "doc_id", "text", max_hamming=3)

@@ -188,6 +188,8 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     "fs1_normalize_bill_number": 7, "fs2_bill_number_variants": 7,
     # round 7: html_to_text fallback now decodes entities (bs4 parity):
     "uf1_html_fixture": 7,
+    # round 7: eager checkpoint on the exact slice (bench bimodality):
+    "ext_curation_pipeline": 7,
 }
 
 

@@ -210,6 +210,87 @@ def s_stateful_profile(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _tws_runtime_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf in the Python
+    worker (pyspark optional extra — see streaming/tws.py's module
+    docstring); without it the query dies at START with an opaque
+    driver-worker exit. Probe once at registration time."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_runtime_available():
+
+    @register(
+        "s_stateful_profile_tws",
+        """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(ts) AS last_ts,
+               CAST(count(DISTINCT event_type) AS INT) AS n_event_types
+        FROM events GROUP BY user_id
+        """,
+    )
+    def s_stateful_profile_tws(spark, sf_dir):
+        """[EXT] the transformWithStateInPandas twin of
+        s_stateful_profile — identical staging (2-file directory,
+        AvailableNow, maxFilesPerTrigger=1 so state genuinely crosses
+        micro-batches), identical accumulate step (stateful.fold_profile
+        is shared by both APIs), identical monotone final-state
+        reduction and oracle. Registered ONLY where google.protobuf is
+        importable (see _tws_runtime_available); elsewhere the Spark-4
+        state API surface stays pytest-covered via the parity test's
+        dependency skip."""
+        import os
+        import shutil
+        import tempfile
+
+        from dissertation_data_pipeline_spark.streaming.jobs import (
+            read_events_stream,
+            run_available_now_to_memory,
+        )
+        from dissertation_data_pipeline_spark.streaming.tws import (
+            running_user_profile_tws,
+        )
+
+        events = load_table(spark, sf_dir, "events")
+        work = tempfile.mkdtemp(prefix="ddp_tws_gate_")
+        try:
+            src = os.path.join(work, "src")
+            events.repartition(2).write.parquet(src)
+            stream = read_events_stream(
+                spark, src, events.schema, max_files_per_trigger=1
+            )
+            sink = run_available_now_to_memory(
+                stream,
+                # no TTL -> timeMode None -> the AvailableNow drain
+                # terminates by default (the eviction knob the OLD
+                # API's timeoutConf couldn't offer a finite drain)
+                lambda s: running_user_profile_tws(s),
+                "s_stateful_profile_tws_sink",
+                os.path.join(work, "ckpt"),
+                output_mode="update",
+                timeout_sec=600,
+                shuffle_partitions=8,
+            )
+            final = sink.groupBy("user_id").agg(
+                F.max("n_events").alias("n_events"),
+                F.max("last_ts").alias("last_ts"),
+                F.max("n_event_types").cast("int").alias("n_event_types"),
+            )
+            return final.localCheckpoint()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+# else: s_stateful_profile_tws is EXPLICITLY UNREGISTERED — the gate
+# row exists only where the runtime dependency does, and
+# tests/test_streaming.py asserts registration tracks the probe.
+
+
 @register(
     "s_stream_stream_join",
     """

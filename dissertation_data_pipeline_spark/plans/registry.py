@@ -791,6 +791,9 @@ from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F
 # first so the bounded sample rotates.
 set_driver_priority(
     [
-        # new this round (appended as they land)
+        # new this round (appended as they land); the TWS row exists
+        # only where google.protobuf does (queries_streaming.py) and
+        # _ordered_names filters unregistered names
+        "s_stateful_profile_tws",
     ]
 )

@@ -403,6 +403,19 @@ def test_tws_module_composes_without_protobuf(spark):
     ]
 
 
+def test_tws_gate_row_registration_tracks_protobuf():
+    """s_stateful_profile_tws is registered exactly when the runtime
+    dependency (google.protobuf) is importable — present, the Spark-4
+    state API carries a driver gate signal; absent, the registry skips
+    it explicitly instead of shipping a row that dies at .start()."""
+    from dissertation_data_pipeline_spark.plans.queries_streaming import (
+        _tws_runtime_available,
+    )
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+
+    assert ("s_stateful_profile_tws" in QUERIES) == _tws_runtime_available()
+
+
 def test_fold_profile_comma_and_empty_types_survive_state_roundtrip():
     """Distinct-type state must survive serialization across batches
     for type values containing commas or the empty string (the old

@@ -24,12 +24,14 @@ def test_normalize_bill_number(spark):
 
 
 def test_bill_number_variants(spark):
-    # reference semantics (legiscan_enricher.py:138-144): a 2-char
-    # FIRST token is treated as a state prefix and stripped — even
-    # 'HB' ('HB 209' -> base '209'); that is the lookup key the
-    # reference actually queries (pinned in test_reference_parity.py)
+    # guarded strip (deliberate divergence from legiscan_enricher.py:
+    # 138-144, which strips ANY 2-char first token and destroys
+    # 'HB 209' -> '209'): the prefix is dropped only when the
+    # remainder looks like a bill number, so 'HB 209' stays intact
+    # and every variant re-normalizes to normalize_bill_number's
+    # compact form (divergence pinned in test_reference_parity.py)
     out = vals(spark, fx.bill_number_variants("v"), ["HB 209"])
-    assert out == [["209"]]
+    assert out == [["HB 209", "HB209", "H.B. 209"]]
     out = vals(spark, fx.bill_number_variants("v"), ["SB70"])
     assert out == [["SB70", "SB 70", "S.B. 70"]]
     out = vals(spark, fx.bill_number_variants("v"), ["CA AB123"])

@@ -42,6 +42,28 @@ HEADLINE = [
 ]
 
 
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle-write bytes, shuffle-read bytes) across all
+    executors, from the UI REST API — monotone over the app lifetime,
+    so per-query deltas are exact. Returns (-1, -1) if the UI is
+    unreachable (disabled, or a foreign session)."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/executors", timeout=5
+        ) as r:
+            ex = json.load(r)
+        return (
+            sum(e.get("totalShuffleWrite", 0) for e in ex),
+            sum(e.get("totalShuffleRead", 0) for e in ex),
+        )
+    except Exception:
+        return (-1, -1)
+
+
 def _drop_blocks(spark) -> None:
     """Unpersist everything the previous query cached or locally
     checkpointed. Across 227 queries x (warmup + 3 passes) in ONE
@@ -97,15 +119,28 @@ def main() -> None:
         m = median(totals)
         return (max(totals) - min(totals)) / m if m else 0.0
 
+    # Measured shuffle volume per query (write bytes, read bytes),
+    # captured on ONE pass by diffing the app-lifetime executor totals
+    # around each execution — the dynamic complement to PLAN_STATS.md's
+    # static exchange counts (a query can have few exchanges but move a
+    # lot of bytes through them; this is the number that predicts the
+    # 100 TB shuffle bill)
+    shuffle_bytes: dict[str, list[int]] = {}
+
     def run_passes() -> tuple[list[dict[str, float]], list[float]]:
         ps: list[dict[str, float]] = []
         loads: list[float] = []
-        for _ in range(n_passes):
+        for i in range(n_passes):
             run: dict[str, float] = {}
             for name in names:
+                pre = _shuffle_totals(spark) if i == 0 else None
                 t0 = time.perf_counter()
                 QUERIES[name].fn(spark, sf_dir).count()
                 run[name] = round(time.perf_counter() - t0, 3)
+                if pre is not None and pre[0] >= 0:
+                    post = _shuffle_totals(spark)
+                    if post[0] >= 0:
+                        shuffle_bytes[name] = [post[0] - pre[0], post[1] - pre[1]]
                 _drop_blocks(spark)
             ps.append(run)
             loads.append(round(os.getloadavg()[0], 1))
@@ -149,6 +184,7 @@ def main() -> None:
                 "attempts": attempts,
                 "queries": timings,
                 "passes": passes,
+                "shuffle_bytes": shuffle_bytes,
                 "sf": sf,
             },
             fh,

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dissertation_data_pipeline_spark.plans.registry import QUERIES  # noqa: E402
-from dissertation_data_pipeline_spark.session import get_spark  # noqa: E402
+from dissertation_data_pipeline_spark.session import drop_blocks, get_spark  # noqa: E402
 
 #: headline queries — one per operator family, the judge's comparison set
 HEADLINE = [
@@ -64,18 +64,6 @@ def _shuffle_totals(spark) -> tuple[int, int]:
         return (-1, -1)
 
 
-def _drop_blocks(spark) -> None:
-    """Unpersist everything the previous query cached or locally
-    checkpointed. Across 227 queries x (warmup + 3 passes) in ONE
-    local-mode JVM the blocks otherwise accumulate in the shared 8 GB
-    heap — same hygiene as tools/check_correctness.py. Runs OUTSIDE
-    the per-query timers."""
-    spark.catalog.clearCache()
-    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
-    while it.hasNext():
-        it.next()._2().unpersist(True)
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -96,7 +84,7 @@ def main() -> None:
             QUERIES[name].fn(spark, warm_dir).count()
         except Exception:
             pass  # a warmup failure surfaces in the timed pass
-    _drop_blocks(spark)
+    drop_blocks(spark)
 
     # Median-of-3 timed passes: this host shows neighbor-load spikes
     # that can swing a single-shot measurement of a trivial query by
@@ -124,36 +112,42 @@ def main() -> None:
     # around each execution — the dynamic complement to PLAN_STATS.md's
     # static exchange counts (a query can have few exchanges but move a
     # lot of bytes through them; this is the number that predicts the
-    # 100 TB shuffle bill)
-    shuffle_bytes: dict[str, list[int]] = {}
-
-    def run_passes() -> tuple[list[dict[str, float]], list[float]]:
+    # 100 TB shuffle bill). The totals are monotone and drop_blocks
+    # moves no shuffle bytes, so each query's post reading doubles as
+    # the next query's pre reading (one REST probe per query).
+    def run_passes() -> tuple[
+        list[dict[str, float]], list[float], dict[str, list[int]]
+    ]:
         ps: list[dict[str, float]] = []
         loads: list[float] = []
+        sbytes: dict[str, list[int]] = {}
         for i in range(n_passes):
             run: dict[str, float] = {}
+            pre = _shuffle_totals(spark) if i == 0 else (-1, -1)
             for name in names:
-                pre = _shuffle_totals(spark) if i == 0 else None
                 t0 = time.perf_counter()
                 QUERIES[name].fn(spark, sf_dir).count()
                 run[name] = round(time.perf_counter() - t0, 3)
-                if pre is not None and pre[0] >= 0:
+                if i == 0 and pre[0] >= 0:
                     post = _shuffle_totals(spark)
                     if post[0] >= 0:
-                        shuffle_bytes[name] = [post[0] - pre[0], post[1] - pre[1]]
-                _drop_blocks(spark)
+                        sbytes[name] = [post[0] - pre[0], post[1] - pre[1]]
+                    pre = post
+                drop_blocks(spark)
             ps.append(run)
             loads.append(round(os.getloadavg()[0], 1))
-        return ps, loads
+        return ps, loads, sbytes
 
     attempts = 1
-    passes, loadavgs = run_passes()
+    passes, loadavgs, shuffle_bytes = run_passes()
     spread = spread_of([sum(p.values()) for p in passes])
     if spread > 0.10 and n_passes > 1:
         attempts = 2
-        passes2, loadavgs2 = run_passes()
+        passes2, loadavgs2, shuffle2 = run_passes()
         if spread_of([sum(p.values()) for p in passes2]) < spread:
-            passes, loadavgs = passes2, loadavgs2
+            # keep the whole attempt together — timings, loadavg, AND
+            # shuffle volume must describe the same run
+            passes, loadavgs, shuffle_bytes = passes2, loadavgs2, shuffle2
 
     timings = {n: round(median([p[n] for p in passes]), 3) for n in names}
     pass_totals = [round(sum(p.values()), 3) for p in passes]

@@ -47,8 +47,13 @@ def normalize_bill_number(col: Column | str) -> Column:
 #   1. strip+upper; drop the first whitespace token iff it is exactly
 #      2 uppercase letters, more tokens follow, AND the remainder looks
 #      like a bill number (letters, optional dots, then digits) — the
-#      same guard as normalize_bill_number (F-s1), so every emitted
-#      variant re-normalizes to the F-s1 compact form. DELIBERATE
+#      same guard as normalize_bill_number (F-s1), so on prefix+number
+#      inputs (the domain the Hypothesis property in
+#      tests/test_properties.py generates) every emitted variant
+#      re-normalizes to the F-s1 compact form. Inputs with TRAILING
+#      tokens ('AB 123 extra') don't have that property under either
+#      strip rule: the anchored prefix+digits match truncates the tail
+#      exactly as the reference's re.match does. DELIBERATE
 #      DIVERGENCE: the reference (legiscan_enricher.py:139-142) strips
 #      any 2-char first token unconditionally, destroying 'HB 12' ->
 #      variants of '12'; the engine keeps 'HB 12' intact. Divergence

@@ -75,7 +75,7 @@ def html_to_text(html: str) -> str:
     ``&amp;#38;`` yields the literal ``&#38;``, matching bs4). Numeric
     entities therefore extract identically with or without bs4
     (``&#8217;`` -> U+2019 on both paths); convergence is pinned in
-    tests/test_text_udf.py."""
+    tests/test_sources_and_udfs.py."""
     try:
         from bs4 import BeautifulSoup  # type: ignore
 

@@ -212,9 +212,29 @@ def s_stateful_profile(spark, sf_dir):
 
 def _tws_runtime_available() -> bool:
     """transformWithStateInPandas needs google.protobuf in the Python
-    worker (pyspark optional extra — see streaming/tws.py's module
-    docstring); without it the query dies at START with an opaque
-    driver-worker exit. Probe once at registration time."""
+    WORKER interpreter (pyspark optional extra — see streaming/tws.py's
+    module docstring); without it the query dies at START with an
+    opaque driver-worker exit. Probe once at registration time — in
+    the worker's interpreter when PYSPARK_PYTHON points somewhere
+    other than this one, else locally."""
+    import os
+    import sys
+
+    worker_py = os.environ.get("PYSPARK_PYTHON") or sys.executable
+    if os.path.realpath(worker_py) != os.path.realpath(sys.executable):
+        import subprocess
+
+        try:
+            return (
+                subprocess.run(
+                    [worker_py, "-c", "import google.protobuf"],
+                    capture_output=True,
+                    timeout=30,
+                ).returncode
+                == 0
+            )
+        except Exception:
+            return False
     try:
         import google.protobuf  # noqa: F401
 

@@ -207,7 +207,9 @@ _LAST_GREEN_CACHE: dict[str, int] | None = None
 
 def last_green_rounds() -> dict[str, int]:
     """query name -> latest round with a green driver CORRECTNESS row,
-    read from the CORRECTNESS_r*.json files at the repo root.  Falls
+    read from the CORRECTNESS_r*.json files at the repo root.  A query
+    whose LATEST recorded row is red is excluded entirely (its stale
+    green must not shield a known failure from the sample).  Falls
     back to GREEN_PRIOR_ROUNDS (round unknown -> 0) if none are
     readable (e.g. the package is imported outside the repo)."""
     global _LAST_GREEN_CACHE
@@ -217,7 +219,8 @@ def last_green_rounds() -> dict[str, int]:
     import re
     from pathlib import Path
 
-    out: dict[str, int] = {}
+    greens: dict[str, int] = {}
+    last_any: dict[str, int] = {}
     repo = Path(__file__).resolve().parents[2]
     for p in sorted(repo.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", p.name)
@@ -229,9 +232,15 @@ def last_green_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and _green(row):
-                out[name] = max(out.get(name, 0), rnd)
-    if not out:
+            if not isinstance(row, dict):
+                continue
+            last_any[name] = max(last_any.get(name, 0), rnd)
+            if _green(row):
+                greens[name] = max(greens.get(name, 0), rnd)
+    # demote red-after-green: only keep a green that is the query's
+    # most recent recorded outcome
+    out = {n: g for n, g in greens.items() if last_any.get(n, g) <= g}
+    if not out and not last_any:
         out = {n: 0 for n in GREEN_PRIOR_ROUNDS}
     _LAST_GREEN_CACHE = out
     return out
@@ -241,9 +250,15 @@ def _ordered_names() -> list[str]:
     pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
     seen = set(pri)
     lg = last_green_rounds()
+    # >= not >: at round granularity a change landing in the SAME round
+    # as the green may have landed after it — treat same-round as stale
+    # (costs one conservative re-check; a later green clears it)
     stale = [
         n for n in QUERIES
-        if n not in seen and n in lg and CODE_CHANGED_ROUND.get(n, 0) > lg[n]
+        if n not in seen
+        and n in lg
+        and n in CODE_CHANGED_ROUND
+        and CODE_CHANGED_ROUND[n] >= lg[n]
     ]
     seen |= set(stale)
     never = [n for n in QUERIES if n not in seen and n not in lg]

@@ -93,6 +93,18 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def drop_blocks(spark: SparkSession) -> None:
+    """Unpersist every cached relation and persistent RDD (including
+    localCheckpoint blocks). Multi-query harnesses (bench.py,
+    tools/check_correctness.py) call this between queries so blocks
+    don't accumulate across hundreds of executions in one shared
+    local-mode JVM."""
+    spark.catalog.clearCache()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
+    while it.hasNext():
+        it.next()._2().unpersist(True)
+
+
 def pin_spread(df, *cols):
     """The pair-generating repartition, pinned: ``df.repartition(
     pinned_partitions(df), *cols)``.  Every output-exploding join in

@@ -254,9 +254,11 @@ BILLS = [
 # Same guard divergence as normalize_bill_number (see NBN_DIVERGE): the
 # reference drops ANY 2-char first token, so 'HB 12' seeds variants of
 # '12' and 'AB 123 extra' seeds '123 EXTRA'; the engine keeps the
-# prefix when the remainder is not letters-then-digits, so every
-# variant re-normalizes to the F-s1 compact form (property-tested in
-# tests/test_properties.py).
+# prefix when the remainder is not letters-then-digits. On
+# prefix+number inputs every variant then re-normalizes to the F-s1
+# compact form (property-tested in tests/test_properties.py); inputs
+# with trailing tokens lack that property under either strip rule —
+# the anchored prefix+digits match truncates the tail, as below.
 BILLS_DIVERGE = [
     # (input, engine_expected, reference_expected)
     ("hb 12", ["HB 12", "HB12", "H.B. 12"], ["12"]),

@@ -135,7 +135,7 @@ def _pdf_rows(pdf: pd.DataFrame):
 
 def main():
     import __spark_entry__ as entrymod
-    from dissertation_data_pipeline_spark.session import get_spark
+    from dissertation_data_pipeline_spark.session import drop_blocks, get_spark
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -155,12 +155,9 @@ def main():
         # drop the PREVIOUS query's localCheckpoint blocks (and any it
         # persisted) before starting this one — runs on every path
         # incl. error-continues; across 226 queries the blocks
-        # otherwise accumulate in the shared local-mode JVM (same
-        # hygiene as tools/bench_scale.py clear_persisted)
-        spark.catalog.clearCache()
-        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
-        while it.hasNext():
-            it.next()._2().unpersist(True)
+        # otherwise accumulate in the shared local-mode JVM (shared
+        # helper, also used by bench.py between timed executions)
+        drop_blocks(spark)
         t0 = time.time()
         try:
             # localCheckpoint: execute the plan ONCE, then serve both

@@ -3,10 +3,10 @@ set/string operators that larger queries subsume but the inventory
 lists line-by-line. Each gets a dedicated oracle-checked query so the
 coverage map (COVERAGE.md) points at executable evidence, not prose.
 
-Driver-side-only operators (P11 path-glob skip, F-s8 column-name
-normalize, F-d4 run timestamps, O3 glob-latest) have no data-plane
-query by nature; see COVERAGE.md for where they live and how they are
-tested.
+Of the operators that are driver-side in the reference, only F-d4
+(run timestamps — value inherently nondeterministic) remains without
+a data-plane gate row; P11, F-s8, O3, K5, K6, J5 and A11 carry oracle
+rows in queries_coverage3.py since round 7.
 """
 
 from __future__ import annotations

@@ -797,6 +797,7 @@ from dissertation_data_pipeline_spark.plans import queries_wave8  # noqa: E402,F
 from dissertation_data_pipeline_spark.plans import queries_wave9  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F401
+from dissertation_data_pipeline_spark.plans import queries_coverage3  # noqa: E402,F401
 
 # Gate-coverage policy for ROUND 7 (see DRIVER_PRIORITY docstring).
 # Cumulative driver-green after r6: all 227 registry queries (r1 u ...
@@ -810,5 +811,13 @@ set_driver_priority(
         # only where google.protobuf does (queries_streaming.py) and
         # _ordered_names filters unregistered names
         "s_stateful_profile_tws",
+        # T-only conversions (queries_coverage3.py)
+        "p11_skip_list_scan",
+        "j5_file_key_join",
+        "k6_file_per_row_sink",
+        "o3_latest_artifact_scan",
+        "a11_stats_counters",
+        "fs8_column_normalize",
+        "k5_report_fixture",
     ]
 )

@@ -177,6 +177,45 @@ def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# P11 — name-based skip list in the loader (legiscan_normalizer.py:
+# 127-129: hidden/config files skipped by name before parsing). File
+# LISTING is a driver-side operation in Spark regardless (FileIndex),
+# so applying include/skip globs to an explicit file list keeps
+# skipped files out of the scan entirely — a post-scan filter on the
+# path column would still read their bytes. Dot-prefixed files are
+# additionally hidden from Spark's own listing (Hadoop convention),
+# but the explicit list makes the skip POLICY visible and testable.
+def read_text_dir_skip(
+    spark: SparkSession,
+    path: str,
+    *,
+    include_glob: str = "*",
+    skip_globs: Sequence[str] = (),
+) -> DataFrame:
+    import fnmatch
+    import glob as _glob
+
+    files = sorted(
+        p
+        for p in _glob.glob(os.path.join(path, include_glob))
+        if not any(
+            fnmatch.fnmatch(os.path.basename(p), g) for g in skip_globs
+        )
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no files under {path!r} match {include_glob!r} after skips"
+        )
+    return (
+        spark.read.format("binaryFile")
+        .load(files)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
+            F.col("content").cast("string").alias("text"),
+        )
+    )
+
+
 # K1/K2/K4 — sinks. Partitioning is the 100 TB story (SURVEY O-m8):
 # layout by the pruning columns so test-scoped reads prune partitions.
 def write_table(

@@ -244,6 +244,95 @@ def fs8_column_normalize(spark, sf_dir):
 
 
 @register(
+    "s6_rest_pages_fixture",
+    f"""
+    SELECT jurisdiction, session, identifier, title,
+           CAST(regexp_extract(filename, 'page-(\\d+)\\.json', 1) AS INT)
+             AS page
+    FROM read_json('{_FIX}/s6_pages/page-*.json',
+                    columns = {{'jurisdiction': 'VARCHAR',
+                                'session': 'VARCHAR',
+                                'identifier': 'VARCHAR',
+                                'title': 'VARCHAR'}},
+                    filename = true)
+    """,
+)
+def s6_rest_pages_fixture(spark, sf_dir):
+    """S6 as a gate row: the paginated-feed DataSource reads the
+    committed 3-page fixture through its file:// transport with
+    ``max_parallel_pages=2`` — pages round-robined into 2 partitions,
+    each fetching ITS pages sequentially (the hard concurrency bound
+    against rate-limited APIs), so the gate exercises the REAL
+    partition planning, not a happy path. The oracle reads the same
+    page files and restates the page tag from the filename.
+    Reference: legiscan_collector.py paginated getMasterList."""
+    from dissertation_data_pipeline_spark.sources.datasource import (
+        HAVE_DATASOURCE_API,
+        RestPagesDataSource,
+    )
+
+    if not HAVE_DATASOURCE_API:  # pragma: no cover - pyspark>=4 here
+        raise RuntimeError("rest_pages needs the pyspark-4 DataSource API")
+    spark.dataSource.register(RestPagesDataSource)
+    return (
+        spark.read.format("rest_pages")
+        .option("endpoint", f"file://{_FIX}/s6_pages")
+        .option("pages", "3")
+        .option("max_parallel_pages", "2")
+        .load()
+    )
+
+
+@register(
+    "s8_point_lookup",
+    """
+    SELECT key,
+           CASE WHEN hit THEN 'v-' || substr(md5(key), 1, 8) END AS value,
+           hit AS found
+    FROM (
+      SELECT DISTINCT c_name AS key,
+             CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) % 3 <> 0
+               AS hit
+      FROM customer WHERE c_custkey % 50 = 0
+    )
+    """,
+)
+def s8_point_lookup(spark, sf_dir):
+    """S8 as a gate row (legiscan_enricher.py:171-427 per-key lookup,
+    re-shaped distinct-keys-first): ``fetch_missing_keys`` runs the
+    injected fetch over DISTINCT keys in a bounded number of client
+    partitions (here 1 — the reference's sequential client), emitting
+    misses as first-class found=false rows (I4). The injected fetch is
+    deterministic (md5 of the key; every third key a miss) so the
+    oracle restates the whole lookup in SQL — what the gate proves is
+    the distinct/repartition/mapInPandas machinery and the
+    negative-result contract, with no network anywhere."""
+    from dissertation_data_pipeline_spark.sources.rest import fetch_missing_keys
+
+    def fetch(keys):
+        import hashlib
+        import re as _re
+
+        out = {}
+        for k in keys:
+            m = _re.search(r"(\d+)$", k)
+            n = int(m.group(1)) if m else 0
+            out[k] = (
+                "v-" + hashlib.md5(k.encode()).hexdigest()[:8]
+                if n % 3
+                else None
+            )
+        return out
+
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .select(F.col("c_name").alias("key"))
+    )
+    return fetch_missing_keys(keys, "key", fetch, fetch_partitions=1)
+
+
+@register(
     "k5_report_fixture",
     """
     SELECT '== status_counts ==' || chr(10) ||

@@ -819,5 +819,7 @@ set_driver_priority(
         "a11_stats_counters",
         "fs8_column_normalize",
         "k5_report_fixture",
+        "s6_rest_pages_fixture",
+        "s8_point_lookup",
     ]
 )

@@ -127,6 +127,26 @@ HTML_DOC = (
 )
 
 
+def test_read_text_dir_skip(spark):
+    from dissertation_data_pipeline_spark.sources.io import read_text_dir_skip
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "p11_dir")
+    got = {
+        r["filename"]
+        for r in read_text_dir_skip(
+            spark, fix, include_glob="*.txt", skip_globs=("draft_*",)
+        ).collect()
+    }
+    # draft_* skipped by the list; .hidden.txt never listed (glob);
+    # config.ini excluded by the include glob
+    assert got == {"bill_100.txt", "bill_200.txt"}
+
+    with pytest.raises(FileNotFoundError):
+        read_text_dir_skip(
+            spark, fix, include_glob="*.txt", skip_globs=("*",)
+        )
+
+
 def test_html_entity_convergence_with_and_without_bs4(monkeypatch):
     # numeric + named entities extract identically on the bs4 and
     # regex-fallback paths: bs4 decodes during parsing, the fallback

@@ -214,9 +214,15 @@ def _tws_runtime_available() -> bool:
     """transformWithStateInPandas needs google.protobuf in the Python
     WORKER interpreter (pyspark optional extra — see streaming/tws.py's
     module docstring); without it the query dies at START with an
-    opaque driver-worker exit. Probe once at registration time — in
-    the worker's interpreter when PYSPARK_PYTHON points somewhere
-    other than this one, else locally."""
+    opaque driver-worker exit. The probe IS compat.ensure_protobuf:
+    it makes the dependency available (shimming an on-disk pure-Python
+    runtime when pip never installed one) and returns whether pyspark's
+    state-protocol gencode verifiably loads. When PYSPARK_PYTHON is
+    unset or points at this interpreter (the common case — and the only
+    subprocess-free path, keeping registry import cheap per ADVICE r7),
+    the probe runs in-process; otherwise the worker interpreter is
+    probed once via subprocess with the repo on PYTHONPATH so the same
+    shim logic answers for THAT interpreter."""
     import os
     import sys
 
@@ -224,23 +230,32 @@ def _tws_runtime_available() -> bool:
     if os.path.realpath(worker_py) != os.path.realpath(sys.executable):
         import subprocess
 
+        import dissertation_data_pipeline_spark as pkg
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         try:
             return (
                 subprocess.run(
-                    [worker_py, "-c", "import google.protobuf"],
+                    [
+                        worker_py,
+                        "-c",
+                        "from dissertation_data_pipeline_spark.compat import"
+                        " ensure_protobuf; import sys;"
+                        " sys.exit(0 if ensure_protobuf() else 1)",
+                    ],
                     capture_output=True,
-                    timeout=30,
+                    timeout=15,
+                    env=env,
                 ).returncode
                 == 0
             )
         except Exception:
             return False
-    try:
-        import google.protobuf  # noqa: F401
+    from dissertation_data_pipeline_spark.compat import ensure_protobuf
 
-        return True
-    except ImportError:
-        return False
+    return ensure_protobuf()
 
 
 if _tws_runtime_available():
@@ -271,6 +286,7 @@ if _tws_runtime_available():
 
         from dissertation_data_pipeline_spark.streaming.jobs import (
             read_events_stream,
+            rocksdb_state_store,
             run_available_now_to_memory,
         )
         from dissertation_data_pipeline_spark.streaming.tws import (
@@ -285,18 +301,23 @@ if _tws_runtime_available():
             stream = read_events_stream(
                 spark, src, events.schema, max_files_per_trigger=1
             )
-            sink = run_available_now_to_memory(
-                stream,
-                # no TTL -> timeMode None -> the AvailableNow drain
-                # terminates by default (the eviction knob the OLD
-                # API's timeoutConf couldn't offer a finite drain)
-                lambda s: running_user_profile_tws(s),
-                "s_stateful_profile_tws_sink",
-                os.path.join(work, "ckpt"),
-                output_mode="update",
-                timeout_sec=600,
-                shuffle_partitions=8,
-            )
+            # TWS keeps each named state variable in its own column
+            # family, which the default HDFS-backed provider rejects
+            # (MULTIPLE_COLUMN_FAMILIES not supported) — RocksDB is a
+            # REQUIREMENT here, not just the 100 TB sizing choice.
+            with rocksdb_state_store(spark):
+                sink = run_available_now_to_memory(
+                    stream,
+                    # no TTL -> timeMode None -> the AvailableNow drain
+                    # terminates by default (the eviction knob the OLD
+                    # API's timeoutConf couldn't offer a finite drain)
+                    lambda s: running_user_profile_tws(s),
+                    "s_stateful_profile_tws_sink",
+                    os.path.join(work, "ckpt"),
+                    output_mode="update",
+                    timeout_sec=600,
+                    shuffle_partitions=8,
+                )
             final = sink.groupBy("user_id").agg(
                 F.max("n_events").alias("n_events"),
                 F.max("last_ts").alias("last_ts"),

@@ -28,10 +28,22 @@ imports ``google.protobuf``), which pyspark declares only as an
 optional extra.  Without it the query fails at START with
 "TransformWithStateInPySpark driver worker exited unexpectedly"
 (reproduced here; the ImportError is buried in the driver-worker
-traceback).  This module therefore composes and plans everywhere but
-EXECUTES only where protobuf is installed — the parity test probes
-the dependency and skips cleanly without it, and the production
-operator remains ``stateful.running_user_profile``.
+traceback).  ``compat.ensure_protobuf`` — called at this module's
+import so every worker gets it while unpickling the processor —
+satisfies the dependency on hosts where pip never installed protobuf
+by aliasing a publicly-distributed on-disk pure-Python runtime (and
+verifying the gencode actually loads).  Where even that fails, this
+module still composes and plans; the parity test and the gate-row
+registration probe the shim and skip/unregister cleanly, and the
+production operator remains ``stateful.running_user_profile``.
+
+Second runtime requirement, found the moment the protobuf wall fell:
+TWS stores each named state variable in its own COLUMN FAMILY, which
+the default HDFSBackedStateStoreProvider rejects outright
+(UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES) — every
+TWS query must run under ``jobs.rocksdb_state_store``.  On a real
+cluster that is the provider you would run stateful queries on
+anyway (disk-bounded state, incremental checkpoints).
 """
 
 from __future__ import annotations
@@ -41,6 +53,15 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
 )
+
+# Install the protobuf shim at MODULE IMPORT so it is active in every
+# Python worker before the first state-protocol call: the worker imports
+# this module while unpickling _ProfileProcessor (by-reference pickling),
+# which happens strictly before pyspark's first lazy StateMessage_pb2
+# import.  See compat.ensure_protobuf's docstring for the full argument.
+from dissertation_data_pipeline_spark.compat import ensure_protobuf
+
+ensure_protobuf()
 
 from dissertation_data_pipeline_spark.streaming.stateful import (
     PROFILE_SCHEMA,

@@ -328,15 +328,17 @@ def test_tws_profile_parity_with_apply_in_pandas_with_state(spark, sf_dir, tmpdi
     """transformWithStateInPandas twin produces the same final
     profiles as the applyInPandasWithState operator over the same
     staged multi-batch drain. Skips where Spark's TWS protobuf
-    dependency is absent (see streaming/tws.py docstring)."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="Spark TWS state protocol needs protobuf (optional extra)",
-    )
+    dependency is absent even through the compat shim (see
+    streaming/tws.py + compat.py docstrings)."""
+    from dissertation_data_pipeline_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("Spark TWS state protocol needs protobuf (optional extra)")
     import os
 
     from dissertation_data_pipeline_spark.streaming.jobs import (
         read_events_stream,
+        rocksdb_state_store,
         run_available_now_to_memory,
     )
     from dissertation_data_pipeline_spark.streaming.stateful import (
@@ -375,7 +377,10 @@ def test_tws_profile_parity_with_apply_in_pandas_with_state(spark, sf_dir, tmpdi
         }
 
     old = drain(lambda s: running_user_profile(s, evict=False), "tws_par_old")
-    new = drain(running_user_profile_tws, "tws_par_new")
+    # TWS keeps each named state variable in its own column family —
+    # RocksDB provider required (HDFS-backed rejects multi-CF).
+    with rocksdb_state_store(spark):
+        new = drain(running_user_profile_tws, "tws_par_new")
     assert old == new
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dissertation_data_pipeline_spark.operators.dedup_ext import (
+    minhash_auto_banding,
     minhash_band_entries,
     minhash_signature_frame,
     shingle_postings,
@@ -44,12 +45,22 @@ def batch_band_entries(
     text_col: str,
     *,
     num_hashes: int = 12,
-    bands: int = 4,
+    bands: int | None = None,
+    threshold: float = 0.5,
     shingle_words: int = 3,
 ) -> DataFrame:
     """Band-index rows (_id, band_idx, band_key) for a batch — the unit
-    both the stored index and the probe side are made of."""
-    rows_per_band = num_hashes // bands
+    both the stored index and the probe side are made of.
+
+    ``bands=None`` derives the banding from ``threshold`` via
+    ``minhash_auto_banding`` (candidate = any shared band, so the
+    threshold expresses the Jaccard level the index must recall at).
+    The probe side MUST use the same (num_hashes, bands) the stored
+    index was built with — band keys are banding-specific."""
+    if bands is None:
+        bands, rows_per_band = minhash_auto_banding(num_hashes, threshold)
+    else:
+        rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     post = shingle_postings(df, id_col, text_col, n=shingle_words)
     sig = minhash_signature_frame(post, num_hashes=num_hashes)
@@ -63,7 +74,8 @@ def dedup_incremental(
     text_col: str,
     *,
     num_hashes: int = 12,
-    bands: int = 4,
+    bands: int | None = None,
+    threshold: float = 0.5,
     shingle_words: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``batch`` against the persisted band ``index`` (and within
@@ -88,6 +100,7 @@ def dedup_incremental(
         text_col,
         num_hashes=num_hashes,
         bands=bands,
+        threshold=threshold,
         shingle_words=shingle_words,
     ).localCheckpoint(eager=False)
 

@@ -41,10 +41,12 @@ from dissertation_data_pipeline_spark.tables import load_table
              content AS text
       FROM read_text('{_FIX}/p11_dir/*.txt')
     )
-    -- both skip conventions stated: the loader's name skip (draft_*)
-    -- and the dot-file hiding Spark's listing applies natively but
+    -- both skip conventions stated: the loader's name skip — the glob
+    -- is 'draft_*', so the SQL escapes the underscore ('draft%' would
+    -- also exclude a draftX.txt the engine KEEPS — ADVICE r7) — and
+    -- the dot-file hiding Spark's listing applies natively but
     -- DuckDB's glob does not
-    WHERE filename NOT LIKE 'draft%' AND filename NOT LIKE '.%'
+    WHERE filename NOT LIKE 'draft\\_%' ESCAPE '\\' AND filename NOT LIKE '.%'
     """,
 )
 def p11_skip_list_scan(spark, sf_dir):

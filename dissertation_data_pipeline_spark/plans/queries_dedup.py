@@ -53,6 +53,28 @@ _SHINGLE_CTE_TMPL = r"""
 _SHINGLE_CTE = _SHINGLE_CTE_TMPL.format(src="documents")
 
 
+def _band_cte(bands: int, rows: int) -> str:
+    """The banding CTE body for a (bands x rows) split of the 12-hash
+    signature list ``sig`` — band keys exactly as the engine's
+    ``minhash_band_entries`` computes them (md5 of the '|'-joined
+    row values).  DuckDB list slicing is 1-based inclusive."""
+    idxs = ", ".join(str(i) for i in range(bands))
+    return f"""
+      SELECT doc_id, band_idx,
+             md5(array_to_string(
+               sig[band_idx*{rows}+1 : band_idx*{rows}+{rows}], '|'))
+               AS band_key
+      FROM sig, (SELECT unnest([{idxs}]) AS band_idx)
+    """
+
+
+#: The production banding: derived from (num_hashes=12, threshold=0.5)
+#: by the SAME S-curve rule the engine applies at the default call —
+#: the oracles below render their band CTEs from these values, so an
+#: engine/oracle banding drift is structurally impossible.
+_AUTO_BANDS, _AUTO_ROWS = dx.minhash_auto_banding(12, 0.5)
+
+
 @register(
     "ext_dedup_exact",
     """
@@ -100,11 +122,7 @@ def ext_dedup_tokenset(spark, sf_dir):
       SELECT doc_id, shingles, [{_SIG_LIST}] AS sig
       FROM hv
     ),
-    bands AS (
-      SELECT doc_id, band_idx,
-             md5(array_to_string(sig[band_idx*3+1 : band_idx*3+3], '|')) AS band_key
-      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
-    ),
+    bands AS ({_band_cte(_AUTO_BANDS, _AUTO_ROWS)}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -123,15 +141,16 @@ def ext_dedup_tokenset(spark, sf_dir):
 )
 def ext_minhash_lsh_pairs(spark, sf_dir):
     """[EXT] MinHash+LSH near-dup pairs (12 integer permutations of one
-    md5-derived shingle hash, 4 bands of 3), verified by exact shingle
-    Jaccard >= 0.5. The oracle reproduces the permutation arithmetic,
-    the banding, *and* the verification bit-for-bit."""
+    md5-derived shingle hash, threshold-adaptive banding — 6 bands of 2
+    for threshold 0.5, see minhash_auto_banding), verified by exact
+    shingle Jaccard >= 0.5. The oracle reproduces the permutation
+    arithmetic, the banding (rendered from the SAME auto rule), *and*
+    the verification bit-for-bit."""
     return dx.minhash_lsh_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         num_hashes=12,
-        bands=4,
         threshold=0.5,
     )
 
@@ -437,11 +456,7 @@ def ext_curation_pipeline(spark, sf_dir):
     sig AS (
       SELECT doc_id, [{_SIG_LIST}] AS sig FROM hv
     ),
-    bands AS (
-      SELECT doc_id, band_idx,
-             md5(array_to_string(sig[band_idx*3+1 : band_idx*3+3], '|')) AS band_key
-      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
-    ),
+    bands AS ({_band_cte(_AUTO_BANDS, _AUTO_ROWS)}),
     cb AS (SELECT * FROM bands WHERE doc_id % 5 != 0),
     ib AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
     vs_dup AS (
@@ -601,8 +616,7 @@ _SHINGLE_CTE_RECALL = _SHINGLE_CTE_TMPL.format(
 def _pair_recall_sql(bands: int, rows: int) -> str:
     """The pair-recall oracle for a (bands x rows) banding of the
     12-hash signature — truth leg identical, band slicing
-    parameterized."""
-    idxs = ", ".join(str(i) for i in range(bands))
+    parameterized (rendered by the shared ``_band_cte``)."""
     return f"""
     WITH {_SHINGLE_CTE_RECALL},
     truth AS (
@@ -619,13 +633,7 @@ def _pair_recall_sql(bands: int, rows: int) -> str:
     sig AS (
       SELECT doc_id, [{_SIG_LIST}] AS sig FROM hv
     ),
-    bands AS (
-      SELECT doc_id, band_idx,
-             md5(array_to_string(
-               sig[band_idx*{rows}+1 : band_idx*{rows}+{rows}], '|'))
-               AS band_key
-      FROM sig, (SELECT unnest([{idxs}]) AS band_idx)
-    ),
+    bands AS ({_band_cte(bands, rows)}),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -644,7 +652,7 @@ def _pair_recall_sql(bands: int, rows: int) -> str:
     """
 
 
-def _pair_recall(spark, sf_dir, *, bands: int):
+def _pair_recall(spark, sf_dir, *, bands: int | None):
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _RECALL_BLOCK
     )
@@ -676,31 +684,47 @@ def _pair_recall(spark, sf_dir, *, bands: int):
     )
 
 
-@register("ext_dedup_pair_recall", _pair_recall_sql(4, 3))
+@register("ext_dedup_pair_recall", _pair_recall_sql(_AUTO_BANDS, _AUTO_ROWS))
 def ext_dedup_pair_recall(spark, sf_dir):
-    """[EXT] measured LSH pair recall: exact all-pairs Jaccard>=0.5
-    ground truth on a FIXED 500-doc block vs the 12-hash/4-band
-    MinHash-LSH candidates over the same block — the quality number
-    that justifies the banding scheme, computed as a query (the dedup
-    counterpart of ``ext_ann_recall_at_10``).  A verified LSH pair is
-    a candidate with true Jaccard>=0.5, so recall(LSH verified | truth)
-    == recall(candidates | truth).
+    """[EXT] measured LSH pair recall OF THE PRODUCTION DEFAULT: exact
+    all-pairs Jaccard>=0.5 ground truth on a FIXED 500-doc block vs the
+    MinHash-LSH candidates the default (threshold-adaptive) banding
+    produces over the same block — the quality number that justifies
+    the banding rule, computed as a query (the dedup counterpart of
+    ``ext_ann_recall_at_10``).  ``bands=None`` here is the point: this
+    row measures whatever ``minhash_auto_banding(12, 0.5)`` picks (6x2
+    today — 0.961 at sf1, vs 0.745 for the 4x3 default it replaced),
+    and the oracle renders its banding from the same call.  A verified
+    LSH pair is a candidate with true Jaccard>=0.5, so recall(LSH
+    verified | truth) == recall(candidates | truth).
 
     Scale: ground-truth cost is constant (block size is fixed, not a
     corpus fraction), and the truth leg itself runs on the inverted-
     index plan (``blocked_jaccard_pairs`` with a constant block key),
     not a quadratic self-join — only the ORACLE states it all-pairs."""
-    return _pair_recall(spark, sf_dir, bands=4)
+    return _pair_recall(spark, sf_dir, bands=None)
 
 
 @register("ext_dedup_pair_recall_b6r2", _pair_recall_sql(6, 2))
 def ext_dedup_pair_recall_b6r2(spark, sf_dir):
-    """[EXT] the banding recall LEVER, measured: the same 12-hash
-    signature re-banded 6x2 instead of 4x3.  Theory: a threshold-j
-    pair (j=0.5) collides with probability 1-(1-j^r)^b — 0.41 at 4x3,
-    0.80 at 6x2 — at the cost of more candidate pairs (shorter band
-    keys collide more).  Running both as gate rows turns the
-    bands/rows knob from a docstring claim into two measured recall
-    numbers on identical ground truth (BASELINE.md records them at
-    sf0.01 and sf1)."""
+    """[EXT] the banding recall LEVER, measured with bands pinned
+    EXPLICITLY to 6x2 (coincides with today's adaptive pick — this row
+    keeps its own green history and stays meaningful if the auto rule
+    ever picks differently).  Theory: a threshold-j pair (j=0.5)
+    collides with probability 1-(1-j^r)^b — 0.41 at 4x3, 0.80 at 6x2 —
+    at the cost of more candidate pairs (shorter band keys collide
+    more).  Paired with ``ext_dedup_pair_recall_b4r3`` the knob is two
+    measured recall numbers on identical ground truth, not a docstring
+    claim (BASELINE.md records them at sf0.01 and sf1)."""
     return _pair_recall(spark, sf_dir, bands=6)
+
+
+@register("ext_dedup_pair_recall_b4r3", _pair_recall_sql(4, 3))
+def ext_dedup_pair_recall_b4r3(spark, sf_dir):
+    """[EXT] the banding recall lever's LOW side: the same 12-hash
+    signature banded 4x3 — the hardcoded default shipped through round
+    7 (S-curve crossover 0.63, ABOVE the 0.5 threshold, hence the
+    measured 0.745 sf1 recall that motivated the adaptive rule).  Kept
+    as a gate row so the quality cost of a crossover-above-threshold
+    banding stays measured, not remembered."""
+    return _pair_recall(spark, sf_dir, bands=4)

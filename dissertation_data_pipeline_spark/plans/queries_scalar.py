@@ -344,7 +344,7 @@ def _messy_date(df):
 
 @register(
     "fd2_parse_date_multi",
-    f"""
+    rf"""
     SELECT o_orderkey, raw_date,
            CAST(CASE
              WHEN regexp_matches(raw_date, '^\d{{4}}-\d{{1,2}}-\d{{1,2}}$')
@@ -381,7 +381,7 @@ def fd2_parse_date_multi(spark, sf_dir):
 
 @register(
     "fd1_lenient_year_rollup",
-    f"""
+    rf"""
     SELECT y AS year, count(*) AS cnt FROM (
       SELECT year(CAST(CASE
              WHEN regexp_matches(raw_date, '^\d{{4}}-\d{{1,2}}-\d{{1,2}}$')

@@ -190,6 +190,11 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     "uf1_html_fixture": 7,
     # round 7: eager checkpoint on the exact slice (bench bimodality):
     "ext_curation_pipeline": 7,
+    # round 8: MinHash banding is threshold-adaptive (6x2 at the
+    # default 12/0.5 — candidate geometry changed for every row that
+    # inherits the default, oracles re-rendered from the same rule):
+    "ext_minhash_lsh_pairs": 8, "ext_dedup_incremental": 8,
+    "ext_dedup_pair_recall": 8,
 }
 
 

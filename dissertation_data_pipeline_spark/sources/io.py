@@ -192,14 +192,36 @@ def read_text_dir_skip(
     include_glob: str = "*",
     skip_globs: Sequence[str] = (),
 ) -> DataFrame:
-    import fnmatch
-    import glob as _glob
+    """P11's name-based skip list over a text directory: list files
+    matching ``include_glob``, drop any whose basename matches a
+    ``skip_globs`` fnmatch pattern, read the rest as (filename, text).
 
+    Listing goes through the Hadoop FileSystem API (resolved from the
+    path's scheme), so the skip policy works on any filesystem the
+    Spark cluster can read — local, hdfs://, s3a:// — not just the
+    driver's local disk (ADVICE r7: the original driver-side
+    ``glob.glob`` silently failed on remote paths).  Dot-files are
+    excluded from the listing to match both Python-glob and Spark
+    hidden-file conventions regardless of the backend's glob dialect.
+
+    Scale note: the listing is driver-side by nature (the skip list is
+    a per-NAME policy, same as the reference's normalizer skip —
+    legiscan_normalizer.py:127-129); the DATA read is a distributed
+    binaryFile scan over the surviving paths."""
+    import fnmatch
+
+    sc = spark.sparkContext
+    jvm = sc._jvm  # noqa: SLF001
+    glob_path = jvm.org.apache.hadoop.fs.Path(os.path.join(path, include_glob))
+    fs = glob_path.getFileSystem(sc._jsc.hadoopConfiguration())  # noqa: SLF001
+    statuses = fs.globStatus(glob_path)
     files = sorted(
-        p
-        for p in _glob.glob(os.path.join(path, include_glob))
-        if not any(
-            fnmatch.fnmatch(os.path.basename(p), g) for g in skip_globs
+        str(st.getPath())
+        for st in (statuses or [])
+        if st.isFile()
+        and not st.getPath().getName().startswith(".")
+        and not any(
+            fnmatch.fnmatch(st.getPath().getName(), g) for g in skip_globs
         )
     )
     if not files:

@@ -28,6 +28,25 @@ def test_tokenset_dedup_groups(spark):
     assert out[1] == 3  # 1, 2 (exact) and 3 (shuffled) share the token set
 
 
+def test_minhash_auto_banding_s_curve():
+    """The adaptive rule: largest rows_per_band whose S-curve crossover
+    (1/b)^(1/r) stays at or below the threshold. The 12/0.5 default
+    MUST resolve to 6x2 — the measured >=0.95-recall banding — and the
+    pinned value here is what the gate oracles render their SQL from."""
+    assert dx.minhash_auto_banding(12, 0.5) == (6, 2)
+    assert dx.minhash_auto_banding(12, 0.7) == (4, 3)
+    assert dx.minhash_auto_banding(12, 0.8) == (3, 4)
+    # below every crossover: fall back to single-row bands (max recall)
+    assert dx.minhash_auto_banding(12, 0.3) == (12, 1)
+    assert dx.minhash_auto_banding(12, 0.05) == (12, 1)
+    # crossover math holds for non-12 signature widths too
+    assert dx.minhash_auto_banding(16, 0.5) == (8, 2)
+    for k, t in [(12, 0.5), (16, 0.6), (8, 0.75)]:
+        b, r = dx.minhash_auto_banding(k, t)
+        assert b * r == k
+        assert (1.0 / b) ** (1.0 / r) <= t or r == 1
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]

@@ -68,6 +68,10 @@ def _band_cte(bands: int, rows: int) -> str:
     """
 
 
+#: Fixed block for the sf-invariant curation/CC oracle row — same
+#: protocol as _RECALL_BLOCK below (constant oracle cost at any sf).
+_CURATION_BLOCK = 500
+
 #: The production banding: derived from (num_hashes=12, threshold=0.5)
 #: by the SAME S-curve rule the engine applies at the default call —
 #: the oracles below render their band CTEs from these values, so an
@@ -334,11 +338,15 @@ def _simhash_cte_over(src: str) -> str:
     return _SIMHASH_CTE_TMPL.format(src=src)
 
 
-@register(
-    "ext_curation_pipeline",
-    f"""
+def _curation_sql(src: str) -> str:
+    """The full curation-funnel oracle over an arbitrary source
+    relation — shared by the corpus-wide row (tractable at sf<=0.1;
+    the recursive CC CTE is hours-intractable at sf1, BASELINE.md
+    round-7 note) and the fixed-block row that gives the family an
+    oracle-green signal at EVERY scale."""
+    return f"""
     WITH RECURSIVE quality AS (
-      SELECT * FROM documents WHERE n_chars >= 150
+      SELECT * FROM {src} WHERE n_chars >= 150
     ),
     exact AS (
       SELECT doc_id, text, lang FROM (
@@ -377,7 +385,7 @@ def _simhash_cte_over(src: str) -> str:
            COALESCE(x.n, 0) AS n_exact,
            COALESCE(f.n, 0) AS n_final,
            COALESCE(f.toks, 0) AS tokens_final
-    FROM (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY 1) l
+    FROM (SELECT lang, COUNT(*) AS n_raw FROM {src} GROUP BY 1) l
     LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM quality GROUP BY 1) q USING (lang)
     LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM exact GROUP BY 1) x USING (lang)
     LEFT JOIN (
@@ -385,25 +393,18 @@ def _simhash_cte_over(src: str) -> str:
              CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS toks
       FROM final GROUP BY 1
     ) f USING (lang)
-    """,
-)
-def ext_curation_pipeline(spark, sf_dir):
-    """[EXT] the end-to-end corpus-curation pipeline as ONE query:
-    length gate -> exact dedup (min-id canonical per content digest)
-    -> SimHash near-dup cluster survivors -> per-language funnel
-    report (raw / quality / exact / final doc counts + surviving
-    tokens). Composes quality gating, exact_dedup semantics,
-    signature-contracted component edges, iterative CC, and
-    dedup_survivors — the full curation funnel a training-data run
-    executes, verified stage-by-stage against one recursive-CTE
-    oracle."""
+    """
+
+
+def _curation_funnel(docs):
+    """The curation pipeline over an arbitrary documents relation —
+    shared by the corpus-wide row and the fixed-block row."""
     from dissertation_data_pipeline_spark.operators.clusters import (
         connected_components,
         dedup_survivors,
     )
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
     quality = docs.filter(F.col("n_chars") >= 150)
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact = (
@@ -442,6 +443,46 @@ def ext_curation_pipeline(spark, sf_dir):
             F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
         )
     )
+
+
+@register("ext_curation_pipeline", _curation_sql("documents"))
+def ext_curation_pipeline(spark, sf_dir):
+    """[EXT] the end-to-end corpus-curation pipeline as ONE query:
+    length gate -> exact dedup (min-id canonical per content digest)
+    -> SimHash near-dup cluster survivors -> per-language funnel
+    report (raw / quality / exact / final doc counts + surviving
+    tokens). Composes quality gating, exact_dedup semantics,
+    signature-contracted component edges, iterative CC, and
+    dedup_survivors — the full curation funnel a training-data run
+    executes, verified stage-by-stage against one recursive-CTE
+    oracle. The recursive-CTE oracle is hours-intractable beyond
+    sf0.1 (BASELINE.md round-7 note: killed at 106 min at sf1), so
+    sf>=1 coverage comes from ``ext_curation_block_pipeline``."""
+    return _curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ext_curation_block_pipeline",
+    _curation_sql(
+        f"(SELECT * FROM documents WHERE doc_id < {_CURATION_BLOCK})"
+    ),
+)
+def ext_curation_block_pipeline(spark, sf_dir):
+    """[EXT] the SAME curation pipeline (same operators: quality gate,
+    window exact-dedup, simhash_component_edges, iterative
+    connected_components, dedup_survivors, funnel rollup) restricted
+    to a FIXED 500-doc block (_CURATION_BLOCK) — the recall-harness trick
+    applied to the CC/curation family (r7 verdict Next #6): the
+    recursive-CTE oracle's cost is bounded by the block, not the
+    corpus, so this row keeps the family oracle-GREEN at sf1/sf10
+    where the corpus-wide oracle is execute-only. The engine side
+    still runs the real iterative CC operator (on block-sized input),
+    so the drop/survive semantics of every stage stay value-checked
+    at every scale."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CURATION_BLOCK
+    )
+    return _curation_funnel(docs)
 
 
 @register(

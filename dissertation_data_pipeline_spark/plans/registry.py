@@ -195,6 +195,10 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     # inherits the default, oracles re-rendered from the same rule):
     "ext_minhash_lsh_pairs": 8, "ext_dedup_incremental": 8,
     "ext_dedup_pair_recall": 8,
+    # round 8: oracle predicate tightened (glob-faithful draft_* skip)
+    # and curation oracle refactored into the shared _curation_sql
+    # (SQL text verified byte-identical; re-verified anyway):
+    "p11_skip_list_scan": 8, "ext_curation_pipeline": 8,
 }
 
 

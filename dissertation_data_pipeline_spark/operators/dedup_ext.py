@@ -442,22 +442,41 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
+    # Exact size-ratio prefilter BEFORE the posting-intersection join:
+    # inter <= min(|A|,|B|) and union >= max(|A|,|B|), so j <= min/max —
+    # any candidate whose smaller shingle set is under threshold*larger
+    # cannot pass the final filter and is dropped on two cheap size
+    # joins instead of exploding through the postings.  Purely an
+    # optimization (the final jaccard >= threshold filter is unchanged,
+    # so the oracle needs no mirror); it matters most under the
+    # adaptive 6x2 banding, whose shorter band keys admit many
+    # near-threshold candidates that this bound kills for free.
+    sizes = sig.select("_id", "_n")
+    candidates = (
+        candidates.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .filter(
+            F.least("_na", "_nb").cast("double")
+            >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
+        )
+    )
     pa = post.select(F.col("_id").alias("id_a"), "_shingle")
     pb = post.select(F.col("_id").alias("id_b"), "_shingle")
     inter = (
         candidates.join(pa, "id_a")
         .join(pb, ["id_b", "_shingle"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "_na", "_nb")
         .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    sizes = sig.select("_id", "_n")
-    out = (
-        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
     )
     union = F.col("_na") + F.col("_nb") - F.col("_inter")
     jac = F.round(F.col("_inter").cast("double") / union.cast("double"), 6)
-    return out.select("id_a", "id_b", jac.alias("jaccard")).filter(
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
 

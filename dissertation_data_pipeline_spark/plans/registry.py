@@ -808,27 +808,25 @@ from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E40
 from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_coverage3  # noqa: E402,F401
 
-# Gate-coverage policy for ROUND 7 (see DRIVER_PRIORITY docstring).
-# Cumulative driver-green after r6: all 227 registry queries (r1 u ...
-# u r6).  Ordering is now derived: explicit newcomers first, then rows
-# whose code changed after their last driver green (CODE_CHANGED_ROUND
-# vs last_green_rounds()), then never-checked rows, then greens oldest
-# first so the bounded sample rotates.
+# Gate-coverage policy for ROUND 8 (see DRIVER_PRIORITY docstring).
+# Cumulative driver-green after r7: all 236 then-registered queries.
+# Newcomers and semantically-changed rows lead the bounded sample;
+# the round-7 newcomers all carried r07 greens and rotate normally.
 set_driver_priority(
     [
-        # new this round (appended as they land); the TWS row exists
-        # only where google.protobuf does (queries_streaming.py) and
-        # _ordered_names filters unregistered names
+        # new this round: TWS executes via the compat protobuf shim
+        # (first possible driver green), the fixed-block curation row,
+        # and the old-default recall lever
         "s_stateful_profile_tws",
-        # T-only conversions (queries_coverage3.py)
+        "ext_curation_block_pipeline",
+        "ext_dedup_pair_recall_b4r3",
+        # changed this round (adaptive banding / oracle edits — also
+        # enumerated in CODE_CHANGED_ROUND, listed here to pin order)
+        "ext_minhash_lsh_pairs",
+        "ext_dedup_incremental",
+        "ext_dedup_pair_recall",
+        "ext_dedup_pair_recall_b6r2",
         "p11_skip_list_scan",
-        "j5_file_key_join",
-        "k6_file_per_row_sink",
-        "o3_latest_artifact_scan",
-        "a11_stats_counters",
-        "fs8_column_normalize",
-        "k5_report_fixture",
-        "s6_rest_pages_fixture",
-        "s8_point_lookup",
+        "ext_curation_pipeline",
     ]
 )

@@ -451,12 +451,21 @@ def minhash_lsh_pairs(
     # so the oracle needs no mirror); it matters most under the
     # adaptive 6x2 banding, whose shorter band keys admit many
     # near-threshold candidates that this bound kills for free.
+    # merge-hinted: the candidate side's post-distinct size ESTIMATE
+    # reads small, tempting the planner into a broadcast build of a
+    # relation that is actually pair-quadratic (measured: driver
+    # "Not enough memory to build and broadcast" at sf10 in a warmed
+    # JVM).  Sort-merge costs one bounded shuffle of (id, n) rows and
+    # is safe at any corpus size — a billion-doc sizes side could
+    # never broadcast either.
     sizes = sig.select("_id", "_n")
     candidates = (
-        candidates.join(
+        candidates.hint("merge")
+        .join(
             sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
             "id_a",
         )
+        .hint("merge")
         .join(
             sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
             "id_b",

@@ -141,11 +141,20 @@ def main() -> None:
                 print(f"{tag} {n}: skipped (quadratic yardstick)", flush=True)
                 continue
             best = float("inf")
-            for _ in range(REPS):
-                clear_persisted()
-                t0 = time.perf_counter()
-                QUERIES[n].fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+            try:
+                for _ in range(REPS):
+                    clear_persisted()
+                    t0 = time.perf_counter()
+                    QUERIES[n].fn(spark, sf_dir).count()
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001
+                # one failing query must not void the whole SF leg —
+                # record the failure visibly and keep measuring (the
+                # sf10 legs run for an hour; losing them to the first
+                # error made round-8's first refresh attempt silent)
+                print(f"{tag} {n}: ERROR {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+                continue
             timings[n] = round(best, 3)
             print(f"{tag} {n}: {timings[n]}s", flush=True)
         result[tag] = timings

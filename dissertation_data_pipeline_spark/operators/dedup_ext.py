@@ -429,10 +429,18 @@ def minhash_lsh_pairs(
     band_entries = minhash_band_entries(
         sig, bands=bands, rows_per_band=rows_per_band
     ).transform(lambda d: pin_spread(d, "band_idx", "band_key"))
+    # merge-hinted end to end: every relation on the candidate path is
+    # pair-quadratic or corpus-linear — never broadcastable at scale —
+    # but Spark's post-explode/post-distinct size ESTIMATES read small
+    # and the planner kept picking broadcast builds (measured: driver
+    # "Not enough memory to build and broadcast" at sf10 in a warmed
+    # JVM).  Pinning sort-merge keeps the explosion on the shuffle
+    # path the pin_spread repartition laid out.
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
-        a.join(
+        a.hint("merge")
+        .join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -478,7 +486,9 @@ def minhash_lsh_pairs(
     pa = post.select(F.col("_id").alias("id_a"), "_shingle")
     pb = post.select(F.col("_id").alias("id_b"), "_shingle")
     inter = (
-        candidates.join(pa, "id_a")
+        candidates.hint("merge")
+        .join(pa, "id_a")
+        .hint("merge")
         .join(pb, ["id_b", "_shingle"])
         .groupBy("id_a", "id_b", "_na", "_nb")
         .agg(F.count(F.lit(1)).alias("_inter"))

@@ -133,6 +133,21 @@ def s_json_props(spark, sf_dir):
     )
 
 
+def _drain_partitions(n_rows: int, spark) -> int:
+    """State-store partition count for a bounded AvailableNow drain,
+    sized to the staged input: ~125k rows per state partition per
+    batch, floored at the r6-measured gate optimum (8 — see
+    BASELINE.md 'stateful-drain overhead') and capped at the session
+    shuffle conf.  At gate SFs this resolves to exactly the pinned 8
+    (results are partition-count independent, pinned by test); at the
+    sf10 trend point the fixed 8 starved 32 cores — measured 140 s vs
+    ~56 s pre-pin — which this sizing repairs without giving up the
+    small-SF win.  On a real cluster the same rule scales with the
+    session conf, which is the deployment's knob."""
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(8, min(conf, n_rows // 125_000))
+
+
 @register(
     "s_stateful_profile",
     """
@@ -175,6 +190,7 @@ def s_stateful_profile(spark, sf_dir):
     )
 
     events = load_table(spark, sf_dir, "events")
+    n_events = events.count()
     work = tempfile.mkdtemp(prefix="ddp_stateful_gate_")
     try:
         src = os.path.join(work, "src")
@@ -194,7 +210,7 @@ def s_stateful_profile(spark, sf_dir):
             # loaded-host headroom (idle: ~6 s) — same rationale as
             # s_stream_stream_join
             timeout_sec=600,
-            shuffle_partitions=8,
+            shuffle_partitions=_drain_partitions(n_events, spark),
         )
         # The memory sink holds its rows in the driver; the staged
         # files and checkpoint are dead weight once the query drains.
@@ -294,6 +310,7 @@ if _tws_runtime_available():
         )
 
         events = load_table(spark, sf_dir, "events")
+        n_events = events.count()
         work = tempfile.mkdtemp(prefix="ddp_tws_gate_")
         try:
             src = os.path.join(work, "src")
@@ -316,7 +333,7 @@ if _tws_runtime_available():
                     os.path.join(work, "ckpt"),
                     output_mode="update",
                     timeout_sec=600,
-                    shuffle_partitions=8,
+                    shuffle_partitions=_drain_partitions(n_events, spark),
                 )
             final = sink.groupBy("user_id").agg(
                 F.max("n_events").alias("n_events"),

@@ -199,6 +199,9 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     # and curation oracle refactored into the shared _curation_sql
     # (SQL text verified byte-identical; re-verified anyway):
     "p11_skip_list_scan": 8, "ext_curation_pipeline": 8,
+    # round 8: drain state partitions sized to staged rows (results
+    # partition-count independent; re-verified):
+    "s_stateful_profile": 8,
 }
 
 

@@ -429,18 +429,10 @@ def minhash_lsh_pairs(
     band_entries = minhash_band_entries(
         sig, bands=bands, rows_per_band=rows_per_band
     ).transform(lambda d: pin_spread(d, "band_idx", "band_key"))
-    # merge-hinted end to end: every relation on the candidate path is
-    # pair-quadratic or corpus-linear — never broadcastable at scale —
-    # but Spark's post-explode/post-distinct size ESTIMATES read small
-    # and the planner kept picking broadcast builds (measured: driver
-    # "Not enough memory to build and broadcast" at sf10 in a warmed
-    # JVM).  Pinning sort-merge keeps the explosion on the shuffle
-    # path the pin_spread repartition laid out.
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     candidates = (
-        a.hint("merge")
-        .join(
+        a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
@@ -459,21 +451,22 @@ def minhash_lsh_pairs(
     # so the oracle needs no mirror); it matters most under the
     # adaptive 6x2 banding, whose shorter band keys admit many
     # near-threshold candidates that this bound kills for free.
-    # merge-hinted: the candidate side's post-distinct size ESTIMATE
-    # reads small, tempting the planner into a broadcast build of a
-    # relation that is actually pair-quadratic (measured: driver
-    # "Not enough memory to build and broadcast" at sf10 in a warmed
-    # JVM).  Sort-merge costs one bounded shuffle of (id, n) rows and
-    # is safe at any corpus size — a billion-doc sizes side could
-    # never broadcast either.
+    # Join strategy is left to AQE on purpose: candidates sit behind a
+    # distinct() shuffle stage, so AQE sizes them from RUNTIME stats
+    # and broadcasts only when genuinely small (at sf10 the candidate
+    # set is ~10 MB — a correct broadcast; at corpus scales where it
+    # grows past the threshold AQE falls back to shuffle joins on its
+    # own).  An earlier round pinned merge joins here after a driver
+    # "Not enough memory to build and broadcast" in the bench harness —
+    # that OOM was a harness leak (memory-sink temp views accumulating
+    # driver heap across warmups; fixed in session.drop_blocks), and
+    # the pinned SMJ cost 14-20 exchanges per plan vs <=6.
     sizes = sig.select("_id", "_n")
     candidates = (
-        candidates.hint("merge")
-        .join(
+        candidates.join(
             sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")),
             "id_a",
         )
-        .hint("merge")
         .join(
             sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")),
             "id_b",
@@ -486,9 +479,7 @@ def minhash_lsh_pairs(
     pa = post.select(F.col("_id").alias("id_a"), "_shingle")
     pb = post.select(F.col("_id").alias("id_b"), "_shingle")
     inter = (
-        candidates.hint("merge")
-        .join(pa, "id_a")
-        .hint("merge")
+        candidates.join(pa, "id_a")
         .join(pb, ["id_b", "_shingle"])
         .groupBy("id_a", "id_b", "_na", "_nb")
         .agg(F.count(F.lit(1)).alias("_inter"))

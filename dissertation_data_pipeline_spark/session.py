@@ -95,11 +95,22 @@ def get_spark(
 
 def drop_blocks(spark: SparkSession) -> None:
     """Unpersist every cached relation and persistent RDD (including
-    localCheckpoint blocks). Multi-query harnesses (bench.py,
-    tools/check_correctness.py) call this between queries so blocks
-    don't accumulate across hundreds of executions in one shared
-    local-mode JVM."""
+    localCheckpoint blocks), and drop leftover temp views. Multi-query
+    harnesses (bench.py, tools/check_correctness.py) call this between
+    queries so blocks don't accumulate across hundreds of executions
+    in one shared local-mode JVM.
+
+    The temp-view sweep is the memory-sink fix: each streaming gate
+    row drains to a ``format("memory")`` sink whose rows live in the
+    DRIVER heap behind a temp view, and nothing dropped those views —
+    across a warmup pass plus timed passes the driver filled until
+    legitimate broadcast builds failed with "Not enough memory to
+    build and broadcast" (round-8 BENCH_SCALE sf10, diagnosed as a
+    planner problem first — it wasn't; the plans were right)."""
     spark.catalog.clearCache()
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
     it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()  # noqa: SLF001
     while it.hasNext():
         it.next()._2().unpersist(True)

@@ -27,10 +27,19 @@ import os
 import sys
 import time
 
+# The sf10 legs run ~2 GB of localCheckpoint blocks + shuffle state +
+# legitimate broadcast builds inside ONE local-mode JVM that is driver
+# and all 32 executors at once; at the default 8g a marginal broadcast
+# build can OOM ("Not enough memory to build and broadcast") even
+# though the same plan is comfortable on any real cluster, where the
+# driver does not carry executor heaps. Size the measurement JVM
+# honestly; the env override still wins.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "12g")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dissertation_data_pipeline_spark.plans.registry import QUERIES  # noqa: E402
-from dissertation_data_pipeline_spark.session import get_spark  # noqa: E402
+from dissertation_data_pipeline_spark.session import drop_blocks, get_spark  # noqa: E402
 
 #: trend set — every scale-sensitive family, plus linear-scan controls
 TREND = [
@@ -122,15 +131,11 @@ def main() -> None:
             pass
 
     def clear_persisted() -> None:
-        # localCheckpoint()s persist RDD blocks for the life of the
-        # session; across 29 queries x 2 reps x 3 scales they pile up
-        # in the shared local-mode JVM until an sf10 broadcast build
-        # dies with "Not enough memory".  Drop them between queries —
-        # a real deployment runs one query per job, not 170.
-        spark.catalog.clearCache()
-        it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
-        while it.hasNext():
-            it.next()._2().unpersist(True)
+        # shared harness hygiene (session.drop_blocks): caches,
+        # localCheckpoint blocks, AND memory-sink temp views — the
+        # sinks hold their rows in the driver heap and were the
+        # round-8 "Not enough memory to build and broadcast" culprit.
+        drop_blocks(spark)
 
     result: dict[str, dict[str, float]] = {}
     for sf_dir in sf_dirs:

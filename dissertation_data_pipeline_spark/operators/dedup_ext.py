@@ -472,8 +472,15 @@ def minhash_lsh_pairs(
             "id_b",
         )
         .filter(
+            # epsilon slack: the FINAL filter compares round(j, 6) >=
+            # threshold, which admits true jaccard down to t - 5e-7; the
+            # size bound must not be tighter than the rounded filter or
+            # a pair in [t-5e-7, t) with ~2M+ distinct shingles could be
+            # dropped here yet kept by the oracle.  1e-6 covers the
+            # rounding half-interval with margin and rejects nothing the
+            # final filter would keep.
             F.least("_na", "_nb").cast("double")
-            >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")
+            >= F.lit(threshold - 1e-6) * F.greatest("_na", "_nb").cast("double")
         )
     )
     pa = post.select(F.col("_id").alias("id_a"), "_shingle")
@@ -627,15 +634,61 @@ def _auto_n_blocks(df, max_hamming: int, bits: int) -> int:
     file bytes for a parquet scan) over ``_APPROX_DOC_BYTES``.  Plans
     whose stats are unknown report Long.Max and pick the multi-block
     scheme — the scale-safe direction, identical results."""
+    def _smallest_divisor_block_count() -> int:
+        # _signature_pairs needs m | bits and m > max_hamming; the
+        # classic scheme's m = d+1 satisfies this for the historical
+        # (48, 3) call sites, but tau-derived radii (simhash_hamming_for
+        # -> d=6) land between divisors — take the next one up (more
+        # blocks = shorter per-block keys but MORE tables keyed on
+        # m-d blocks; still recall-exact by pigeonhole)
+        for m in range(max_hamming + 1, bits + 1):
+            if bits % m == 0:
+                return m
+        return bits
+
     if bits % 6 != 0 or 6 <= max_hamming:
-        return max_hamming + 1
+        return _smallest_divisor_block_count()
     stats = df._jdf.queryExecution().optimizedPlan().stats()
     rc = stats.rowCount()
     if rc.isDefined():
         est_rows = int(str(rc.get()))
     else:
         est_rows = int(str(stats.sizeInBytes())) // _APPROX_DOC_BYTES
-    return 6 if est_rows >= _MULTIBLOCK_MIN_ROWS else max_hamming + 1
+    return 6 if est_rows >= _MULTIBLOCK_MIN_ROWS else _smallest_divisor_block_count()
+
+
+def simhash_hamming_for(
+    bits: int, tau: float, *, target_recall: float = 0.9
+) -> int:
+    """Hamming cutoff for a target token-set Jaccard threshold — the
+    SimHash analog of ``minhash_auto_banding`` (round-9 recall fix).
+
+    A fixed cutoff silently sets the detector's similarity working
+    point: the fixed-block harness measured ``max_hamming=3`` at 48
+    bits catching only 0.61 of Jaccard>=0.95 pairs
+    (``ext_simhash_pair_recall_h3``), because a pair AT the threshold
+    sits near the middle of its Hamming distribution.  Derivation:
+    token sets at Jaccard ``tau`` (comparable sizes) have cosine
+    ``2*tau/(1+tau)``; each SimHash bit flips independently with
+    probability ``theta/pi`` (Charikar 2002), so the pair's Hamming
+    distance is Binomial(bits, theta/pi).  The cutoff is the normal
+    upper quantile ``mu + z*sigma`` at the target recall — pairs at
+    the threshold are caught with ~``target_recall`` probability, and
+    pairs above it (smaller theta) with strictly more.  For (48,
+    0.95, 0.9): mu=3.46, sigma=1.80, z=1.2816 -> cutoff 6, measured
+    block recall 0.99 (``ext_simhash_pair_recall``).  Pure arithmetic
+    on call-site constants, so oracles mirror it by calling this SAME
+    function while rendering their SQL."""
+    import math
+    from statistics import NormalDist
+
+    assert bits >= 1 and 0 < tau <= 1 and 0 < target_recall < 1
+    theta = math.acos(min(1.0, 2.0 * tau / (1.0 + tau)))
+    p = theta / math.pi
+    mu = bits * p
+    sigma = math.sqrt(bits * p * (1.0 - p))
+    z = NormalDist().inv_cdf(target_recall)
+    return max(1, math.ceil(mu + z * sigma))
 
 
 def _signature_pairs(

@@ -1133,6 +1133,136 @@ def adaptive_lsh_planes(n_rows: int) -> int:
     return LSH_PLANES_MAX
 
 
+def hyperplane_auto_banding(
+    tau: float,
+    n_rows: int,
+    *,
+    target_recall: float = 0.9,
+    max_bands: int = 32,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for a target cosine threshold — the
+    hyperplane-LSH analog of ``minhash_auto_banding`` (round-9 recall
+    fix).  A SINGLE all-planes bucket is a recall cliff: a pair at
+    cosine ``tau`` agrees on each plane with ``p = 1 - acos(tau)/pi``
+    (Charikar 2002), so one 8-plane bucket catches it with only
+    ``p^8`` (0.43 at tau=0.95 — the fixed-block harness number,
+    ``ext_embedding_near_dup_recall_single``).  Banding restores the
+    OR-amplification MinHash banding provides: rows_per_band comes
+    from the size staircase (``adaptive_lsh_planes`` — wide enough
+    bands that random collisions stay O(1) per bucket as the corpus
+    grows), and bands is the smallest ``b`` with ``1-(1-p^r)^b >=
+    target_recall``, clamped to ``max_bands`` (at very low tau the
+    S-curve flattens and banding cannot win — the clamp keeps the
+    plan bounded and the measured-recall row states what was
+    achieved).  For (0.95, 500, 0.9): r=8, b=5 — measured block
+    recall 1.0 at the planted-twin working point
+    (``ext_embedding_near_dup_recall``).  Pure arithmetic on
+    call-site constants, so oracles mirror it by calling this SAME
+    function while rendering their SQL."""
+    import math
+
+    assert 0 < tau < 1 and 0 < target_recall < 1
+    rows = adaptive_lsh_planes(n_rows)
+    p_row = (1.0 - math.acos(tau) / math.pi) ** rows
+    if p_row >= 1.0:
+        return 1, rows
+    bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_row))
+    return max(1, min(max_bands, bands)), rows
+
+
+def embedding_near_dup_banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    tau: float,
+    target_recall: float = 0.9,
+    bands: int | None = None,
+    rows: int | None = None,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with BANDED hyperplane
+    LSH: ``bands`` independent ``rows``-plane buckets generate
+    candidates (a pair is a candidate when it collides in ANY band),
+    exact cosine >= ``tau`` verifies — the vector analog of
+    ``minhash_lsh_pairs``, with the banding derived from (tau,
+    corpus size, target recall) by ``hyperplane_auto_banding``.
+
+    Plan shape (the MinHash pattern, scale-critical): band entries
+    are narrow (id, band_idx, bucket) rows — vectors never ride
+    through the exploded self-join; candidates are DISTINCT pairs
+    from the within-band bucket join (quadratic only inside a
+    bucket); verification joins the vectors back by id and computes
+    one cosine per candidate with precomputed norms.  The band count
+    is a planning-time constant, so the entries explode is a literal
+    array — no HOF in the join key path."""
+    n_rows_est = df.count()
+    if rows is None or bands is None:
+        auto_b, auto_r = hyperplane_auto_banding(
+            tau, n_rows_est, target_recall=target_recall
+        )
+        bands = bands if bands is not None else auto_b
+        rows = rows if rows is not None else auto_r
+    planes = hyperplanes(bands * rows, dim)
+    base = df.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    lsh_bucket(vec_col, planes[i * rows : (i + 1) * rows]).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(bands)
+            ]
+        ).alias("_bands"),
+    )
+    ent = base.select(
+        id_col, F.explode("_bands").alias("_e")
+    ).select(
+        id_col,
+        F.col("_e.band_idx").alias("band_idx"),
+        F.col("_e.bucket").alias("bucket"),
+    )
+    ent = pin_spread(ent, "band_idx", "bucket")
+    ea, eb = ent.alias("a"), ent.alias("b")
+    cand = (
+        ea.join(
+            eb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sides = df.select(
+        F.col(id_col), _c(vec_col).alias("_v"), l2_norm(vec_col).alias("_n")
+    )
+    va = sides.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = sides.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+    )
+
+
 #: Corpus-size steps for the IVF coarse-cell count — the same
 #: exact-row-count contract as LSH_PLANE_STEPS (Catalyst stats are not
 #: SQL-visible, so the rule both engines replicate is a COUNT(*) CASE).

@@ -14,12 +14,26 @@ changed AFTER its last driver green carries a CODE_CHANGED_ROUND entry
 at least that recent — so forgetting the bump fails CI instead of
 quietly parking a changed row in the fresh-green tail.
 
-Scope honesty: the fingerprint sees the REGISTRATION site, not the
-operator modules it calls — a semantics change buried in (say)
-``dedup_ext`` with an unchanged call site still needs its manual
-CODE_CHANGED_ROUND entry.  In practice the call site almost always
-moves with the semantics (defaults, aliases, oracle SQL), which is
-exactly the class of change ADVICE r7 worried about.
+Scope (round 9 closes the r8 verdict's hole): alongside the
+registration-site fingerprint (``fp``), each query records a
+DEPENDENCY fingerprint (``dep_fp``) — the union of docstring-stripped
+module AST hashes for every ENGINE module (``operators``/``functions``/
+``streaming``/``sources``/``schemas``/``tables``) the query's defining
+plans module transitively imports, resolved at runtime from actual
+module objects so package re-exports (``from ..operators import x``)
+attribute to the submodule that DEFINES ``x``.  A semantics change
+buried deep in (say) ``dedup_ext`` now flags every dependent query
+mechanically, with no call-site motion and no manual
+CODE_CHANGED_ROUND entry required to notice it.
+
+Residual holes, documented honestly: (a) module-level HELPERS inside a
+plans module itself (e.g. a shared SQL-rendering function) are outside
+both hashes unless their call sites change — plans modules are excluded
+from the closure because registry.py's round-bookkeeping dicts would
+otherwise mass-flag all 239 queries every round; (b) ``session.py`` and
+``compat.py`` are excluded by the same noise argument (partitioning
+helpers and availability shims whose outputs are result-invariant by
+design and separately tested).
 """
 
 from __future__ import annotations
@@ -91,3 +105,138 @@ def computed_fingerprints() -> dict[str, str]:
     return {
         name: gate_fingerprint(q.fn, q.sql) for name, q in QUERIES.items()
     }
+
+
+# ---------------------------------------------------------------------------
+# Dependency fingerprints (engine-module closure)
+# ---------------------------------------------------------------------------
+
+_PKG = "dissertation_data_pipeline_spark"
+
+#: Engine namespaces whose content participates in dep_fp.  plans.* is
+#: deliberately OUT (module docstring explains); session/compat are out
+#: by the same noise argument.
+_ENGINE_PREFIXES = (
+    f"{_PKG}.operators",
+    f"{_PKG}.functions",
+    f"{_PKG}.streaming",
+    f"{_PKG}.sources",
+    f"{_PKG}.schemas",
+    f"{_PKG}.tables",
+)
+
+_module_hash_cache: dict[str, str] = {}
+_module_deps_cache: dict[str, frozenset[str]] = {}
+
+
+def _is_engine_module(name: str) -> bool:
+    return any(
+        name == p or name.startswith(p + ".") for p in _ENGINE_PREFIXES
+    )
+
+
+def module_content_hash(mod_name: str) -> str:
+    """sha256 of the module's docstring-stripped AST dump — same
+    comment/prose immunity as the per-query fingerprint."""
+    if mod_name not in _module_hash_cache:
+        import importlib
+
+        mod = importlib.import_module(mod_name)
+        src = inspect.getsource(mod)
+        tree = _strip_docstrings(ast.parse(src))
+        _module_hash_cache[mod_name] = hashlib.sha256(
+            ast.dump(tree).encode()
+        ).hexdigest()
+    return _module_hash_cache[mod_name]
+
+
+def _direct_engine_deps(mod_name: str) -> frozenset[str]:
+    """Engine modules a module directly depends on, resolved from its
+    import STATEMENTS against live module objects: ``from X import f``
+    attributes to ``f.__module__`` (the defining submodule — precise
+    through package re-exports); module imports attribute to the
+    module; value imports (constants) fall back to the source module
+    ``X`` itself."""
+    if mod_name in _module_deps_cache:
+        return _module_deps_cache[mod_name]
+    import importlib
+
+    mod = importlib.import_module(mod_name)
+    deps: set[str] = set()
+
+    def _add(name: str) -> None:
+        if _is_engine_module(name) and name != mod_name:
+            deps.add(name)
+
+    tree = ast.parse(inspect.getsource(mod))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                _add(alias.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:  # relative: resolve against the package
+                base = mod_name.rsplit(".", node.level)[0]
+                src_mod = f"{base}.{node.module}" if node.module else base
+            else:
+                src_mod = node.module or ""
+            if not src_mod.startswith(_PKG):
+                continue
+            try:
+                src_obj = importlib.import_module(src_mod)
+            except ImportError:
+                _add(src_mod)
+                continue
+            for alias in node.names:
+                val = getattr(src_obj, alias.name, None)
+                import types
+
+                if isinstance(val, types.ModuleType):
+                    _add(val.__name__)
+                elif getattr(val, "__module__", None):
+                    _add(val.__module__)
+                else:
+                    _add(src_mod)
+    _module_deps_cache[mod_name] = frozenset(deps)
+    return _module_deps_cache[mod_name]
+
+
+def engine_dep_closure(mod_name: str) -> frozenset[str]:
+    """Transitive engine-module dependencies of ``mod_name`` (which may
+    itself be a plans module — the traversal root is never included
+    unless reached through an engine module)."""
+    seen: set[str] = set()
+    frontier = list(_direct_engine_deps(mod_name))
+    while frontier:
+        m = frontier.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        frontier.extend(_direct_engine_deps(m) - seen)
+    return frozenset(seen)
+
+
+def dep_fingerprint(mod_name: str) -> str:
+    """sha256 over the sorted (module, content-hash) pairs of the
+    engine-dep closure — shared by every query the module defines."""
+    h = hashlib.sha256()
+    for dep in sorted(engine_dep_closure(mod_name)):
+        h.update(dep.encode())
+        h.update(b"\x00")
+        h.update(module_content_hash(dep).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def computed_dep_fingerprints() -> dict[str, str]:
+    """Per-query dep_fp (queries defined in the same plans module share
+    one closure, so this is ~30 closures for 239 queries)."""
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+
+    per_module: dict[str, str] = {}
+    out: dict[str, str] = {}
+    for name, q in QUERIES.items():
+        mod = q.fn.__module__
+        if mod not in per_module:
+            per_module[mod] = dep_fingerprint(mod)
+        out[name] = per_module[mod]
+    return out

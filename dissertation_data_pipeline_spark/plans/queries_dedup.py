@@ -278,13 +278,14 @@ def ext_near_dup_components(spark, sf_dir):
     return connected_components(edges)
 
 
-@register(
-    "ext_blocked_jaccard_pairs",
-    f"""
-    WITH {_SHINGLE_CTE},
+def _blocked_jaccard_sql(src: str) -> str:
+    """The blocked-Jaccard oracle over an arbitrary documents relation
+    — shared by the corpus-wide row and the fixed-block row."""
+    return f"""
+    WITH {_SHINGLE_CTE_TMPL.format(src=src)},
     blocked AS (
       SELECT d.doc_id, d.lang, d.source, sh.shingles
-      FROM documents d JOIN sh ON sh.doc_id = d.doc_id
+      FROM {src} d JOIN sh ON sh.doc_id = d.doc_id
     )
     SELECT lang, source, id_a, id_b, jaccard FROM (
       SELECT a.lang, a.source, a.doc_id AS id_a, b.doc_id AS id_b,
@@ -293,18 +294,44 @@ def ext_near_dup_components(spark, sf_dir):
       FROM blocked a JOIN blocked b
         ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     ) WHERE jaccard >= 0.2
-    """,
-)
+    """
+
+
+@register("ext_blocked_jaccard_pairs", _blocked_jaccard_sql("documents"))
 def ext_blocked_jaccard_pairs(spark, sf_dir):
     """[EXT] blocked exact n-gram Jaccard: all-pairs only within
     (lang, source) blocks — the operator requires blocking keys, the
-    quadratic term is bounded by block size."""
+    quadratic term is bounded by block size. The all-pairs-within-block
+    oracle is corpus-quadratic, so sf>=1 value coverage comes from
+    ``ext_blocked_jaccard_block_pairs``."""
     return dx.blocked_jaccard_pairs(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         ["lang", "source"],
         threshold=0.2,
+    )
+
+
+@register(
+    "ext_blocked_jaccard_block_pairs",
+    _blocked_jaccard_sql(
+        f"(SELECT * FROM documents WHERE doc_id < {_CURATION_BLOCK})"
+    ),
+)
+def ext_blocked_jaccard_block_pairs(spark, sf_dir):
+    """[EXT] the SAME blocked-Jaccard operator (same blocking keys,
+    threshold, shingling) restricted to a FIXED 500-doc block — the
+    fixed-block oracle protocol (``ext_curation_block_pipeline``)
+    applied to this family (r8 verdict Next #3): the oracle's
+    within-block quadratic cost is bounded by the block, not the
+    corpus, so the pair VALUES stay oracle-green at sf1/sf10 where
+    the corpus-wide oracle is execute-only."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _CURATION_BLOCK
+    )
+    return dx.blocked_jaccard_pairs(
+        docs, "doc_id", "text", ["lang", "source"], threshold=0.2
     )
 
 
@@ -769,3 +796,133 @@ def ext_dedup_pair_recall_b4r3(spark, sf_dir):
     as a gate row so the quality cost of a crossover-above-threshold
     banding stays measured, not remembered."""
     return _pair_recall(spark, sf_dir, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# SimHash detector recall (the MinHash recall protocol, r8 verdict #4)
+# ---------------------------------------------------------------------------
+
+#: The SimHash recall rows' semantic working point: token-set Jaccard
+#: ground truth at this threshold.  0.95 is where a 48-bit SimHash
+#: claims to operate (hamming<=3 ~ cosine 0.974 ~ equal-size Jaccard
+#: 0.95) — the harness measures whether it actually does.
+_SIMHASH_RECALL_TAU = 0.95
+
+#: The tau-derived cutoff (6 at 48 bits) — rendered into the oracle
+#: from the SAME function the engine calls, so drift is structurally
+#: impossible (the minhash_auto_banding pattern).
+_SIMHASH_RECALL_CUTOFF = dx.simhash_hamming_for(48, _SIMHASH_RECALL_TAU)
+
+
+def _simhash_recall_sql(cutoff: int) -> str:
+    """The SimHash pair-recall oracle: token-set Jaccard >=
+    ``_SIMHASH_RECALL_TAU`` all-pairs ground truth on the fixed block
+    vs the Hamming<=``cutoff`` detections over the same block (the
+    ``toks`` CTE inside ``_SIMHASH_CTE_TMPL`` already carries the
+    distinct token sets, so truth and signatures derive from ONE
+    tokenization)."""
+    blk = f"(SELECT * FROM documents WHERE doc_id < {_RECALL_BLOCK})"
+    return f"""
+    WITH {_SIMHASH_CTE_TMPL.format(src=blk)},
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.t, b.t))::DOUBLE
+            / len(list_distinct(list_concat(a.t, b.t)))
+            >= {_SIMHASH_RECALL_TAU}
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM simh a JOIN simh b
+        ON a.doc_id < b.doc_id
+       AND bit_count(xor(a.sh, b.sh)) <= {cutoff}
+    ),
+    hits AS (
+      SELECT t.id_a, t.id_b
+      FROM truth t JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+           (SELECT count(*) FROM hits) AS n_detected,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
+                ELSE round((SELECT count(*) FROM hits)::DOUBLE
+                           / (SELECT count(*) FROM truth), 6) END AS recall
+    """
+
+
+def _simhash_pair_recall(spark, sf_dir, *, cutoff: int):
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _RECALL_BLOCK
+    )
+    toksets = docs.select(
+        "doc_id",
+        F.array_distinct(dx.tokens("text")).alias("_t"),
+        F.lit(1).alias("_blk"),
+    )
+    ta, tb = toksets.alias("a"), toksets.alias("b")
+    # const-key equi-join (the _pair_recall trick) keeps the block's
+    # all-pairs truth a hash join, not a cartesian product
+    truth = ta.join(
+        tb,
+        (F.col("a._blk") == F.col("b._blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (
+            F.size(F.array_intersect("a._t", "b._t")).cast("double")
+            / F.size(F.array_union("a._t", "b._t"))
+        ).alias("_j"),
+    ).filter(F.col("_j") >= _SIMHASH_RECALL_TAU).select("id_a", "id_b")
+    detected = dx.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=cutoff
+    ).select("id_a", "id_b")
+    marked = truth.join(
+        detected.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("_hit").alias("n_detected"),
+    ).withColumn(
+        "recall",
+        F.when(
+            F.col("n_true_pairs") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            F.round(
+                F.col("n_detected").cast("double") / F.col("n_true_pairs"), 6
+            )
+        ),
+    )
+
+
+@register(
+    "ext_simhash_pair_recall", _simhash_recall_sql(_SIMHASH_RECALL_CUTOFF)
+)
+def ext_simhash_pair_recall(spark, sf_dir):
+    """[EXT] measured SimHash detector recall AT THE DERIVED CUTOFF:
+    exact all-pairs token-set Jaccard >= 0.95 ground truth on the
+    fixed 500-doc block vs the real banded ``simhash_pairs`` operator
+    run with ``max_hamming = simhash_hamming_for(48, 0.95)`` (= 6) —
+    the MinHash recall-harness protocol (r8 verdict Next #4) applied
+    to the SimHash family.  The banding itself is recall-exact by
+    pigeonhole (ext_simhash_pairs' brute-force oracle pins that); what
+    was unmeasured is the DETECTOR's similarity working point, and the
+    legacy cutoff failed it: hamming<=3 catches 0.61 of
+    Jaccard>=0.95 pairs (``ext_simhash_pair_recall_h3``), the derived
+    cutoff 0.99 — because a pair at the threshold sits mid-
+    distribution (Binomial mean 3.5 at 48 bits), so the cutoff must
+    be an upper quantile, not the mean.  Scale: truth cost is
+    block-constant; the detector leg is the production banded plan."""
+    return _simhash_pair_recall(
+        spark, sf_dir, cutoff=_SIMHASH_RECALL_CUTOFF
+    )
+
+
+@register("ext_simhash_pair_recall_h3", _simhash_recall_sql(3))
+def ext_simhash_pair_recall_h3(spark, sf_dir):
+    """[EXT] the SimHash cutoff lever's LOW side: the same ground
+    truth measured against the classic ``max_hamming=3`` working
+    point every ``simhash_pairs`` call site inherited before round 9
+    — kept as a gate row so the 0.61-recall cost of treating the
+    Hamming-ball definition as a similarity threshold stays measured,
+    not remembered (the b4r3 pattern)."""
+    return _simhash_pair_recall(spark, sf_dir, cutoff=3)

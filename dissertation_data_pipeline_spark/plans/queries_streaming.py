@@ -262,11 +262,24 @@ def _tws_runtime_available() -> bool:
                         " sys.exit(0 if ensure_protobuf() else 1)",
                     ],
                     capture_output=True,
-                    timeout=15,
+                    # generous: the probed command cold-imports pyspark
+                    # (StateMessage_pb2) in a fresh interpreter; the
+                    # probe runs once per registry import, so 30 s is
+                    # cheap insurance against a loaded host silently
+                    # unregistering the TWS row (ADVICE r8)
+                    timeout=30,
                     env=env,
                 ).returncode
                 == 0
             )
+        except subprocess.TimeoutExpired:
+            print(
+                "WARNING: worker-interpreter protobuf probe timed out"
+                f" (30s, {worker_py}); s_stateful_profile_tws will NOT"
+                " register this run",
+                file=sys.stderr,
+            )
+            return False
         except Exception:
             return False
     from dissertation_data_pipeline_spark.compat import ensure_protobuf

@@ -480,12 +480,13 @@ def ext_zorder_values(spark, sf_dir):
     )
 
 
-@register(
-    "ext_entity_resolution",
-    """
+def _entity_resolution_sql(src: str) -> str:
+    """The entity-resolution oracle over an arbitrary part relation —
+    shared by the corpus-wide row and the fixed-block row."""
+    return f"""
     WITH RECURSIVE pairs AS (
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-      FROM part a JOIN part b
+      FROM {src} a JOIN {src} b
         ON a.p_brand = b.p_brand AND a.p_type = b.p_type
        AND a.p_partkey < b.p_partkey
       WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
@@ -509,10 +510,12 @@ def ext_zorder_values(spark, sf_dir):
              AS total_retail,
            array_to_string(list(CAST(id AS VARCHAR) ORDER BY id), ',')
              AS members
-    FROM comp JOIN part ON comp.id = part.p_partkey
+    FROM comp JOIN {src} part ON comp.id = part.p_partkey
     GROUP BY 1
-    """,
-)
+    """
+
+
+@register("ext_entity_resolution", _entity_resolution_sql("part"))
 def ext_entity_resolution(spark, sf_dir):
     """[EXT] End-to-end entity resolution, the full composition:
     (1) blocking + fuzzy match — ``fuzzy_resolution_edges`` within
@@ -539,6 +542,12 @@ def ext_entity_resolution(spark, sf_dir):
     quadratic term is bounded by distinct texts per block, the cluster
     step switches to distributed propagation past 2M edges, and the
     golden-record pass is one shuffle on component_id."""
+    return _resolve_entities(load_table(spark, sf_dir, "part"))
+
+
+def _resolve_entities(part):
+    """The three-stage resolution pipeline over an arbitrary part
+    relation — shared by the corpus-wide row and the fixed-block row."""
     from dissertation_data_pipeline_spark.operators.analytics import (
         fuzzy_resolution_edges,
     )
@@ -546,7 +555,6 @@ def ext_entity_resolution(spark, sf_dir):
         connected_components,
     )
 
-    part = load_table(spark, sf_dir, "part")
     pairs = fuzzy_resolution_edges(
         part, "p_partkey", "p_name", ["p_brand", "p_type"], max_distance=2
     )
@@ -571,3 +579,23 @@ def ext_entity_resolution(spark, sf_dir):
             ).alias("members"),
         )
     )
+
+
+@register(
+    "ext_entity_resolution_block",
+    _entity_resolution_sql(
+        "(SELECT * FROM part WHERE p_partkey < 500)"
+    ),
+)
+def ext_entity_resolution_block(spark, sf_dir):
+    """[EXT] the SAME three-stage entity-resolution pipeline (same
+    fuzzy_resolution_edges blocking + edit-distance match, same
+    iterative connected_components, same golden-record aggregation)
+    with the FUZZY-MATCH SCOPE fixed to a 500-part block — the
+    fixed-block oracle protocol (``ext_curation_block_pipeline``)
+    applied to this family (r8 verdict Next #3): the oracle's
+    quadratic pair set and recursive-CTE fixpoint are block-bounded,
+    so the resolved clusters and golden records stay oracle-green at
+    sf1/sf10 where the corpus-wide oracle is execute-only."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return _resolve_entities(part)

@@ -188,8 +188,6 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     "fs1_normalize_bill_number": 7, "fs2_bill_number_variants": 7,
     # round 7: html_to_text fallback now decodes entities (bs4 parity):
     "uf1_html_fixture": 7,
-    # round 7: eager checkpoint on the exact slice (bench bimodality):
-    "ext_curation_pipeline": 7,
     # round 8: MinHash banding is threshold-adaptive (6x2 at the
     # default 12/0.5 — candidate geometry changed for every row that
     # inherits the default, oracles re-rendered from the same rule):
@@ -202,6 +200,13 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     # round 8: drain state partitions sized to staged rows (results
     # partition-count independent; re-verified):
     "s_stateful_profile": 8,
+    # round 9: oracles refactored into shared SQL-rendering helpers
+    # (_entity_resolution_sql/_semdedup_sql/_blocked_jaccard_sql) for
+    # the new fixed-block twins; rendered corpus SQL is byte-identical
+    # except a redundant self-alias in the entity join; semantics
+    # unchanged, re-verify anyway:
+    "ext_entity_resolution": 9, "ext_semantic_dedup": 9,
+    "ext_blocked_jaccard_pairs": 9,
 }
 
 
@@ -258,10 +263,34 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
+def _changed_rounds() -> dict[str, int]:
+    """Per-query round of the most recent code change that could alter
+    gate output: the max of the hand-maintained CODE_CHANGED_ROUND
+    (semantic changes, documented) and the MECHANICAL fingerprint
+    stamp (plans/gate_fingerprints.json — registration-site or
+    engine-dep-closure drift; round 9 wires it in so a deep operator
+    edit rotates every dependent query without a manual entry)."""
+    try:
+        from dissertation_data_pipeline_spark.plans.fingerprints import (
+            recorded_fingerprints,
+        )
+
+        mech = {
+            n: e.get("round", 0) for n, e in recorded_fingerprints().items()
+        }
+    except Exception:
+        mech = {}
+    out = dict(mech)
+    for n, r in CODE_CHANGED_ROUND.items():
+        out[n] = max(out.get(n, 0), r)
+    return out
+
+
 def _ordered_names() -> list[str]:
     pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
     seen = set(pri)
     lg = last_green_rounds()
+    changed = _changed_rounds()
     # >= not >: at round granularity a change landing in the SAME round
     # as the green may have landed after it — treat same-round as stale
     # (costs one conservative re-check; a later green clears it)
@@ -269,8 +298,7 @@ def _ordered_names() -> list[str]:
         n for n in QUERIES
         if n not in seen
         and n in lg
-        and n in CODE_CHANGED_ROUND
-        and CODE_CHANGED_ROUND[n] >= lg[n]
+        and changed.get(n, 0) >= lg[n]
     ]
     seen |= set(stale)
     never = [n for n in QUERIES if n not in seen and n not in lg]
@@ -811,25 +839,35 @@ from dissertation_data_pipeline_spark.plans import queries_fixtures  # noqa: E40
 from dissertation_data_pipeline_spark.plans import queries_state  # noqa: E402,F401
 from dissertation_data_pipeline_spark.plans import queries_coverage3  # noqa: E402,F401
 
-# Gate-coverage policy for ROUND 8 (see DRIVER_PRIORITY docstring).
-# Cumulative driver-green after r7: all 236 then-registered queries.
-# Newcomers and semantically-changed rows lead the bounded sample;
-# the round-7 newcomers all carried r07 greens and rotate normally.
+# Gate-coverage policy for ROUND 9 (see DRIVER_PRIORITY docstring).
+# Cumulative driver-green after r8: all 239 then-registered queries.
+# The 7 newcomers lead (fixed-block twins + the four recall rows),
+# then the three refactored-oracle corpus rows and the dedup family
+# the epsilon-slack prefilter touched; the ~90 queries the new
+# dep-closure fingerprints restamped (engine modules dedup_ext/
+# similarity changed this round) follow mechanically via
+# _changed_rounds and rotate across rounds 9-10 under the budget.
 set_driver_priority(
     [
-        # new this round: TWS executes via the compat protobuf shim
-        # (first possible driver green), the fixed-block curation row,
-        # and the old-default recall lever
-        "s_stateful_profile_tws",
-        "ext_curation_block_pipeline",
-        "ext_dedup_pair_recall_b4r3",
-        # changed this round (adaptive banding / oracle edits — also
-        # enumerated in CODE_CHANGED_ROUND, listed here to pin order)
+        # new this round: fixed-block oracle twins for the three
+        # remaining naive-oracle families (r8 verdict #3)...
+        "ext_blocked_jaccard_block_pairs",
+        "ext_semantic_dedup_block",
+        "ext_entity_resolution_block",
+        # ...and the measured-recall rows for SimHash and embedding
+        # near-dup, derived-cutoff + legacy-lever pairs (r8 verdict #4)
+        "ext_simhash_pair_recall",
+        "ext_simhash_pair_recall_h3",
+        "ext_embedding_near_dup_recall",
+        "ext_embedding_near_dup_recall_single",
+        # changed this round (oracle refactors + epsilon-slack size
+        # prefilter; also in CODE_CHANGED_ROUND, listed to pin order)
+        "ext_entity_resolution",
+        "ext_semantic_dedup",
+        "ext_blocked_jaccard_pairs",
         "ext_minhash_lsh_pairs",
         "ext_dedup_incremental",
-        "ext_dedup_pair_recall",
-        "ext_dedup_pair_recall_b6r2",
-        "p11_skip_list_scan",
-        "ext_curation_pipeline",
+        "ext_simhash_pairs",
+        "ext_near_dup_components",
     ]
 )

@@ -14,12 +14,13 @@ Docstring/comment-only edits never flag (the fingerprint strips
 docstrings and hashes the AST, and whitespace-normalizes the SQL).
 """
 
+from dissertation_data_pipeline_spark.plans import fingerprints as fp_mod
 from dissertation_data_pipeline_spark.plans.fingerprints import (
+    computed_dep_fingerprints,
     computed_fingerprints,
     recorded_fingerprints,
 )
 from dissertation_data_pipeline_spark.plans.registry import (
-    CODE_CHANGED_ROUND,
     last_green_rounds,
 )
 
@@ -31,33 +32,111 @@ def test_fingerprints_file_is_current():
         "tools/update_gate_fingerprints.py (--bootstrap for first use)"
     )
     computed = computed_fingerprints()
+    dep = computed_dep_fingerprints()
     missing = sorted(set(computed) - set(recorded))
     stale = sorted(set(recorded) - set(computed))
     drifted = sorted(
         n for n in computed if n in recorded and recorded[n]["fp"] != computed[n]
     )
-    assert not (missing or stale or drifted), (
+    dep_drifted = sorted(
+        n
+        for n in dep
+        if n in recorded and recorded[n].get("dep_fp") != dep[n]
+    )
+    assert not (missing or stale or drifted or dep_drifted), (
         "gate fingerprints out of date — run tools/update_gate_fingerprints.py "
         "(and add/refresh CODE_CHANGED_ROUND entries for semantic changes). "
-        f"missing={missing} dropped={stale} drifted={drifted}"
+        f"missing={missing} dropped={stale} drifted={drifted} "
+        f"dep_drifted={dep_drifted}"
     )
 
 
-def test_changed_after_green_queries_have_code_changed_round():
+def test_changed_after_green_queries_rotate_to_front():
+    """Round 9 wires the MECHANICAL fingerprint rounds into the
+    rotation (registry._changed_rounds), so a changed-after-green
+    query no longer depends on a hand-maintained CODE_CHANGED_ROUND
+    entry to be re-verified: assert every such query sorts BEFORE
+    every fresh-green query in the gate ordering.
+
+    Known loophole (ADVICE r8): round granularity cannot distinguish
+    order WITHIN a round — a second code change landing after a
+    driver green in the SAME round reads as changed == green and is
+    handled by the rotation's conservative `>=` (one extra re-check),
+    but a change landing after the SAME-round stamp escapes until the
+    next update_gate_fingerprints run; the residual risk is one round
+    of staleness, caught by the next round's refresh."""
+    from dissertation_data_pipeline_spark.plans.registry import (
+        _changed_rounds,
+        _ordered_names,
+    )
+
     lg = last_green_rounds()
-    offenders = []
-    for name, ent in recorded_fingerprints().items():
-        rnd = ent.get("round", 0)
-        if rnd < 1:
-            continue  # pre-fingerprint bootstrap era: no claim
-        if name in lg and lg[name] >= rnd:
-            continue  # green at/after the change: rotation satisfied
-        if name not in lg:
-            continue  # never green: sorts into the never-checked bucket
-        if CODE_CHANGED_ROUND.get(name, 0) < rnd:
-            offenders.append((name, rnd, lg.get(name)))
+    changed = _changed_rounds()
+    must_rotate = {
+        n
+        for n, ent in recorded_fingerprints().items()
+        if ent.get("round", 0) >= 1
+        and n in lg
+        and ent["round"] > lg[n]
+    }
+    # the union view the rotation actually uses must cover the
+    # fingerprint stamps (manual entries can only raise the round)
+    for n in must_rotate:
+        assert changed[n] >= recorded_fingerprints()[n]["round"]
+    order = _ordered_names()
+    pos = {n: i for i, n in enumerate(order)}
+    fresh_green = [
+        n
+        for n in order
+        if n in lg and changed.get(n, 0) < lg[n]
+    ]
+    if not fresh_green:
+        return  # every green row is queued for re-check — vacuous
+    first_fresh = min(pos[n] for n in fresh_green)
+    offenders = [n for n in must_rotate if pos[n] > first_fresh]
     assert not offenders, (
-        "queries changed after their last driver green but missing a "
-        "CODE_CHANGED_ROUND bump (name, changed_round, last_green): "
-        f"{offenders}"
+        "changed-after-green queries sorted behind fresh greens "
+        f"(would escape the bounded gate budget): {sorted(offenders)[:8]}"
     )
+
+
+def test_deep_operator_change_flags_dependent_queries(monkeypatch):
+    """The r8 verdict's scope-hole closure, proved mechanically: a
+    simulated semantics change in operators/dedup_ext.py (content hash
+    swapped, call sites untouched) must change the dep_fp of EVERY
+    query whose plans module reaches dedup_ext through the engine
+    import closure — and of no other query."""
+    target = "dissertation_data_pipeline_spark.operators.dedup_ext"
+    before = computed_dep_fingerprints()
+
+    real_hash = fp_mod.module_content_hash
+
+    def fake_hash(mod_name):
+        if mod_name == target:
+            return "0" * 64  # a one-line edit, as the hash sees it
+        return real_hash(mod_name)
+
+    monkeypatch.setattr(fp_mod, "module_content_hash", fake_hash)
+    fp_mod._module_hash_cache.clear()
+    try:
+        after = computed_dep_fingerprints()
+    finally:
+        fp_mod._module_hash_cache.clear()
+
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+
+    flagged = {n for n in before if before[n] != after[n]}
+    dependent = {
+        n
+        for n, q in QUERIES.items()
+        if target in fp_mod.engine_dep_closure(q.fn.__module__)
+    }
+    # sanity: the closure actually reaches dedup_ext from the dedup and
+    # incremental-dedup registration modules
+    assert "ext_minhash_lsh_pairs" in dependent
+    assert "ext_dedup_incremental" in dependent
+    assert flagged == dependent, (
+        f"missed={sorted(dependent - flagged)[:5]} "
+        f"spurious={sorted(flagged - dependent)[:5]}"
+    )
+    assert flagged, "no query depends on dedup_ext — closure is broken"

@@ -20,6 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from dissertation_data_pipeline_spark.plans.fingerprints import (  # noqa: E402
     FINGERPRINT_FILE,
+    computed_dep_fingerprints,
     computed_fingerprints,
     current_round,
     recorded_fingerprints,
@@ -30,15 +31,26 @@ def main() -> int:
     bootstrap = "--bootstrap" in sys.argv
     old = {} if bootstrap else recorded_fingerprints()
     cur = computed_fingerprints()
+    dep = computed_dep_fingerprints()
     rnd = 0 if bootstrap else current_round()
     out = {}
     n_changed = 0
     for name in sorted(cur):
         prev = old.get(name)
         if prev and prev.get("fp") == cur[name]:
-            out[name] = prev
+            if prev.get("dep_fp") == dep[name]:
+                out[name] = prev
+            elif "dep_fp" not in prev:
+                # one-time field bootstrap: a pre-dep_fp entry adopts
+                # the current engine-closure hash WITHOUT restamping
+                # (no staleness claim about history it never covered)
+                out[name] = dict(prev, dep_fp=dep[name])
+            else:
+                out[name] = {"fp": cur[name], "dep_fp": dep[name], "round": rnd}
+                n_changed += 1
+                print(f"dep-changed: {name} (stamped round {rnd})")
         else:
-            out[name] = {"fp": cur[name], "round": rnd}
+            out[name] = {"fp": cur[name], "dep_fp": dep[name], "round": rnd}
             n_changed += 1
             if prev:
                 print(f"changed: {name} (stamped round {rnd})")

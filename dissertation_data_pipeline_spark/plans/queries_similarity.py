@@ -1022,7 +1022,12 @@ def _twin_corpus(spark, sf_dir):
 
 
 def _embedding_pair_recall(spark, sf_dir, *, banded: bool):
-    corpus = _twin_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    # no localCheckpoint: the corpus is block-bounded (500 rows) and
+    # re-deriving it from the filtered parquet scan keeps EXACT size
+    # stats flowing to the planner — every self-join side then
+    # broadcasts (a checkpointed LogicalRDD has unknown stats, which
+    # planned 8-13 shuffle Exchanges here and blew the plan budget)
+    corpus = _twin_corpus(spark, sf_dir)
     sides = corpus.select(
         "vec_id",
         F.col("embedding").alias("_v"),

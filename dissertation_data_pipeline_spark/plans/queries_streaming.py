@@ -357,9 +357,25 @@ if _tws_runtime_available():
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
-# else: s_stateful_profile_tws is EXPLICITLY UNREGISTERED — the gate
-# row exists only where the runtime dependency does, and
-# tests/test_streaming.py asserts registration tracks the probe.
+else:
+    # s_stateful_profile_tws is EXPLICITLY UNREGISTERED — the gate row
+    # exists only where the runtime dependency does, and
+    # tests/test_streaming.py asserts registration tracks the probe.
+    # Loud, once, on stderr (r8 verdict Next #6): on a clean host the
+    # Spark-4 typed-state surface would otherwise SILENTLY shrink the
+    # registry, and a missing row in a bench/gate run is
+    # indistinguishable from never having implemented it.
+    import sys as _sys
+
+    print(
+        "WARNING: s_stateful_profile_tws NOT registered — no protobuf"
+        " runtime importable and no on-disk pure-Python copy found"
+        " (transformWithStateInPandas needs google.protobuf in the"
+        " Python worker; `pip install protobuf` or set"
+        " $SPARK_GRAFT_PROTOBUF_DIR — see README 'Optional runtime"
+        " dependencies')",
+        file=_sys.stderr,
+    )
 
 
 @register(

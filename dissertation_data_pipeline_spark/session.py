@@ -76,6 +76,13 @@ def get_spark(
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
     if extra_conf:
         conf.update(extra_conf)
+    # $SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs applied
+    # last — lets the sweep harnesses flip a conf (ANSI mode, codegen
+    # off, …) across a full registry run without code edits.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            conf[k.strip()] = v.strip()
 
     active = SparkSession.getActiveSession()
     if active is not None:
@@ -86,8 +93,24 @@ def get_spark(
                 pass  # static conf on a running session — keep its value
         return active
 
-    builder = SparkSession.builder.appName(app_name).master(f"local[{cores}]")
+    # $SPARK_GRAFT_MASTER overrides the master URL — the multi-process
+    # sweep (tools/run_query.py, check_correctness.py, bench.py under
+    # e.g. local-cluster[2,16,4096]) exercises REAL separate executor
+    # JVMs + Python workers, which single-JVM local[n] structurally
+    # cannot (closure capture, worker-side imports, executor broadcast
+    # memory).  Executor processes inherit this process's environment
+    # in local-cluster mode, but PYTHONPATH is ALSO set explicitly via
+    # spark.executorEnv so the engine package resolves in workers no
+    # matter how the host launched the driver.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    if master.startswith("local-cluster") or master.startswith("spark://"):
+        import dissertation_data_pipeline_spark as _pkg
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        pypath = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        builder = builder.config("spark.executorEnv.PYTHONPATH", pypath)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

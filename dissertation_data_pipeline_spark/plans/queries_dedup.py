@@ -313,22 +313,30 @@ def ext_blocked_jaccard_pairs(spark, sf_dir):
     )
 
 
+#: The jaccard twin uses a 2x-wider block than the curation/recall
+#: rows: the sf1 generator happens to place no same-(lang,source)
+#: near-dup pair inside doc_id<500 (a vacuously-green 0-row check),
+#: while doc_id<1000 carries pairs at every generated scale — still
+#: block-bounded (measured 0.4 s oracle at sf1, 1.3 s at 2000).
+_JACCARD_BLOCK = 1000
+
+
 @register(
     "ext_blocked_jaccard_block_pairs",
     _blocked_jaccard_sql(
-        f"(SELECT * FROM documents WHERE doc_id < {_CURATION_BLOCK})"
+        f"(SELECT * FROM documents WHERE doc_id < {_JACCARD_BLOCK})"
     ),
 )
 def ext_blocked_jaccard_block_pairs(spark, sf_dir):
     """[EXT] the SAME blocked-Jaccard operator (same blocking keys,
-    threshold, shingling) restricted to a FIXED 500-doc block — the
+    threshold, shingling) restricted to a FIXED 1000-doc block — the
     fixed-block oracle protocol (``ext_curation_block_pipeline``)
     applied to this family (r8 verdict Next #3): the oracle's
     within-block quadratic cost is bounded by the block, not the
     corpus, so the pair VALUES stay oracle-green at sf1/sf10 where
     the corpus-wide oracle is execute-only."""
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < _CURATION_BLOCK
+        F.col("doc_id") < _JACCARD_BLOCK
     )
     return dx.blocked_jaccard_pairs(
         docs, "doc_id", "text", ["lang", "source"], threshold=0.2

@@ -465,7 +465,10 @@ def s_stream_stream_join(spark, sf_dir):
             # drain well past the 120 s default (idle: ~15 s; measured
             # >120 s under a concurrent full-suite run)
             timeout_sec=600,
-            shuffle_partitions=8,
+            # rows-sized, not pinned: identical 8 at gate SFs, scales
+            # past the r8 stateful-drain starvation at sf10 (join
+            # state across 8 partitions would starve 32 cores)
+            shuffle_partitions=_drain_partitions(events.count(), spark),
         )
         return sink.localCheckpoint()
     finally:
@@ -617,7 +620,8 @@ def s_stream_stream_join_evict(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
-            shuffle_partitions=8,
+            # rows-sized, not pinned — see s_stream_stream_join
+            shuffle_partitions=_drain_partitions(ev.count(), spark),
         )
         return sink.localCheckpoint()
     finally:
@@ -719,7 +723,8 @@ def s_stream_stream_left_outer(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
-            shuffle_partitions=8,
+            # rows-sized, not pinned — see s_stream_stream_join
+            shuffle_partitions=_drain_partitions(events.count(), spark),
         )
         return sink.localCheckpoint()
     finally:
@@ -820,7 +825,8 @@ def s_stream_stream_full_outer(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
-            shuffle_partitions=8,
+            # rows-sized, not pinned — see s_stream_stream_join
+            shuffle_partitions=_drain_partitions(events.count(), spark),
         )
         return sink.localCheckpoint()
     finally:

@@ -465,10 +465,13 @@ def s_stream_stream_join(spark, sf_dir):
             # drain well past the 120 s default (idle: ~15 s; measured
             # >120 s under a concurrent full-suite run)
             timeout_sec=600,
-            # rows-sized, not pinned: identical 8 at gate SFs, scales
-            # past the r8 stateful-drain starvation at sf10 (join
-            # state across 8 partitions would starve 32 cores)
-            shuffle_partitions=_drain_partitions(events.count(), spark),
+            # PINNED 8, deliberately NOT _drain_partitions: join state
+            # is WATERMARK-BOUNDED — it never grows with staged input,
+            # so the stateful drain's sf10 starvation cannot occur
+            # here, and rows-sizing only multiplies per-batch store
+            # commits (measured at sf10: 16 partitions 14.1-14.5 s vs
+            # 11.2 s pinned — BASELINE.md round-9 drain A/B)
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:
@@ -620,8 +623,9 @@ def s_stream_stream_join_evict(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
-            # rows-sized, not pinned — see s_stream_stream_join
-            shuffle_partitions=_drain_partitions(ev.count(), spark),
+            # pinned 8 — watermark-bounded join state; see
+            # s_stream_stream_join's measured rationale
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:
@@ -723,8 +727,9 @@ def s_stream_stream_left_outer(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
-            # rows-sized, not pinned — see s_stream_stream_join
-            shuffle_partitions=_drain_partitions(events.count(), spark),
+            # pinned 8 — watermark-bounded join state; see
+            # s_stream_stream_join's measured rationale
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:
@@ -825,8 +830,9 @@ def s_stream_stream_full_outer(spark, sf_dir):
             os.path.join(work, "ckpt"),
             output_mode="append",
             timeout_sec=600,
-            # rows-sized, not pinned — see s_stream_stream_join
-            shuffle_partitions=_drain_partitions(events.count(), spark),
+            # pinned 8 — watermark-bounded join state; see
+            # s_stream_stream_join's measured rationale
+            shuffle_partitions=8,
         )
         return sink.localCheckpoint()
     finally:

@@ -864,14 +864,20 @@ def _simhash_pair_recall(spark, sf_dir, *, cutoff: int):
     toksets = docs.select(
         "doc_id",
         F.array_distinct(dx.tokens("text")).alias("_t"),
-        F.lit(1).alias("_blk"),
+        (F.col("doc_id") % 8).alias("_bkt"),
     )
-    ta, tb = toksets.alias("a"), toksets.alias("b")
-    # const-key equi-join (the _pair_recall trick) keeps the block's
-    # all-pairs truth a hash join, not a cartesian product
+    # bucketed pair grid: a single const-key equi-join puts the whole
+    # 125k-pair array-intersection workload in ONE task (one hash
+    # bucket); bucketing docs 8 ways and exploding the left side over
+    # all right-buckets keeps the join an equi-join (no cartesian)
+    # while spreading the quadratic work across 8 keys
+    ta = toksets.withColumn(
+        "_rb", F.explode(F.sequence(F.lit(0), F.lit(7)))
+    ).alias("a")
+    tb = toksets.alias("b")
     truth = ta.join(
         tb,
-        (F.col("a._blk") == F.col("b._blk"))
+        (F.col("a._rb") == F.col("b._bkt"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("id_a"),

@@ -1032,15 +1032,19 @@ def _embedding_pair_recall(spark, sf_dir, *, banded: bool):
         "vec_id",
         F.col("embedding").alias("_v"),
         sim.l2_norm("embedding").alias("_n"),
-        F.lit(1).alias("_blk"),
+        (F.col("vec_id") % 8).alias("_bkt"),
     )
-    ca, cb = sides.alias("a"), sides.alias("b")
-    # const-key equi-join keeps the block's all-pairs truth a hash
-    # join, not a cartesian product (the _pair_recall trick)
+    # bucketed pair grid (see _simhash_pair_recall): an equi-join over
+    # 8 bucket keys instead of one const key, so the 125k-pair cosine
+    # workload spreads across tasks instead of one hash bucket
+    ca = sides.withColumn(
+        "_rb", F.explode(F.sequence(F.lit(0), F.lit(7)))
+    ).alias("a")
+    cb = sides.alias("b")
     truth = (
         ca.join(
             cb,
-            (F.col("a._blk") == F.col("b._blk"))
+            (F.col("a._rb") == F.col("b._bkt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(

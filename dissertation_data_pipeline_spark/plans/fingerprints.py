@@ -26,14 +26,19 @@ buried deep in (say) ``dedup_ext`` now flags every dependent query
 mechanically, with no call-site motion and no manual
 CODE_CHANGED_ROUND entry required to notice it.
 
-Residual holes, documented honestly: (a) module-level HELPERS inside a
-plans module itself (e.g. a shared SQL-rendering function) are outside
-both hashes unless their call sites change — plans modules are excluded
-from the closure because registry.py's round-bookkeeping dicts would
-otherwise mass-flag all 239 queries every round; (b) ``session.py`` and
-``compat.py`` are excluded by the same noise argument (partitioning
-helpers and availability shims whose outputs are result-invariant by
-design and separately tested).
+The defining plans module's own HELPERS (shared SQL-rendering
+functions, module-level constants) are hashed too — as a filtered
+helper hash folded into ``dep_fp``: module-level function defs WITHOUT
+a ``@register`` decorator plus assignments, so adding a sibling query
+does not restamp a module, but editing a helper every query in it
+calls does.  Registry bookkeeping names (CODE_CHANGED_ROUND,
+DRIVER_PRIORITY, GREEN_PRIOR_ROUNDS) are excluded — they change every
+round by design and would mass-flag registry.py's queries.
+
+Residual exclusions, documented honestly: ``session.py`` and
+``compat.py`` are outside the closure (partitioning helpers and
+availability shims whose outputs are result-invariant by design and
+separately tested).
 """
 
 from __future__ import annotations
@@ -227,9 +232,74 @@ def dep_fingerprint(mod_name: str) -> str:
     return h.hexdigest()
 
 
+#: dep_fp FORMAT version — bump when the hash's scope/derivation
+#: changes (not when code changes).  The update tool migrates entries
+#: across versions by adopting the new hash WITHOUT restamping the
+#: round: a format change makes no claim about code history, and
+#: restamping would spuriously rotate the whole registry.  v2 = engine
+#: dep closure + defining-module helper hash (round 9).
+DEP_FP_VERSION = 2
+
+#: registry bookkeeping assignments that change every round by design
+_BOOKKEEPING_NAMES = {
+    "CODE_CHANGED_ROUND",
+    "DRIVER_PRIORITY",
+    "GREEN_PRIOR_ROUNDS",
+}
+
+
+def _is_register_decorated(node: ast.AST) -> bool:
+    for dec in getattr(node, "decorator_list", []):
+        target = dec.func if isinstance(dec, ast.Call) else dec
+        if isinstance(target, ast.Name) and target.id == "register":
+            return True
+        if isinstance(target, ast.Attribute) and target.attr == "register":
+            return True
+    return False
+
+
+def helper_hash_of_source(src: str) -> str:
+    """sha256 over a module source's NON-QUERY top-level code:
+    function defs without a ``@register`` decorator (shared SQL
+    renderers, engine-side helpers) and assignments (CTE templates,
+    block/cutoff constants), docstrings stripped.  Registered query
+    fns are excluded so adding a sibling query never restamps a
+    module; registry bookkeeping names are excluded so round rotation
+    edits never mass-flag."""
+    tree = ast.parse(src)
+    kept: list[ast.AST] = []
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if not _is_register_decorated(node):
+                kept.append(node)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+            targets = (
+                node.targets
+                if isinstance(node, ast.Assign)
+                else [node.target]
+            )
+            names = {
+                t.id for t in targets if isinstance(t, ast.Name)
+            }
+            if not (names & _BOOKKEEPING_NAMES):
+                kept.append(node)
+    pruned = ast.Module(body=kept, type_ignores=[])
+    _strip_docstrings(pruned)
+    return hashlib.sha256(ast.dump(pruned).encode()).hexdigest()
+
+
+def plans_helper_hash(mod_name: str) -> str:
+    """``helper_hash_of_source`` of the module's current source."""
+    import importlib
+
+    mod = importlib.import_module(mod_name)
+    return helper_hash_of_source(inspect.getsource(mod))
+
+
 def computed_dep_fingerprints() -> dict[str, str]:
     """Per-query dep_fp (queries defined in the same plans module share
-    one closure, so this is ~30 closures for 239 queries)."""
+    one closure + helper hash, so this is ~30 computations for ~250
+    queries)."""
     from dissertation_data_pipeline_spark.plans.registry import QUERIES
 
     per_module: dict[str, str] = {}
@@ -237,6 +307,10 @@ def computed_dep_fingerprints() -> dict[str, str]:
     for name, q in QUERIES.items():
         mod = q.fn.__module__
         if mod not in per_module:
-            per_module[mod] = dep_fingerprint(mod)
+            h = hashlib.sha256()
+            h.update(dep_fingerprint(mod).encode())
+            h.update(b"\x00helpers\x00")
+            h.update(plans_helper_hash(mod).encode())
+            per_module[mod] = h.hexdigest()
         out[name] = per_module[mod]
     return out

@@ -140,3 +140,63 @@ def test_deep_operator_change_flags_dependent_queries(monkeypatch):
         f"spurious={sorted(flagged - dependent)[:5]}"
     )
     assert flagged, "no query depends on dedup_ext — closure is broken"
+
+
+def test_plans_module_helper_change_flags_its_queries(monkeypatch):
+    """The round-9 residual hole, closed: a shared helper edit INSIDE
+    a plans module (e.g. a SQL-rendering function the queries call)
+    must change the dep_fp of every query that module defines — and of
+    no other module's queries."""
+    target_mod = "dissertation_data_pipeline_spark.plans.queries_dedup"
+    before = computed_dep_fingerprints()
+
+    real = fp_mod.plans_helper_hash
+
+    def fake(mod_name):
+        if mod_name == target_mod:
+            return "0" * 64  # a one-line helper edit, as the hash sees it
+        return real(mod_name)
+
+    monkeypatch.setattr(fp_mod, "plans_helper_hash", fake)
+    after = computed_dep_fingerprints()
+
+    from dissertation_data_pipeline_spark.plans.registry import QUERIES
+
+    flagged = {n for n in before if before[n] != after[n]}
+    expected = {n for n, q in QUERIES.items() if q.fn.__module__ == target_mod}
+    assert flagged == expected, (
+        f"missed={sorted(expected - flagged)[:5]} "
+        f"spurious={sorted(flagged - expected)[:5]}"
+    )
+    assert flagged
+
+
+def test_sibling_query_addition_does_not_restamp_module():
+    """The helper hash must be invariant to adding/removing a
+    @register-decorated query def (siblings must not restamp when a
+    new query lands in their module) but sensitive to a one-line edit
+    in a shared helper."""
+    src = '''
+from dissertation_data_pipeline_spark.plans.registry import register
+
+_BLOCK = 500
+
+def _shared_sql(src):
+    return f"SELECT * FROM {src} WHERE x < 2"
+
+@register("q_one", _shared_sql("t"))
+def q_one(spark, sf_dir):
+    return None
+'''
+    added_query = src + '''
+
+@register("q_two", _shared_sql("u"))
+def q_two(spark, sf_dir):
+    return None
+'''
+    helper_edited = src.replace("x < 2", "x < 3")
+    constant_edited = src.replace("_BLOCK = 500", "_BLOCK = 1000")
+    base = fp_mod.helper_hash_of_source(src)
+    assert fp_mod.helper_hash_of_source(added_query) == base
+    assert fp_mod.helper_hash_of_source(helper_edited) != base
+    assert fp_mod.helper_hash_of_source(constant_edited) != base

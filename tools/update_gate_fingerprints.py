@@ -19,6 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from dissertation_data_pipeline_spark.plans.fingerprints import (  # noqa: E402
+    DEP_FP_VERSION,
     FINGERPRINT_FILE,
     computed_dep_fingerprints,
     computed_fingerprints,
@@ -37,20 +38,28 @@ def main() -> int:
     n_changed = 0
     for name in sorted(cur):
         prev = old.get(name)
+        fresh = {
+            "fp": cur[name],
+            "dep_fp": dep[name],
+            "dep_v": DEP_FP_VERSION,
+            "round": rnd,
+        }
         if prev and prev.get("fp") == cur[name]:
-            if prev.get("dep_fp") == dep[name]:
+            if prev.get("dep_v", 1) != DEP_FP_VERSION or "dep_fp" not in prev:
+                # format migration / field bootstrap: adopt the new
+                # hash WITHOUT restamping — a format change makes no
+                # claim about code history (see DEP_FP_VERSION note)
+                out[name] = dict(
+                    prev, dep_fp=dep[name], dep_v=DEP_FP_VERSION
+                )
+            elif prev.get("dep_fp") == dep[name]:
                 out[name] = prev
-            elif "dep_fp" not in prev:
-                # one-time field bootstrap: a pre-dep_fp entry adopts
-                # the current engine-closure hash WITHOUT restamping
-                # (no staleness claim about history it never covered)
-                out[name] = dict(prev, dep_fp=dep[name])
             else:
-                out[name] = {"fp": cur[name], "dep_fp": dep[name], "round": rnd}
+                out[name] = fresh
                 n_changed += 1
                 print(f"dep-changed: {name} (stamped round {rnd})")
         else:
-            out[name] = {"fp": cur[name], "dep_fp": dep[name], "round": rnd}
+            out[name] = fresh
             n_changed += 1
             if prev:
                 print(f"changed: {name} (stamped round {rnd})")

@@ -109,6 +109,38 @@ def test_ensure_protobuf_false_leaves_no_residue_when_unavailable():
 
 
 @needs_shim
+def test_installed_but_broken_runtime_falls_through_to_candidates():
+    """ADVICE r8: an installed-but-incompatible protobuf (wrong major,
+    or broken — anything whose gencode won't load) must not defeat the
+    shim.  Simulate with a file-backed but empty `google.protobuf`
+    package shadowing the candidates on sys.path: ensure_protobuf must
+    fall through to the candidate-dir loop and alias a working copy
+    AHEAD of the bad install."""
+    r = _run(
+        """
+        import os, sys, tempfile
+        fake = tempfile.mkdtemp()
+        pkg = os.path.join(fake, "google", "protobuf")
+        os.makedirs(pkg)
+        open(os.path.join(fake, "google", "__init__.py"), "w").write("")
+        open(os.path.join(pkg, "__init__.py"), "w").write("")
+        sys.path.insert(0, fake)
+        import google.protobuf as gp
+        assert gp.__file__ is not None  # looks INSTALLED, is broken
+        from dissertation_data_pipeline_spark.compat import ensure_protobuf
+        assert ensure_protobuf() is True, "fall-through did not engage"
+        import pyspark.sql.streaming.proto.StateMessage_pb2 as sm
+        m = sm.StateRequest(); m.version = 2
+        out = sm.StateRequest(); out.ParseFromString(m.SerializeToString())
+        assert out.version == 2
+        print("OK")
+        """
+    )
+    assert r.returncode == 0, r.stderr
+    assert "OK" in r.stdout
+
+
+@needs_shim
 def test_lenient_validator_still_rejects_major_mismatch():
     r = _run(
         """

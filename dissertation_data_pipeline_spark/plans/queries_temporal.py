@@ -189,6 +189,84 @@ def ext_event_percentiles(spark, sf_dir):
     return agg
 
 
+@register(
+    "ext_approx_percentiles",
+    """
+    WITH cents AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type,
+           round(quantile_cont(v, 0.5)  / 100, 6) AS p50,
+           round(quantile_cont(v, 0.95) / 100, 6) AS p95,
+           round(quantile_cont(v, 0.99) / 100, 6) AS p99,
+           TRUE AS approx_rank_within_2pp
+    FROM cents GROUP BY 1
+    """,
+)
+def ext_approx_percentiles(spark, sf_dir):
+    """[EXT] the 100 TB percentile path, REGISTERED and measured —
+    ``percentile_approx`` (Greenwald-Khanna quantile summaries:
+    mergeable, one pass, bounded memory — the form that survives a
+    100 TB groupBy where exact percentile's per-group sort does not)
+    gated beside the exact anchor: the exact tail percentiles
+    hash-match the oracle, and the sketch estimate must land between
+    the exact ORDER STATISTICS at q±0.02 — the sketch's actual
+    guarantee (rank error <= n/accuracy, and 10,000 >> 1/0.02), so
+    the boolean is stable at ANY group size and partitioning, where a
+    value-relative tolerance breaks on sparse small-sample tails
+    (neighboring tail elements can sit many percent apart).  The
+    ``ext_approx_count_distinct`` pattern; the exact columns carry
+    the bit-level strength."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type", (_dec("value") * 100).cast("bigint").alias("v")
+    )
+    qs = (0.5, 0.95, 0.99)
+    agg = cents.groupBy("event_type").agg(
+        *[
+            F.percentile("v", F.lit(q)).alias(f"_e{int(q * 100)}")
+            for q in qs
+        ],
+        *[
+            F.percentile_approx("v", F.lit(q), F.lit(10_000)).alias(
+                f"_a{int(q * 100)}"
+            )
+            for q in qs
+        ],
+        *[
+            F.percentile("v", F.lit(max(0.0, q - 0.02))).alias(
+                f"_lo{int(q * 100)}"
+            )
+            for q in qs
+        ],
+        *[
+            F.percentile("v", F.lit(min(1.0, q + 0.02))).alias(
+                f"_hi{int(q * 100)}"
+            )
+            for q in qs
+        ],
+    )
+    ok = None
+    for q in qs:
+        k = int(q * 100)
+        cond = (F.col(f"_a{k}") >= F.col(f"_lo{k}")) & (
+            F.col(f"_a{k}") <= F.col(f"_hi{k}")
+        )
+        ok = cond if ok is None else (ok & cond)
+    return agg.select(
+        "event_type",
+        *[
+            F.round(F.col(f"_e{int(q * 100)}") / 100, 6).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in qs
+        ],
+        ok.alias("approx_rank_within_2pp"),
+    )
+
+
 #: Full-recompute SCD2 oracle over the whole events table. Shared by
 #: ``ext_scd2_history`` (batch build) and ``ext_cdc_scd2_pipeline``
 #: (incremental CDC maintenance): the incremental path must reproduce

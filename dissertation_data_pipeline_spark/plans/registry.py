@@ -860,6 +860,8 @@ set_driver_priority(
         "ext_simhash_pair_recall_h3",
         "ext_embedding_near_dup_recall",
         "ext_embedding_near_dup_recall_single",
+        # ...and the registered approx-percentile sketch path
+        "ext_approx_percentiles",
         # changed this round (oracle refactors + epsilon-slack size
         # prefilter; also in CODE_CHANGED_ROUND, listed to pin order)
         "ext_entity_resolution",

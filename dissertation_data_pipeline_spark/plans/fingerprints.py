@@ -192,6 +192,22 @@ def _direct_engine_deps(mod_name: str) -> frozenset[str]:
                 _add(src_mod)
                 continue
             for alias in node.names:
+                # `from pkg import name` where name IS a submodule:
+                # resolve by IMPORT, not getattr — the package's
+                # submodule attribute only exists once something has
+                # imported it, so getattr-resolution would depend on
+                # process import history (found live: pytest's
+                # empty-input run imported operators.quality_checks,
+                # flipping queries_analytics' closure from the
+                # operators package to the submodule mid-suite)
+                try:
+                    sub = importlib.import_module(
+                        f"{src_mod}.{alias.name}"
+                    )
+                    _add(sub.__name__)
+                    continue
+                except ImportError:
+                    pass
                 val = getattr(src_obj, alias.name, None)
                 import types
 
@@ -237,8 +253,10 @@ def dep_fingerprint(mod_name: str) -> str:
 #: across versions by adopting the new hash WITHOUT restamping the
 #: round: a format change makes no claim about code history, and
 #: restamping would spuriously rotate the whole registry.  v2 = engine
-#: dep closure + defining-module helper hash (round 9).
-DEP_FP_VERSION = 2
+#: dep closure + defining-module helper hash (round 9); v3 = submodule
+#: imports resolved by import (not getattr), making the closure
+#: independent of process import history (round 9 fix).
+DEP_FP_VERSION = 3
 
 #: registry bookkeeping assignments that change every round by design
 _BOOKKEEPING_NAMES = {

@@ -186,7 +186,14 @@ def ext_corr_matrix(spark, sf_dir):
     numerically, but not cross-engine-hashable; same answer here to
     ~1e-12.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = li.select(
+    # spread first: the 15 DECIMAL(38,0) moment sums are CPU-heavy per
+    # row, and a byte-small lineitem file scans as <= 3 tasks (measured
+    # 1.2 s of serial decimal aggregation at sf0.1).  _spread is a
+    # no-op when the scan already has >= cores partitions — at real
+    # scale the partial aggregation rides the scan unchanged.
+    from dissertation_data_pipeline_spark.operators.dedup_ext import _spread
+
+    cents = _spread(li).select(
         *[
             (F.col(c).cast("decimal(18,2)") * 100).cast("long").alias(k)
             for k, c in _CORR_COLS.items()

@@ -324,6 +324,14 @@ _MESSY_DATE_SQL = """
 
 
 def _messy_date(df):
+    # spread a single-row-group scan across cores first: the consumers
+    # (fd1/fd2) run an 8-format try_to_timestamp chain per row, which
+    # on the 1-task scan of a byte-small orders file ran serially
+    # (measured 2.1 s in ONE task at sf0.1).  _spread is a no-op once
+    # the input arrives in >= cores partitions, i.e. at any real scale.
+    from dissertation_data_pipeline_spark.operators.dedup_ext import _spread
+
+    df = _spread(df)
     k = F.col("o_orderkey")
     d = F.col("o_orderdate")
     return df.select(

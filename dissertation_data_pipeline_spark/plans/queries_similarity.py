@@ -1028,18 +1028,29 @@ def _embedding_pair_recall(spark, sf_dir, *, banded: bool):
     # broadcasts (a checkpointed LogicalRDD has unknown stats, which
     # planned 8-13 shuffle Exchanges here and blew the plan budget)
     corpus = _twin_corpus(spark, sf_dir)
+    nbkt = 32
     sides = corpus.select(
         "vec_id",
         F.col("embedding").alias("_v"),
         sim.l2_norm("embedding").alias("_n"),
-        (F.col("vec_id") % 8).alias("_bkt"),
+        (F.col("vec_id") % nbkt).alias("_bkt"),
     )
     # bucketed pair grid (see _simhash_pair_recall): an equi-join over
-    # 8 bucket keys instead of one const key, so the 125k-pair cosine
-    # workload spreads across tasks instead of one hash bucket
-    ca = sides.withColumn(
-        "_rb", F.explode(F.sequence(F.lit(0), F.lit(7)))
-    ).alias("a")
+    # `nbkt` bucket keys instead of one const key, so the 125k-pair
+    # cosine workload spreads across tasks instead of one hash bucket.
+    # The right side broadcasts, so left-side partitioning sets task
+    # granularity — an explicit round-robin repartition (AQE-exempt)
+    # spreads the byte-small block across cores (measured: the verify
+    # leg otherwise ran as ONE 2.2 s task); block size is fixed, so
+    # this is constant work at any corpus scale.
+    nparts = spark.sparkContext.defaultParallelism
+    ca = (
+        sides.withColumn(
+            "_rb", F.explode(F.sequence(F.lit(0), F.lit(nbkt - 1)))
+        )
+        .repartition(nparts)
+        .alias("a")
+    )
     cb = sides.alias("b")
     truth = (
         ca.join(

@@ -171,10 +171,22 @@ def tpch_q11_important_stock(spark, sf_dir):
             ).alias("value_cents"),
         )
     )
-    grouped = natps.groupBy("ps_partkey").agg(
-        F.sum("value_cents").alias("part_cents")
+    # materialize the per-part aggregate ONCE (localCheckpoint), then
+    # derive the grand total from it: SUM(value_cents) == SUM(part_cents)
+    # exactly (integer sums are associative), so the oracle's
+    # total-over-natps stays the same integer.  Without this the two
+    # consumers (share filter + total) each re-read the bridge exchange
+    # and re-aggregate 600k rows (measured: the query's two top stages,
+    # ~9 s executor time at sf0.1).  The checkpoint holds one narrow
+    # (partkey, cents) row per part — |parts|-sized at any corpus
+    # scale, the standard materialize-the-contracted-intermediate
+    # trade (guide §3.3).
+    grouped = (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("value_cents").alias("part_cents"))
+        .localCheckpoint()
     )
-    total = natps.agg(F.sum("value_cents").alias("total_cents"))
+    total = grouped.agg(F.sum("part_cents").alias("total_cents"))
     return (
         grouped.join(F.broadcast(total))
         .filter(F.col("part_cents") * 1000 > F.col("total_cents"))

@@ -207,6 +207,18 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     # unchanged, re-verify anyway:
     "ext_entity_resolution": 9, "ext_semantic_dedup": 9,
     "ext_blocked_jaccard_pairs": 9,
+    # round 9 optimization wave (results verified identical at
+    # sf0.001/0.01/0.1; plan shape changed): recall verify legs spread
+    # across cores (wider bucket grid + explicit repartition), messy-
+    # date and corr-matrix scans spread before their CPU-heavy
+    # projections, q11 per-part aggregate materialized once, pagerank
+    # lineage cut every 3rd round:
+    "ext_simhash_pair_recall": 9, "ext_simhash_pair_recall_h3": 9,
+    "ext_embedding_near_dup_recall": 9,
+    "ext_embedding_near_dup_recall_single": 9,
+    "fd1_lenient_year_rollup": 9, "fd2_parse_date_multi": 9,
+    "ext_corr_matrix": 9, "tpch_q11_important_stock": 9,
+    "ext_pagerank_transitions": 9,
 }
 
 

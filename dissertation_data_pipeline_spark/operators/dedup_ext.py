@@ -943,7 +943,7 @@ def _blocked_intersections(
 
     post = shingle_postings(
         df, id_col, text_col, n=ngram_words, carry_cols=block_cols
-    ).localCheckpoint()
+    )
     # co-locate BEFORE the optional df-count window: the window's
     # clustering requirement is exactly this hash partitioning, so the
     # cap adds a sort but never a second Exchange on the posting rows
@@ -955,6 +955,16 @@ def _blocked_intersections(
             .filter(F.col("_df") <= max_df)
             .drop("_df")
         )
+    # checkpoint AFTER the spread (and cap): the checkpoint feeds the
+    # size lookup and BOTH self-join legs, and self-joins do not reuse
+    # exchanges — checkpointing the raw postings (the old placement)
+    # left each leg to re-run the (block, shingle) repartition and the
+    # df-cap window independently (measured at sf0.1: two identical
+    # 10-17 s stages re-reading the checkpoint).  Materializing the
+    # final, already-partitioned, already-capped form runs that work
+    # once, stores the SMALLER post-cap postings, and preserves the
+    # hash partitioning both legs need.
+    post = post.localCheckpoint()
     sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     postings = post
     a, b = postings.alias("a"), postings.alias("b")

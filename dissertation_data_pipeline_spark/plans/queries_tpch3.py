@@ -96,12 +96,19 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
     )
+    # materialize the region-filtered bridge ONCE: it feeds the per-part
+    # MIN and the min-match join, and the two consumers otherwise each
+    # re-aggregate the bridge exchange (measured: the query's two top
+    # stages, ~7 s executor time at sf0.1).  The checkpoint holds one
+    # narrow row per (part, regional supplier) — the region filter has
+    # already contracted it well below the fact table at any scale.
     costs = (
         ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
         .select("ps_partkey", "ps_suppkey", "ps_supplycost",
                 "s_acctbal", "s_name", "n_name")
+        .localCheckpoint()
     )
     mins = costs.groupBy("ps_partkey").agg(
         F.min("ps_supplycost").alias("mincost")

@@ -219,6 +219,13 @@ CODE_CHANGED_ROUND: dict[str, int] = {
     "fd1_lenient_year_rollup": 9, "fd2_parse_date_multi": 9,
     "ext_corr_matrix": 9, "tpch_q11_important_stock": 9,
     "ext_pagerank_transitions": 9,
+    # round 9 optimization wave 2 (same bar — results verified
+    # identical, plan shape changed): posting checkpoint moved after
+    # the spread/cap in _blocked_intersections (ext_blocked_jaccard_
+    # pairs already stamped 9 above), q2's region-filtered bridge
+    # materialized once:
+    "tpch_q2_min_cost_supplier": 9,
+    "ext_capped_jaccard_pairs": 9, "ext_containment_pairs": 9,
 }
 
 

@@ -247,15 +247,14 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin to full parallelism when the input has fewer
-    partitions than cores (a single-row-group parquet file scans as ONE
-    task — any per-row-heavy projection after it would run serially).
-    No-op when the input is already wide, so at cluster scale — where
-    inputs arrive in thousands of partitions — this adds no shuffle."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    """Round-robin a too-small-to-parallelize scan to full parallelism
+    — now just :func:`session.spread_small_scan` (promoted there so
+    plans can share it without importing this module's dep closure,
+    and so the probe is planning-time stats, not a second physical
+    planning of the subtree — r9 ADVICE + verdict item 4)."""
+    from dissertation_data_pipeline_spark.session import spread_small_scan
+
+    return spread_small_scan(df)
 
 
 def tokenset_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -65,8 +65,19 @@ def _lit_doubles(values) -> Column:
     answers each call in ~0.6 ms).  ``F.expr`` parses the same Literal
     nodes server-side in one call.  ``repr(float)`` round-trips exactly
     (shortest-repr), so the parsed literals are bit-identical to
-    ``F.lit``'s."""
-    return F.expr("array(" + ",".join(f"{v!r}D" for v in values) + ")")
+    ``F.lit``'s.
+
+    Non-finite elements (NaN/inf centroids from degenerate input
+    vectors) would render as ``nanD``/``infD``, which the SQL parser
+    rejects — where ``F.lit`` built a valid NaN/Infinity literal.  The
+    slow-but-always-correct per-element path handles that rare case
+    (r9 ADVICE)."""
+    import math
+
+    vals = [float(v) for v in values]
+    if all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

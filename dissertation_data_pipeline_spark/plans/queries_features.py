@@ -186,14 +186,18 @@ def ext_corr_matrix(spark, sf_dir):
     numerically, but not cross-engine-hashable; same answer here to
     ~1e-12.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    # spread first: the 15 DECIMAL(38,0) moment sums are CPU-heavy per
-    # row, and a byte-small lineitem file scans as <= 3 tasks (measured
-    # 1.2 s of serial decimal aggregation at sf0.1).  _spread is a
-    # no-op when the scan already has >= cores partitions — at real
-    # scale the partial aggregation rides the scan unchanged.
-    from dissertation_data_pipeline_spark.operators.dedup_ext import _spread
+    # Select the four measure columns FIRST, then spread, then cast:
+    # the DECIMAL(38,0) moment sums are CPU-heavy per row and a
+    # byte-small lineitem file scans as <= 3 tasks, but the r9
+    # placement spread the RAW scan (16 columns, decimals+strings) and
+    # the full-width shuffle cost more than the serial aggregation it
+    # parallelized (driver-confirmed 0.64x/0.85x — r9 verdict item 1).
+    # This shape shuffles 4 decimal columns per row and keeps the
+    # cents cast + sums on the parallel side of the exchange;
+    # spread_small_scan stays a no-op at real scale.
+    from dissertation_data_pipeline_spark.session import spread_small_scan
 
-    cents = _spread(li).select(
+    cents = spread_small_scan(li.select(*_CORR_COLS.values())).select(
         *[
             (F.col(c).cast("decimal(18,2)") * 100).cast("long").alias(k)
             for k, c in _CORR_COLS.items()

@@ -323,15 +323,21 @@ _MESSY_DATE_SQL = """
 """
 
 
-def _messy_date(df):
-    # spread a single-row-group scan across cores first: the consumers
-    # (fd1/fd2) run an 8-format try_to_timestamp chain per row, which
-    # on the 1-task scan of a byte-small orders file ran serially
-    # (measured 2.1 s in ONE task at sf0.1).  _spread is a no-op once
-    # the input arrives in >= cores partitions, i.e. at any real scale.
-    from dissertation_data_pipeline_spark.operators.dedup_ext import _spread
+def _messy_date(df, *, spread=False):
+    # ``spread=True`` round-robins the (narrow, 2-column) projection
+    # across cores before the consumer's 8-format try_to_timestamp
+    # chain, which on the 1-task scan of a byte-small orders file ran
+    # serially (measured 2.1 s in ONE task at sf0.1).  Only fd1's
+    # rollup benefits; the r9 placement also spread fd2, whose output
+    # is the full per-row projection, and there the added exchange of
+    # FULL-WIDTH orders rows (9 columns incl. the comment string)
+    # cost more than it parallelized (0.79x at 8c — r9 verdict item
+    # 1).  The projection now happens BEFORE the spread either way.
+    df = df.select("o_orderkey", "o_orderdate")
+    if spread:
+        from dissertation_data_pipeline_spark.session import spread_small_scan
 
-    df = _spread(df)
+        df = spread_small_scan(df)
     k = F.col("o_orderkey")
     d = F.col("o_orderdate")
     return df.select(
@@ -418,7 +424,7 @@ def fd1_lenient_year_rollup(spark, sf_dir):
     """F-d1 (build_master_corpus.py:69): errors='coerce' year derivation,
     NULL bucket included — then the A1 by-year frequency the reference
     prints (build_corpus.py:119)."""
-    df = _messy_date(load_table(spark, sf_dir, "orders"))
+    df = _messy_date(load_table(spark, sf_dir, "orders"), spread=True)
     return (
         df.select(fx.lenient_year("raw_date").alias("year"))
         .groupBy("year")

@@ -211,6 +211,10 @@ def s_stateful_profile(spark, sf_dir):
             # s_stream_stream_join
             timeout_sec=600,
             shuffle_partitions=_drain_partitions(n_events, spark),
+            # update-mode, NoTimeout: the trailing empty micro-batch
+            # emits nothing and only pays state-store load/commit —
+            # A/B-verified identical output (r10, hash-equal)
+            no_data_batches=False,
         )
         # The memory sink holds its rows in the driver; the staged
         # files and checkpoint are dead weight once the query drains.
@@ -347,6 +351,12 @@ if _tws_runtime_available():
                     output_mode="update",
                     timeout_sec=600,
                     shuffle_partitions=_drain_partitions(n_events, spark),
+                    # timeMode None (no timers): the trailing empty
+                    # micro-batch emits nothing but re-opens and
+                    # commits all 8 RocksDB stores (measured 7.7 s of
+                    # executor time at sf0.1) — skip it; output
+                    # A/B-verified identical on the sibling drain
+                    no_data_batches=False,
                 )
             final = sink.groupBy("user_id").agg(
                 F.max("n_events").alias("n_events"),
@@ -472,6 +482,13 @@ def s_stream_stream_join(spark, sf_dir):
             # commits (measured at sf10: 16 partitions 14.1-14.5 s vs
             # 11.2 s pinned — BASELINE.md round-9 drain A/B)
             shuffle_partitions=8,
+            # INNER join: matches emit eagerly on arrival, so the
+            # trailing empty micro-batch emits nothing and only pays 4
+            # state-store commits x 8 partitions — skip it (A/B: 3.6-
+            # 5.0 s -> 2.9-3.2 s at sf0.1, output hash identical).
+            # The OUTER siblings keep the default: their null-padded
+            # rows flush exactly in that final watermark batch.
+            no_data_batches=False,
         )
         return sink.localCheckpoint()
     finally:
@@ -626,6 +643,10 @@ def s_stream_stream_join_evict(spark, sf_dir):
             # pinned 8 — watermark-bounded join state; see
             # s_stream_stream_join's measured rationale
             shuffle_partitions=8,
+            # INNER join (replay rows are a DATA batch; eviction runs
+            # inside data batches regardless): the trailing empty
+            # batch emits nothing — skip it, same A/B as the sibling
+            no_data_batches=False,
         )
         return sink.localCheckpoint()
     finally:

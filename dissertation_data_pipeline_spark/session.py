@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 #: Confs applied to every session the engine creates.  Each is safe to set
 #: on a real cluster; none are local-mode hacks.
@@ -51,6 +51,18 @@ ENGINE_CONF: dict[str, str] = {
     # Timestamps without timezone: read as TIMESTAMP (session tz = UTC) so
     # date arithmetic matches the DuckDB oracle's naive timestamps.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Shuffle writer: always the sort-based path (one output file per
+    # map task), never the bypass-merge writer (one file PER REDUCE
+    # PARTITION per map task, then an mmap-concat pass plus a shared
+    # IndexShuffleBlockResolver lock).  Production shuffles run with
+    # hundreds-to-thousands of reduce partitions, above the bypass
+    # threshold (200), so the sort writer is what a cluster executes
+    # anyway; locally the bypass path turns every byte-small exchange
+    # into a 32-files-per-task small-file storm (thread dumps during
+    # the r10 profile showed all 32 executor threads in bypass-writer
+    # file I/O).  Measured: uniform ~8-10% across a 10-query mix, no
+    # regressions.  Core conf — takes effect at session creation.
+    "spark.shuffle.sort.bypassMergeThreshold": "1",
 }
 
 
@@ -157,6 +169,48 @@ def pin_spread(df, *cols):
     if str(unpin).lower() == "true":
         return df.repartition(*cols) if cols else df
     return df.repartition(pinned_partitions(df), *cols)
+
+
+def spread_small_scan(df) -> DataFrame:
+    """Round-robin to full parallelism when the input is too small to
+    scan as ``defaultParallelism`` tasks (a single-row-group parquet
+    file scans as ONE task — any per-row-heavy projection after it
+    would run serially).  No-op when the input is already big enough,
+    so at cluster scale — where inputs arrive in thousands of
+    partitions — this adds no shuffle.
+
+    The probe is planning-time Catalyst statistics (``sizeInBytes`` is
+    exact file bytes for a parquet scan) against the session's scan
+    split target — zero jobs, zero RDD materialization.  The previous
+    form (``df.rdd.getNumPartitions()``) physically planned the
+    subtree a second time per call (r9 verdict item 4).
+
+    Call this on the NARROWEST projection that still carries every
+    column the consumer needs: the repartition shuffles whole rows, so
+    spreading a full-width scan to parallelize a projection that then
+    contracts costs more than the serial projection did (measured:
+    ext_corr_matrix 0.64x when spread before its 15-long contraction
+    — the r9 regression this signature exists to prevent).
+
+    Lives in session.py deliberately: this module is excluded from the
+    plans dep-closure fingerprints by design, so result-invariant
+    execution helpers can be shared by operators and plans without
+    restamping every consumer on unrelated edits (r9 ADVICE)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())  # noqa: SLF001
+        )
+    except Exception:
+        return df
+    max_split = int(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        )
+    )
+    if size < sc.defaultParallelism * max_split:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 
 def pinned_partitions(df) -> int:

@@ -41,6 +41,31 @@ def read_events_stream(
 
 
 @contextmanager
+def patched_sql_confs(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily set runtime SQL confs, restoring previous values
+    (or unsetting ones that had no explicit value) on exit — the
+    drain-scoped generalization of ``patched_shuffle_partitions``."""
+    prev: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, old)
+
+
+@contextmanager
 def patched_shuffle_partitions(spark: SparkSession, n: int | None):
     """Temporarily set ``spark.sql.shuffle.partitions`` (no-op when
     ``n`` is None), restoring the previous value on exit.
@@ -77,6 +102,7 @@ def run_available_now_to_memory(
     output_mode: str = "append",
     timeout_sec: int = 120,
     shuffle_partitions: int | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Run ``transform(stream)`` over all currently-available input
     (Trigger.AvailableNow — the reference's batch-over-new-files
@@ -88,9 +114,26 @@ def run_available_now_to_memory(
 
     ``shuffle_partitions`` (opt-in) patches the state-store partition
     count for this drain only — see ``patched_shuffle_partitions`` for
-    the rationale and the 100 TB sizing note."""
+    the rationale and the 100 TB sizing note.
+
+    ``no_data_batches=False`` (opt-in) skips the trailing empty
+    micro-batch the engine otherwise runs for eager state management
+    (``spark.sql.streaming.noDataMicroBatches.enabled``).  Every batch
+    of that final empty cycle still loads and commits one state store
+    per partition per stateful operator (measured: 7.7 s of executor
+    time on the RocksDB TWS drain at sf0.1) while EMITTING nothing for
+    operators whose output is driven by input rows: inner stream-stream
+    joins (matches emit eagerly) and update-mode stateful operators
+    without timers.  Callers whose OUTPUT depends on the final
+    watermark flush — outer joins null-padding expired rows — must keep
+    the default True; flipping it there drops result rows."""
     spark = stream_df.sparkSession
-    with patched_shuffle_partitions(spark, shuffle_partitions):
+    confs: dict[str, str] = {}
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if not no_data_batches:
+        confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    with patched_sql_confs(spark, confs):
         out = transform(stream_df)
         query = (
             out.writeStream.format("memory")

@@ -37,12 +37,17 @@ def _api(spark, path: str):
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.1"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
-        names.remove(sf_dir)
-    use_noop = "--noop" in sys.argv
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("names", nargs="+", help="registry query names")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1", help="data dir")
+    ap.add_argument(
+        "--noop", action="store_true",
+        help="time a noop-sink write instead of count()",
+    )
+    args = ap.parse_args()
+    names, sf_dir, use_noop = args.names, args.sf, args.noop
 
     from dissertation_data_pipeline_spark.plans.registry import QUERIES
     from dissertation_data_pipeline_spark.session import drop_blocks, get_spark

@@ -41,6 +41,50 @@ HEADLINE = [
     "s_session_window",
 ]
 
+#: The non-headline queries the round-9 bench line printed, pinned so
+#: the printed per-query set stays stable round-over-round (the
+#: external comparison treats a query that falls out of the printed
+#: line as dropped; ranking purely by current timing churned 5 names
+#: in round 9).  Frozen to the round-9 set on purpose — append-only.
+PINNED_PRINT = [
+    "s_stateful_profile_tws",
+    "s_stream_stream_join_evict",
+    "s_stream_stream_join",
+    "ext_curation_pipeline",
+    "s_stateful_profile",
+    "s_stream_stream_full_outer",
+    "ext_near_dup_components",
+    "ext_containment_pairs",
+    "ext_ann_ivfpq_rerank",
+    "s_stream_stream_left_outer",
+    "i4_negative_cache",
+    "ext_pagerank_transitions",
+    "ext_simhash_pair_recall",
+    "ext_corr_matrix",
+    "ext_curation_block_pipeline",
+    "ext_capped_jaccard_pairs",
+    "ext_source_overlap_sketch",
+    "ext_ann_ivf_trained_topk",
+    "ext_repeated_substring_spans",
+    "ext_ann_pq_rerank",
+    "ext_embedding_near_dup_recall",
+    "ext_triangle_count",
+    "ext_dedup_incremental",
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promotion",
+    "i1_i3_state_protocol",
+    "ext_dedup_pair_recall",
+    "ext_ccnet_buckets",
+    "ext_simhash_pair_recall_h3",
+    "tpch_q2_min_cost_supplier",
+    "ext_dedup_pair_recall_b6r2",
+    "ext_dedup_pair_recall_b4r3",
+    "ext_blocked_jaccard_pairs",
+    "tpch_q21_waiting_suppliers",
+    "ext_dup_ngram_fraction",
+    "ext_entity_resolution",
+]
+
 
 def _shuffle_totals(spark) -> tuple[int, int]:
     """Cumulative (shuffle-write bytes, shuffle-read bytes) across all
@@ -186,12 +230,23 @@ def main() -> None:
         )
         fh.write("\n")
 
-    # Per-query entries: headline set first, then slowest of the rest,
-    # greedily while the serialized line stays under the tail budget.
+    # Per-query entries: headline set first, then the PINNED list, then
+    # slowest of the rest, greedily while the serialized line stays
+    # under the tail budget.  The pinned list is the exact set the
+    # round-9 line printed: ranking purely by current-round timing made
+    # the printed set churn round-over-round (a query that got FASTER
+    # fell out and the external comparison recorded it as
+    # "dropped_from_bench" — 5 phantom drops in round 9), so the
+    # driver's per-query diff now sees a stable set.  Additions only:
+    # nothing is removed or renamed, and every query is still timed and
+    # recorded in BENCH_DETAIL.json either way.
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     ranked = [n for n in names if n in set(HEADLINE)]
+    ranked += [
+        n for n in PINNED_PRINT if n in timings and n not in set(HEADLINE)
+    ]
     ranked += sorted(
-        (n for n in timings if n not in set(HEADLINE)),
+        (n for n in timings if n not in set(ranked)),
         key=lambda n: -timings[n],
     )
     shown: dict[str, float] = {}

@@ -584,23 +584,28 @@ def simhash_signatures(
         .cast("long")
         .alias("_v"),
     )
+    # The 48 bit-counter sums and the 48-term signature assembly are
+    # built as SQL strings parsed server-side in ~50 py4j calls — the
+    # Column-composition form was ~700 round trips and dominated the
+    # QUERY (1.47 s of driver plan-build vs 0.38 s of execution,
+    # measured r10; same _lit_doubles lever as the r9 ANN fix).  The
+    # parsed expressions are the identical Catalyst nodes: shiftright
+    # on the long, AND 1, CAST INT, *2-1, SUM — integer arithmetic,
+    # bit-identical signatures (A/B-verified zero mismatches).
     counts = tv.groupBy("_id").agg(
         *[
-            F.sum(
-                F.shiftright(F.col("_v"), bits - 1 - b).bitwiseAND(F.lit(1)).cast("int")
-                * 2
-                - 1
+            F.expr(
+                f"sum(CAST(shiftright(_v, {bits - 1 - b}) & 1 AS INT) * 2 - 1)"
             ).alias(f"_c{b}")
             for b in range(bits)
         ]
     )
-    sig_expr = None
-    for b in range(bits):
-        term = F.when(F.col(f"_c{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig_expr = term if sig_expr is None else sig_expr + term
-    return counts.select("_id", sig_expr.alias("_sh"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN _c{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return counts.select("_id", F.expr(sig_sql).alias("_sh"))
 
 
 #: Corpus size (document rows) above which the C(6,3) multi-block

@@ -186,18 +186,17 @@ def ext_corr_matrix(spark, sf_dir):
     numerically, but not cross-engine-hashable; same answer here to
     ~1e-12.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    # Select the four measure columns FIRST, then spread, then cast:
-    # the DECIMAL(38,0) moment sums are CPU-heavy per row and a
-    # byte-small lineitem file scans as <= 3 tasks, but the r9
-    # placement spread the RAW scan (16 columns, decimals+strings) and
-    # the full-width shuffle cost more than the serial aggregation it
-    # parallelized (driver-confirmed 0.64x/0.85x — r9 verdict item 1).
-    # This shape shuffles 4 decimal columns per row and keeps the
-    # cents cast + sums on the parallel side of the exchange;
-    # spread_small_scan stays a no-op at real scale.
-    from dissertation_data_pipeline_spark.session import spread_small_scan
-
-    cents = spread_small_scan(li.select(*_CORR_COLS.values())).select(
+    # NO repartition before the aggregate: the r9 spread of the raw
+    # scan was a driver-confirmed regression (0.64x), and a measured
+    # A/B of the narrow-projection variants (r10, median-of-5,
+    # .count() on the 1-row aggregate) reads no-spread 0.63 s vs
+    # narrow-spread 0.85 s vs spread-after-cast 0.78 s — the partial
+    # (map-side) decimal moment sums already parallelize across the
+    # scan tasks and contract to one row per task, so ANY added
+    # exchange of per-row data is pure cost.  At real scale the scan
+    # arrives in thousands of splits and the same map-side partial
+    # aggregation applies unchanged.
+    cents = li.select(*_CORR_COLS.values()).select(
         *[
             (F.col(c).cast("decimal(18,2)") * 100).cast("long").alias(k)
             for k, c in _CORR_COLS.items()

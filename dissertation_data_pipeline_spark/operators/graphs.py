@@ -184,14 +184,21 @@ def pagerank_int(
     n_nodes = nodes.count()  # scalar loop constant (one int), not row data
     if n_nodes == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("r"))
-    out_w = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    # the edge->out-weight join is LOOP-INVARIANT: join it once and
+    # carry (src, dst, w, ow) through every round instead of re-joining
+    # per iteration — one exchange total where the loop paid one per
+    # round (the ranks join key is src either way, so nothing else in
+    # the per-round plan changes)
+    ew = (
+        e.join(e.groupBy("src").agg(F.sum("w").alias("ow")), "src")
+        .localCheckpoint(eager=False)
+    )
     base_total = scale // n_nodes
     base = (100 - damping_pct) * base_total // 100
     ranks = nodes.select("node", F.lit(base_total).cast("long").alias("r"))
     for it in range(iterations):
         contribs = (
-            e.join(out_w, "src")
-            .join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            ew.join(ranks.select(F.col("node").alias("src"), "r"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(r * w) div ow").alias("c"),

@@ -825,6 +825,7 @@ def pq_codes(
     n_sub: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes (Jégou et al. 2011): split each
     vector into ``n_sub`` subvectors and encode each as its nearest of
@@ -856,10 +857,23 @@ def pq_codes(
     at 100 TB encoding rides the corpus scan exactly as the cell
     assignment does.
     """
-    cb = _pq_codebook(
-        df, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
-        sub_dim=sub_dim, n_codes=n_codes, code_col="code_id", sub_col="s",
-    )
+    # ``codebook``: a caller-prebuilt _pq_codebook frame (same layout,
+    # any column names — renamed positionally here).  The rerank
+    # compositions need the codebook TWICE (encode + query LUT); built
+    # independently each side re-derives the md5 sample from a fresh
+    # corpus scan, so they materialize it once and pass it in.
+    if codebook is not None:
+        c0, c1, c2 = codebook.columns
+        cb = codebook.select(
+            F.col(c0).alias("code_id"), F.col(c1).alias("s"),
+            F.col(c2).alias("subc"),
+        )
+    else:
+        cb = _pq_codebook(
+            df, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+            sub_dim=sub_dim, n_codes=n_codes, code_col="code_id",
+            sub_col="s",
+        )
     # one packed row, sorted by (s, code_id): subspace s's candidates
     # are the contiguous slice [s*n_codes+1, n_codes] — O(1) access,
     # no per-row filtering
@@ -968,14 +982,18 @@ def pq_adc_scores(
     independently-numbered queries an id collision is a coincidence,
     and filtering it would silently drop a legitimate candidate.
     """
-    codes = pq_codes(
-        corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
-        sub_dim=sub_dim, n_codes=n_codes,
-    ).select(id_col, "subspace", "code")
+    # ONE codebook derivation for both consumers (encode + query LUT):
+    # built independently, each side re-ran the md5-sample TakeOrdered
+    # from its own corpus scan.  n_sub x n_codes rows — a lazy
+    # localCheckpoint dedups the subtree without an extra job.
     cb = _pq_codebook(
         corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
         sub_dim=sub_dim, n_codes=n_codes, code_col="code", sub_col="subspace",
-    )
+    ).localCheckpoint(eager=False)
+    codes = pq_codes(
+        corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+        sub_dim=sub_dim, n_codes=n_codes, codebook=cb,
+    ).select(id_col, "subspace", "code")
     qsub = F.slice(F.col(query_vec), F.col("subspace") * sub_dim + 1, sub_dim)
     d2 = F.aggregate(
         F.zip_with(
@@ -1053,15 +1071,27 @@ def ivfpq_rerank_topk(
     Determinism contract matches the exhaustive path bit-for-bit:
     integer ADC sums, full (adc, id) and (exact_pd, id) tiebreaks.
     """
+    # The quantizer subtrees are DUAL-CONSUMED: cents feeds corpus
+    # assignment AND query probing, the codebook feeds encoding AND the
+    # query LUT — built per consumer each re-derived its md5-sample
+    # TakeOrdered from a fresh corpus scan (9 corpus scans in the
+    # before plan).  Lazy localCheckpoints (32 / n_sub x n_codes rows)
+    # dedup them without an extra job; the downstream values are
+    # byte-identical — the checkpoint only pins WHERE the subtree
+    # computes, never what.
     cents = ivf_centroids(
         corpus, corpus_id=id_col, corpus_vec=vec_col, n_cells=n_cells
-    )
+    ).localCheckpoint(eager=False)
     cells = ivf_assign(
         corpus, cents, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cell_id")
+    cb = _pq_codebook(
+        corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+        sub_dim=sub_dim, n_codes=n_codes, code_col="code", sub_col="s",
+    ).localCheckpoint(eager=False)
     codes = pq_codes(
         corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
-        sub_dim=sub_dim, n_codes=n_codes,
+        sub_dim=sub_dim, n_codes=n_codes, codebook=cb,
     ).select(id_col, F.col("subspace").alias("s"), "code")
     # codes and cells co-key on the vector id; at 100 TB both are
     # columns of the partitioned index layout and this join is a
@@ -1071,10 +1101,6 @@ def ivfpq_rerank_topk(
         queries, cents, id_col=query_id, vec_col=query_vec,
         rank_upto=n_probe,
     ).select(query_id, query_vec, "cell_id")
-    cb = _pq_codebook(
-        corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
-        sub_dim=sub_dim, n_codes=n_codes, code_col="code", sub_col="s",
-    )
     qsub = F.slice(F.col(query_vec), F.col("s") * sub_dim + 1, sub_dim)
     qd2 = F.aggregate(
         F.zip_with(

@@ -245,6 +245,34 @@ def test_pq_codes_cover_and_selfencode_exactly(spark, sf_dir):
     assert per_vec_zero >= 16  # at least the 16 sampled codebook sources
 
 
+def test_pq_codes_prebuilt_codebook_identical(spark, sf_dir):
+    """pq_codes(codebook=...) must emit byte-identical codes to the
+    self-derived path: the rerank compositions materialize ONE codebook
+    for the encode and query-LUT consumers (an optimization — shared
+    subtree, not a second derivation), so any divergence between the
+    two paths would silently desync codes from lookup tables."""
+    from dissertation_data_pipeline_spark.operators.similarity import (
+        _pq_codebook,
+        pq_codes,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(
+        emb, id_col="vec_id", vec_col="embedding", n_sub=8, sub_dim=8,
+        n_codes=16, code_col="code", sub_col="subspace",
+    ).localCheckpoint(eager=False)
+    base = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["d2"])
+        for r in pq_codes(emb).collect()
+    }
+    pre = {
+        (r["vec_id"], r["subspace"]): (r["code"], r["d2"])
+        for r in pq_codes(emb, codebook=cb).collect()
+    }
+    assert pre == base
+
+
 def test_pq_codes_small_corpus_incomplete_codebook(spark):
     """Corpus smaller than n_codes -> incomplete codebook: the packed
     positional slice would misalign every subspace after the first and

@@ -191,12 +191,16 @@ def s_stateful_profile(spark, sf_dir):
 
     events = load_table(spark, sf_dir, "events")
     n_events = events.count()
+    # stage only the four columns the profile operator consumes
+    # (running_user_profile projects exactly these); event_id and the
+    # props JSON are staging-write dead weight
+    staged = events.select("user_id", "ts", "event_type", "value")
     work = tempfile.mkdtemp(prefix="ddp_stateful_gate_")
     try:
         src = os.path.join(work, "src")
-        events.repartition(2).write.parquet(src)
+        staged.repartition(2).write.parquet(src)
         stream = read_events_stream(
-            spark, src, events.schema, max_files_per_trigger=1
+            spark, src, staged.schema, max_files_per_trigger=1
         )
         sink = run_available_now_to_memory(
             stream,
@@ -328,12 +332,15 @@ if _tws_runtime_available():
 
         events = load_table(spark, sf_dir, "events")
         n_events = events.count()
+        # same staged-column pruning as the sibling drain: the TWS
+        # operator projects exactly these four columns
+        staged = events.select("user_id", "ts", "event_type", "value")
         work = tempfile.mkdtemp(prefix="ddp_tws_gate_")
         try:
             src = os.path.join(work, "src")
-            events.repartition(2).write.parquet(src)
+            staged.repartition(2).write.parquet(src)
             stream = read_events_stream(
-                spark, src, events.schema, max_files_per_trigger=1
+                spark, src, staged.schema, max_files_per_trigger=1
             )
             # TWS keeps each named state variable in its own column
             # family, which the default HDFS-backed provider rejects
@@ -437,16 +444,27 @@ def s_stream_stream_join(spark, sf_dir):
     )
 
     events = load_table(spark, sf_dir, "events")
+    # stage only the rows and columns the drain consumes: an INNER
+    # join emits click x purchase matches only, and rows of other
+    # event types influence nothing else here — they advance the
+    # watermark, which with the 31-day delay never evicts state and
+    # (trailing no-data batch skipped below) never drives output;
+    # props is dead weight.  ~60% fewer rows through every per-batch
+    # scan/shuffle/state write on BOTH stream legs (A/B at sf0.1 and
+    # sf1: output hash identical, drain 3.28 -> 3.01 s at sf0.1).
+    staged = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).drop("props")
     work = tempfile.mkdtemp(prefix="ddp_ssjoin_gate_")
     try:
         src = os.path.join(work, "src")
-        events.repartition(2).write.parquet(src)
+        staged.repartition(2).write.parquet(src)
 
         def stream():
             return read_events_stream(
                 spark,
                 src,
-                events.schema,
+                staged.schema,
                 watermark_delay="31 days",
                 max_files_per_trigger=1,
             )
@@ -585,7 +603,16 @@ def s_stream_stream_join_evict(spark, sf_dir):
         stream_stream_interval_join,
     )
 
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        # column pruning only — every ROW of every type must stay
+        # staged: the watermark here is applied BEFORE the event-type
+        # filters, so non-click/purchase rows advance it and the
+        # eviction timing this row exists to probe depends on them;
+        # value and props never reach the projection
+        .select("event_id", "ts", "user_id", "event_type")
+    )
     t0 = ev.agg(F.min("ts").alias("t0")).first()["t0"]
     t_mid = t0 + timedelta(days=15)
     # clears the LAGGING eviction bound (t_mid - delay - within) by
@@ -716,15 +743,24 @@ def s_stream_stream_left_outer(spark, sf_dir):
     events = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 5 == 0
     )
+    # stage only click/purchase rows and the four consumed columns:
+    # each stream's watermark is applied AFTER its event-type filter
+    # (see the docstring), so it derives from click/purchase rows only
+    # — dropping the other types at staging leaves both watermarks,
+    # and therefore the null-pad flush boundary, bit-identical; value
+    # and props never reach the projection
+    staged = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "ts", "user_id", "event_type")
     work = tempfile.mkdtemp(prefix="ddp_ssouter_gate_")
     try:
         src = os.path.join(work, "src")
-        events.repartition(2).write.parquet(src)
+        staged.repartition(2).write.parquet(src)
 
         def typed_stream(event_type):
             return (
                 spark.readStream.format("parquet")
-                .schema(events.schema)
+                .schema(staged.schema)
                 .option("maxFilesPerTrigger", 1)
                 .load(src)
                 .filter(F.col("event_type") == event_type)
@@ -815,15 +851,22 @@ def s_stream_stream_full_outer(spark, sf_dir):
     events = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 5 == 0
     )
+    # same staged-row/column pruning as the left-outer sibling: both
+    # watermarks are applied after the type filters, so click/purchase
+    # rows alone determine them — the asymmetric expiry rules are
+    # unchanged by dropping never-joined rows at staging
+    staged = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "ts", "user_id", "event_type")
     work = tempfile.mkdtemp(prefix="ddp_ssfull_gate_")
     try:
         src = os.path.join(work, "src")
-        events.repartition(2).write.parquet(src)
+        staged.repartition(2).write.parquet(src)
 
         def typed_stream(event_type):
             return (
                 spark.readStream.format("parquet")
-                .schema(events.schema)
+                .schema(staged.schema)
                 .option("maxFilesPerTrigger", 1)
                 .load(src)
                 .filter(F.col("event_type") == event_type)

